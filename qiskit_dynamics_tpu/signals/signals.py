@@ -30,6 +30,8 @@ from typing import Callable, List, Optional, Tuple, Union
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from ..unified import unp
 from jax.tree_util import register_pytree_node
 
 from ..dtypes import ArrayLike
@@ -73,7 +75,7 @@ class Signal:
         self._is_constant = False
 
         if not callable(envelope):
-            const = jnp.asarray(envelope)
+            const = unp.asarray(envelope)
             if not _is_tracer(carrier_freq) and np.all(np.asarray(carrier_freq) == 0.0):
                 self._is_constant = True
             envelope = _ConstantEnvelope(const)
@@ -100,7 +102,7 @@ class Signal:
 
     @carrier_freq.setter
     def carrier_freq(self, carrier_freq):
-        self._carrier_freq = jnp.asarray(carrier_freq)
+        self._carrier_freq = unp.asarray(carrier_freq)
 
     @property
     def phase(self):
@@ -109,7 +111,7 @@ class Signal:
 
     @phase.setter
     def phase(self, phase):
-        self._phase = jnp.asarray(phase)
+        self._phase = unp.asarray(phase)
 
     # --- evaluation ---------------------------------------------------------
     def envelope(self, t: ArrayLike):
@@ -118,13 +120,13 @@ class Signal:
 
     def complex_value(self, t: ArrayLike):
         """Vectorized evaluation of ``f(t) exp(i(2 pi nu t + phi))``."""
-        t = jnp.asarray(t)
+        t = unp.asarray(t)
         arg = 1j * (_TWO_PI * self._carrier_freq * t + self._phase)
-        return self.envelope(t) * jnp.exp(arg)
+        return self.envelope(t) * unp.exp(arg)
 
     def __call__(self, t: ArrayLike):
         """Vectorized evaluation of the real signal."""
-        return jnp.real(self.complex_value(t))
+        return unp.real(self.complex_value(t))
 
     # --- algebra --------------------------------------------------------------
     def __add__(self, other) -> "SignalSum":
@@ -153,7 +155,7 @@ class Signal:
         env = self._envelope
 
         def conj_env(t):
-            return jnp.conjugate(env(t))
+            return unp.conjugate(env(t))
 
         return Signal(conj_env, -self.carrier_freq, -self.phase)
 
@@ -213,10 +215,10 @@ class _ConstantEnvelope:
     """Constant envelope callable; hashable so it can live in pytree aux data."""
 
     def __init__(self, value):
-        self.value = jnp.asarray(value)
+        self.value = unp.asarray(value)
 
     def __call__(self, t):
-        return self.value * jnp.ones_like(jnp.asarray(t))
+        return self.value * unp.ones_like(unp.asarray(t))
 
     def __hash__(self):
         return hash(float(np.real(np.asarray(self.value)))) if self.value.ndim == 0 else id(self)
@@ -250,23 +252,23 @@ class DiscreteSignal(Signal):
     ):
         self._dt = dt
         self._start_time = start_time
-        samples = jnp.asarray(samples)
+        samples = unp.asarray(samples)
         if samples.shape[0] == 0:
-            pad = jnp.zeros((1,) + samples.shape[1:], dtype=samples.dtype)
+            pad = unp.zeros((1,) + samples.shape[1:], dtype=samples.dtype)
         else:
-            pad = jnp.zeros_like(samples[:1])
-        self._padded_samples = jnp.concatenate([samples, pad], axis=0)
+            pad = unp.zeros_like(samples[:1])
+        self._padded_samples = unp.concatenate([samples, pad], axis=0)
 
         Signal.__init__(
             self, envelope=self._envelope_fn, carrier_freq=carrier_freq, phase=phase, name=name
         )
 
     def _envelope_fn(self, t):
-        t = jnp.asarray(t)
+        t = unp.asarray(t)
         n = self._padded_samples.shape[0] - 1
-        idx = jnp.clip(jnp.floor((t - self._start_time) / self._dt).astype(jnp.int32), -1, n)
+        idx = unp.clip(unp.floor((t - self._start_time) / self._dt).astype(np.int32), -1, n)
         # idx in [-1, n]; both -1 and n hit the zero pad via wrap mode.
-        return jnp.take(self._padded_samples, idx, axis=0, mode="wrap")
+        return unp.take(self._padded_samples, idx, axis=0, mode="wrap")
 
     @classmethod
     def from_Signal(
@@ -317,7 +319,7 @@ class DiscreteSignal(Signal):
     def conjugate(self):
         return self.__class__(
             dt=self._dt,
-            samples=jnp.conjugate(self.samples),
+            samples=unp.conjugate(self.samples),
             start_time=self._start_time,
             carrier_freq=-self.carrier_freq,
             phase=-self.phase,
@@ -325,18 +327,18 @@ class DiscreteSignal(Signal):
 
     def add_samples(self, start_sample: int, samples):
         """Append samples starting at index ``start_sample``, zero-filling any gap."""
-        samples = jnp.asarray(samples)
+        samples = unp.asarray(samples)
         if samples.shape[0] < 1:
             return
         cur = self.samples
         if start_sample < cur.shape[0]:
             raise DynamicsError("Samples can only be added after the last sample.")
         if cur.shape[0] < start_sample:
-            gap = jnp.zeros((start_sample - cur.shape[0],) + cur.shape[1:], dtype=cur.dtype)
-            cur = jnp.concatenate([cur, gap], axis=0)
-        new = jnp.concatenate([cur, samples], axis=0)
-        pad = jnp.zeros_like(new[:1])
-        self._padded_samples = jnp.concatenate([new, pad], axis=0)
+            gap = unp.zeros((start_sample - cur.shape[0],) + cur.shape[1:], dtype=cur.dtype)
+            cur = unp.concatenate([cur, gap], axis=0)
+        new = unp.concatenate([cur, samples], axis=0)
+        pad = unp.zeros_like(new[:1])
+        self._padded_samples = unp.concatenate([new, pad], axis=0)
 
     def __str__(self):
         if self.name is not None:
@@ -379,7 +381,7 @@ class SignalCollection:
         return len(self._components)
 
     def __getitem__(self, idx):
-        if not isinstance(idx, slice) and jnp.asarray(idx).ndim > 0:
+        if not isinstance(idx, slice) and unp.asarray(idx).ndim > 0:
             idx = list(np.asarray(idx))
         if isinstance(idx, list):
             sub = [self._components[i] for i in idx]
@@ -415,7 +417,7 @@ class SignalSum(SignalCollection, Signal):
             elif isinstance(sig, Signal):
                 components.append(sig)
             else:
-                arr = jnp.asarray(sig)
+                arr = unp.asarray(sig)
                 if arr.ndim == 0:
                     components.append(Signal(arr))
                 else:
@@ -427,18 +429,18 @@ class SignalSum(SignalCollection, Signal):
         Signal.__init__(
             self,
             envelope=self._envelope_fn,
-            carrier_freq=jnp.asarray([sig.carrier_freq for sig in components]),
-            phase=jnp.asarray([sig.phase for sig in components]),
+            carrier_freq=unp.asarray([sig.carrier_freq for sig in components]),
+            phase=unp.asarray([sig.phase for sig in components]),
             name=name,
         )
 
     def _envelope_fn(self, t):
-        return jnp.moveaxis(jnp.asarray([sig.envelope(t) for sig in self._components]), 0, -1)
+        return unp.moveaxis(unp.asarray([sig.envelope(t) for sig in self._components]), 0, -1)
 
     def complex_value(self, t: ArrayLike):
-        t = jnp.asarray(t)
-        arg = 1j * (_TWO_PI * jnp.expand_dims(t, -1) * self._carrier_freq + self._phase)
-        return jnp.sum(self.envelope(t) * jnp.exp(arg), axis=-1)
+        t = unp.asarray(t)
+        arg = 1j * (_TWO_PI * unp.expand_dims(t, -1) * self._carrier_freq + self._phase)
+        return unp.sum(self.envelope(t) * unp.exp(arg), axis=-1)
 
     def flatten(self) -> Signal:
         """Merge into a single ``Signal`` carried at the average frequency."""
@@ -446,14 +448,14 @@ class SignalSum(SignalCollection, Signal):
             return Signal(0.0)
         if len(self) == 1:
             return self._components[0]
-        ave_freq = jnp.sum(self.carrier_freq) / len(self)
+        ave_freq = unp.sum(self.carrier_freq) / len(self)
         shifted = 1j * _TWO_PI * (self._carrier_freq - ave_freq)
         phases = 1j * self._phase
         env = self._envelope
 
         def merged_env(t):
-            t = jnp.asarray(t)
-            return jnp.sum(env(t) * jnp.exp(jnp.expand_dims(t, -1) * shifted + phases), axis=-1)
+            t = unp.asarray(t)
+            return unp.sum(env(t) * unp.exp(unp.expand_dims(t, -1) * shifted + phases), axis=-1)
 
         return Signal(envelope=merged_env, carrier_freq=ave_freq, name=str(self))
 
@@ -495,13 +497,13 @@ class DiscreteSignalSum(DiscreteSignal, SignalSum):
         phase: ArrayLike = None,
         name: Optional[str] = None,
     ):
-        samples = jnp.asarray(samples)
+        samples = unp.asarray(samples)
         if samples.ndim == 1:
             samples = samples[:, None]
         if carrier_freq is None:
-            carrier_freq = jnp.zeros(samples.shape[-1])
+            carrier_freq = unp.zeros(samples.shape[-1])
         if phase is None:
-            phase = jnp.zeros(samples.shape[-1])
+            phase = unp.zeros(samples.shape[-1])
 
         DiscreteSignal.__init__(
             self,
@@ -543,8 +545,8 @@ class DiscreteSignalSum(DiscreteSignal, SignalSum):
         times = start_time + (np.arange(n_samples) + 0.5) * dt
         freq = signal_sum.carrier_freq
         if sample_carrier:
-            carrier = jnp.exp(
-                1j * _TWO_PI * jnp.expand_dims(jnp.asarray(times), -1) * freq
+            carrier = unp.exp(
+                1j * _TWO_PI * unp.expand_dims(unp.asarray(times), -1) * freq
             )
             samples = signal_sum.envelope(times) * carrier
             freq = 0.0 * freq
@@ -622,12 +624,12 @@ class SignalList(SignalCollection):
 
     def complex_value(self, t):
         """Stacked complex values, shape ``(..., k)``."""
-        return jnp.moveaxis(
-            jnp.asarray([sig.complex_value(t) for sig in self._components]), 0, -1
+        return unp.moveaxis(
+            unp.asarray([sig.complex_value(t) for sig in self._components]), 0, -1
         )
 
     def __call__(self, t):
-        return jnp.moveaxis(jnp.asarray([sig(t) for sig in self._components]), 0, -1)
+        return unp.moveaxis(unp.asarray([sig(t) for sig in self._components]), 0, -1)
 
     def flatten(self) -> "SignalList":
         """Flatten each component sum into a single signal."""
@@ -643,12 +645,12 @@ class SignalList(SignalCollection):
         for entry in self._components:
             if not isinstance(entry, SignalSum):
                 entry = SignalSum(entry)
-            val = jnp.asarray(0.0)
+            val = unp.asarray(0.0)
             for term in entry:
                 if term.is_constant:
                     val = val + term(0.0)
             drift.append(val)
-        return jnp.asarray(drift)
+        return unp.asarray(drift)
 
     # --- pytree protocol --------------------------------------------------
     def tree_flatten(self):
@@ -682,12 +684,12 @@ def signal_add(sig1, sig2) -> SignalSum:
         ):
             return DiscreteSignalSum(
                 dt=sig1.dt,
-                samples=jnp.concatenate([sig1.samples, sig2.samples], axis=1),
+                samples=unp.concatenate([sig1.samples, sig2.samples], axis=1),
                 start_time=sig1.start_time,
-                carrier_freq=jnp.concatenate(
-                    [jnp.atleast_1d(sig1.carrier_freq), jnp.atleast_1d(sig2.carrier_freq)]
+                carrier_freq=unp.concatenate(
+                    [unp.atleast_1d(sig1.carrier_freq), unp.atleast_1d(sig2.carrier_freq)]
                 ),
-                phase=jnp.concatenate([jnp.atleast_1d(sig1.phase), jnp.atleast_1d(sig2.phase)]),
+                phase=unp.concatenate([unp.atleast_1d(sig1.phase), unp.atleast_1d(sig2.phase)]),
             )
     return SignalSum(*(sig1.components + sig2.components))
 
@@ -725,17 +727,17 @@ def signal_multiply(sig1, sig2) -> SignalSum:
             nt = s1.shape[0]
             prod = 0.5 * (s1[:, :, None] * s2[:, None, :]).reshape(nt, -1)
             prod_conj = 0.5 * (s1[:, :, None] * s2[:, None, :].conj()).reshape(nt, -1)
-            f1, f2 = jnp.atleast_1d(sig1.carrier_freq), jnp.atleast_1d(sig2.carrier_freq)
-            p1, p2 = jnp.atleast_1d(sig1.phase), jnp.atleast_1d(sig2.phase)
-            freqs = jnp.concatenate(
+            f1, f2 = unp.atleast_1d(sig1.carrier_freq), unp.atleast_1d(sig2.carrier_freq)
+            p1, p2 = unp.atleast_1d(sig1.phase), unp.atleast_1d(sig2.phase)
+            freqs = unp.concatenate(
                 [(f1[:, None] + f2[None, :]).reshape(-1), (f1[:, None] - f2[None, :]).reshape(-1)]
             )
-            phases = jnp.concatenate(
+            phases = unp.concatenate(
                 [(p1[:, None] + p2[None, :]).reshape(-1), (p1[:, None] - p2[None, :]).reshape(-1)]
             )
             return DiscreteSignalSum(
                 dt=sig1.dt,
-                samples=jnp.concatenate([prod, prod_conj], axis=1),
+                samples=unp.concatenate([prod, prod_conj], axis=1),
                 start_time=sig1.start_time,
                 carrier_freq=freqs,
                 phase=phases,
@@ -782,7 +784,7 @@ def base_signal_multiply(sig1: Signal, sig2: Signal) -> Signal:
             )
             pwc2 = DiscreteSignal(
                 dt=sig2.dt,
-                samples=0.5 * sig1.samples * jnp.conjugate(sig2.samples),
+                samples=0.5 * sig1.samples * unp.conjugate(sig2.samples),
                 start_time=sig2.start_time,
                 carrier_freq=sig1.carrier_freq - sig2.carrier_freq,
                 phase=sig1.phase - sig2.phase,
@@ -796,7 +798,7 @@ def base_signal_multiply(sig1: Signal, sig2: Signal) -> Signal:
         phase=sig1.phase + sig2.phase,
     )
     prod2 = Signal(
-        envelope=lambda t: 0.5 * env1(t) * jnp.conjugate(env2(t)),
+        envelope=lambda t: 0.5 * env1(t) * unp.conjugate(env2(t)),
         carrier_freq=sig1.carrier_freq - sig2.carrier_freq,
         phase=sig1.phase - sig2.phase,
     )
@@ -834,14 +836,14 @@ def to_SignalSum(sig) -> SignalSum:
             dt=sig.dt,
             samples=samples,
             start_time=sig.start_time,
-            carrier_freq=jnp.atleast_1d(sig.carrier_freq),
-            phase=jnp.atleast_1d(sig.phase),
+            carrier_freq=unp.atleast_1d(sig.carrier_freq),
+            phase=unp.atleast_1d(sig.phase),
         )
     if isinstance(sig, SignalSum):
         return sig
     if isinstance(sig, Signal):
         return SignalSum(sig)
-    arr = jnp.asarray(sig)
+    arr = unp.asarray(sig)
     if arr.ndim == 0:
         return SignalSum(Signal(arr))
     raise DynamicsError("Input type incompatible with SignalSum.")

@@ -1,0 +1,71 @@
+"""Host/trace unified array namespace.
+
+``unp.<fn>(*args)`` dispatches to **numpy** when every argument is concrete and
+to **jax.numpy** when any argument is a JAX tracer. Rationale (specific to the
+TPU deployment environment): complex arrays cannot cross the jit/device
+boundary on the axon TPU platform — they may only exist *inside* compiled
+computations or as numpy constants captured by a trace. Keeping all
+construction-time math (frame eigendecompositions, operator-basis rotations,
+sample manipulation) in numpy means model state is host-resident and gets baked
+into compiled executables as constants, while the same code paths dispatch to
+``jnp`` when traced inside ``jit``/``grad``/``vmap``.
+
+This replaces the reference's 4-way arraylias dispatch
+(``/root/reference/qiskit_dynamics/arraylias/alias.py``) with a single 2-way
+host/trace rule.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["unp", "contains_tracer", "asarray"]
+
+
+def contains_tracer(*args) -> bool:
+    """Whether any (nested) argument is a JAX tracer."""
+    for arg in args:
+        if isinstance(arg, jax.core.Tracer):
+            return True
+        if isinstance(arg, (list, tuple)):
+            if contains_tracer(*arg):
+                return True
+    return False
+
+
+def asarray(x, dtype=None):
+    """Concrete -> numpy array; traced -> jnp array."""
+    if contains_tracer(x):
+        return jnp.asarray(x, dtype=dtype)
+    return np.asarray(x, dtype=dtype)
+
+
+class _Linalg:
+    def __getattr__(self, name):
+        def fn(*args, **kwargs):
+            mod = jnp.linalg if contains_tracer(*args) else np.linalg
+            return getattr(mod, name)(*args, **kwargs)
+
+        return fn
+
+
+class _Unified:
+    """Attribute-forwarding dispatcher between numpy and jax.numpy."""
+
+    linalg = _Linalg()
+
+    @staticmethod
+    def asarray(x, dtype=None):
+        return asarray(x, dtype=dtype)
+
+    def __getattr__(self, name):
+        def fn(*args, **kwargs):
+            mod = jnp if contains_tracer(*args) or contains_tracer(*kwargs.values()) else np
+            return getattr(mod, name)(*args, **kwargs)
+
+        fn.__name__ = name
+        return fn
+
+
+unp = _Unified()

@@ -1,0 +1,164 @@
+"""RotatingFrame tests: transforms validated against explicit expm conjugation."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.linalg import expm
+
+from qiskit_dynamics_tpu.models import RotatingFrame
+from qiskit_dynamics_tpu.exceptions import DynamicsError
+
+rng = np.random.default_rng(7)
+
+
+def random_hermitian(d):
+    m = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    return m + m.conj().T
+
+
+@pytest.fixture(params=[2, 4])
+def dim(request):
+    return request.param
+
+
+def test_none_frame():
+    rf = RotatingFrame(None)
+    y = np.array([1.0, 2.0])
+    np.testing.assert_allclose(rf.state_into_frame(1.0, y), y)
+    np.testing.assert_allclose(rf.operator_into_frame(1.0, np.eye(2)), np.eye(2))
+    assert rf.frame_diag is None
+
+
+def test_hermitian_converted_to_antihermitian(dim):
+    H = random_hermitian(dim)
+    rf = RotatingFrame(H)
+    # frame_diag should be -1j * eigenvalues of H
+    evals = np.linalg.eigvalsh(H)
+    np.testing.assert_allclose(np.sort(np.imag(rf.frame_diag)), np.sort(-evals), atol=1e-10)
+    np.testing.assert_allclose(np.real(rf.frame_diag), 0.0, atol=1e-10)
+
+
+def test_invalid_frame_raises():
+    with pytest.raises(DynamicsError):
+        RotatingFrame(np.array([[0.0, 1.0], [0.0, 0.0]]))
+
+
+def test_state_into_frame_vs_expm(dim):
+    H = random_hermitian(dim)
+    F = -1j * H
+    rf = RotatingFrame(H)
+    y = rng.normal(size=dim) + 1j * rng.normal(size=dim)
+    t = 0.37
+    expected = expm(-t * F) @ y
+    np.testing.assert_allclose(rf.state_into_frame(t, y), expected, atol=1e-10)
+    expected_out = expm(t * F) @ y
+    np.testing.assert_allclose(rf.state_out_of_frame(t, y), expected_out, atol=1e-10)
+
+
+def test_operator_into_frame_vs_expm(dim):
+    H = random_hermitian(dim)
+    F = -1j * H
+    rf = RotatingFrame(H)
+    G = rng.normal(size=(dim, dim)) + 1j * rng.normal(size=(dim, dim))
+    t = 0.21
+    expected = expm(-t * F) @ G @ expm(t * F)
+    np.testing.assert_allclose(rf.operator_into_frame(t, G), expected, atol=1e-10)
+    np.testing.assert_allclose(rf.operator_out_of_frame(t, G), expm(t * F) @ G @ expm(-t * F), atol=1e-10)
+
+
+def test_generator_into_frame_vs_expm(dim):
+    H = random_hermitian(dim)
+    F = -1j * H
+    rf = RotatingFrame(H)
+    G = rng.normal(size=(dim, dim)) + 1j * rng.normal(size=(dim, dim))
+    t = 0.11
+    expected = expm(-t * F) @ G @ expm(t * F) - F
+    np.testing.assert_allclose(rf.generator_into_frame(t, G), expected, atol=1e-10)
+    expected_out = expm(t * F) @ G @ expm(-t * F) + F
+    np.testing.assert_allclose(rf.generator_out_of_frame(t, G), expected_out, atol=1e-10)
+
+
+def test_diagonal_frame():
+    diag = np.array([1.0, 2.0, 3.0])  # Hermitian diagonal
+    rf = RotatingFrame(diag)
+    np.testing.assert_allclose(rf.frame_diag, -1j * diag)
+    assert rf.frame_basis is None
+    y = rng.normal(size=3)
+    t = 0.5
+    np.testing.assert_allclose(rf.state_into_frame(t, y), np.exp(1j * t * diag) * y)
+
+
+def test_stacked_operators(dim):
+    H = random_hermitian(dim)
+    F = -1j * H
+    rf = RotatingFrame(H)
+    ops = rng.normal(size=(3, dim, dim)) + 1j * rng.normal(size=(3, dim, dim))
+    t = 0.3
+    out = rf.operator_into_frame(t, ops)
+    for k in range(3):
+        np.testing.assert_allclose(out[k], expm(-t * F) @ ops[k] @ expm(t * F), atol=1e-10)
+
+
+def test_vectorized_operators_column_stacking(dim):
+    H = random_hermitian(dim)
+    F = -1j * H
+    rf = RotatingFrame(H)
+    G = rng.normal(size=(dim, dim)) + 1j * rng.normal(size=(dim, dim))
+    t = 0.17
+    vec = G.flatten(order="F")
+    out_vec = rf.operator_into_frame(t, vec, vectorized_operators=True)
+    expected = (expm(-t * F) @ G @ expm(t * F)).flatten(order="F")
+    np.testing.assert_allclose(out_vec, expected, atol=1e-10)
+
+
+def test_vectorized_map_into_frame(dim):
+    H = random_hermitian(dim)
+    F = -1j * H
+    rf = RotatingFrame(H)
+    S = rng.normal(size=(dim**2, dim**2)) + 1j * rng.normal(size=(dim**2, dim**2))
+    t = 0.23
+    U = expm(t * F)
+    Uinv = expm(-t * F)
+    # column-stacking: map M -> e^{-tF} M e^{tF} has superoperator e^{tF}.T (x) e^{-tF}
+    left = np.kron(U.T, Uinv)
+    right = np.kron(Uinv.T, U)
+    expected = left @ S @ right
+    np.testing.assert_allclose(rf.vectorized_map_into_frame(t, S), expected, atol=1e-9)
+
+
+def test_jit_and_grad_through_frame(dim):
+    H = random_hermitian(dim)
+    rf = RotatingFrame(H)
+    y = jnp.asarray(rng.normal(size=dim) + 1j * rng.normal(size=dim))
+
+    @jax.jit
+    def f(t):
+        return jnp.real(jnp.sum(jnp.abs(rf.state_into_frame(t, y)) ** 2))
+
+    g = jax.grad(f)(0.4)
+    assert np.isfinite(g)
+    # norm preserved by unitary frame rotation -> gradient ~ 0
+    np.testing.assert_allclose(g, 0.0, atol=1e-8)
+
+
+def test_frame_as_pytree(dim):
+    H = random_hermitian(dim)
+    rf = RotatingFrame(H)
+
+    @jax.jit
+    def apply(frame, t, y):
+        return frame.state_into_frame(t, y)
+
+    y = jnp.asarray(rng.normal(size=dim))
+    np.testing.assert_allclose(apply(rf, 0.3, y), rf.state_into_frame(0.3, y), atol=1e-12)
+
+
+def test_traced_invalid_frame_nan_poisons():
+    @jax.jit
+    def build(m):
+        rf = RotatingFrame(m)
+        return rf.frame_diag
+
+    bad = jnp.array([[0.0, 1.0], [0.0, 0.0]], dtype=complex)
+    out = build(bad)
+    assert np.all(np.isnan(np.real(out)))
