@@ -1,0 +1,16 @@
+"""Solvers: functional API, fixed-step/adaptive methods, Solver class."""
+from .results import OdeResult
+from .solver_functions import solve_ode, solve_lmde, ODE_METHODS, LMDE_METHODS
+from .fixed_step_solvers import (
+    RK4_solver,
+    jax_RK4_solver,
+    scipy_expm_solver,
+    jax_expm_solver,
+    lanczos_diag_solver,
+    jax_lanczos_diag_solver,
+    jax_expm_parallel_solver,
+    jax_RK4_parallel_solver,
+)
+from .adaptive import tpu_dopri5, tpu_dop853, tpu_rk_solve
+from .jax_odeint import jax_odeint
+from .scipy_solve_ivp import scipy_solve_ivp
