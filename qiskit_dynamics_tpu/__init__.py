@@ -1,0 +1,24 @@
+"""qiskit_dynamics_tpu: TPU-native time-dependent quantum dynamics.
+
+A from-scratch JAX/XLA/Pallas framework with the capability set of
+qiskit-dynamics (reference: ``/root/reference/qiskit_dynamics/__init__.py``):
+signals, Hamiltonian/Lindblad models with rotating frames and RWA,
+fixed-step/adaptive/perturbative solvers, a pulse-schedule front end, and a
+backend simulation layer — all designed TPU-first (jit-native hot paths,
+multi-chip sharding via ``parallel``).
+"""
+__version__ = "0.1.0"
+
+from .exceptions import DynamicsError
+from .dtypes import ArrayLike
+from .models import RotatingFrame
+from .signals import Signal, DiscreteSignal
+from .solvers import solve_ode, solve_lmde, Solver, OdeResult
+from .utils import cjit
+
+from . import models
+from . import signals
+from . import solvers
+from . import pulse
+from . import quantum_info
+from . import utils

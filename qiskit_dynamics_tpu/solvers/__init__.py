@@ -14,3 +14,4 @@ from .fixed_step_solvers import (
 from .adaptive import tpu_dopri5, tpu_dop853, tpu_rk_solve
 from .jax_odeint import jax_odeint
 from .scipy_solve_ivp import scipy_solve_ivp
+from .solver_classes import Solver

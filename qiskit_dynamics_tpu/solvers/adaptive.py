@@ -105,6 +105,11 @@ def _select_initial_step(f, t0, y0, f0, err_exp, rtol, atol):
     return jnp.minimum(100 * h0, h1)
 
 
+def _in_trace() -> bool:
+    """Whether we are currently inside a JAX trace."""
+    return isinstance(jnp.zeros(()) + 0, jax.core.Tracer)
+
+
 def tpu_rk_solve(
     rhs: Callable,
     t_span,
@@ -115,12 +120,31 @@ def tpu_rk_solve(
     atol: float = 1e-10,
     max_steps: int = 16384,
     first_step: Optional[float] = None,
+    auto_jit: bool = True,
 ):
     """Adaptive embedded-RK solve of ``dy/dt = rhs(t, y)`` under ``jit``.
 
     Returns an :class:`OdeResult` with solutions at the merged
     ``t_span``/``t_eval`` time points (exact stopping, no interpolation).
+
+    When called outside a JAX trace, the solve self-jits (with a complex-safe
+    boundary) — required on the deployment TPU platform, where eager complex
+    ops are unavailable, and dramatically faster everywhere. Each call
+    compiles for its ``rhs`` closure; for parameter sweeps, wrap the whole
+    computation in ``jit``/``vmap`` instead (the internal jit then inlines).
     """
+    if auto_jit and not _in_trace():
+        from ..utils.jit_tools import cjit
+
+        kwargs = dict(
+            method=method, rtol=rtol, atol=atol, max_steps=max_steps,
+            first_step=first_step, auto_jit=False,
+        )
+        if t_eval is None:
+            fn = cjit(lambda ts, y: tpu_rk_solve(rhs, ts, y, **kwargs))
+            return fn(np.asarray(t_span, dtype=float), y0)
+        fn = cjit(lambda ts, y, te: tpu_rk_solve(rhs, ts, y, t_eval=te, **kwargs))
+        return fn(np.asarray(t_span, dtype=float), y0, np.asarray(t_eval, dtype=float))
     tableau = _DOPRI5 if method == "dopri5" else _DOP853
     error_norm_fn = _dopri5_error_norm if method == "dopri5" else _dop853_error_norm
     A, B, C = tableau.A, tableau.B, tableau.C

@@ -1,6 +1,8 @@
 """Results container for ODE/LMDE solves (scipy OdeResult-compatible)."""
 from __future__ import annotations
 
+from jax.tree_util import register_pytree_node
+
 
 class OdeResult(dict):
     """Attribute-accessible dict mirroring ``scipy.integrate`` result objects.
@@ -25,3 +27,15 @@ class OdeResult(dict):
                 [k.rjust(m) + ": " + repr(v) for k, v in sorted(self.items())]
             )
         return self.__class__.__name__ + "()"
+
+
+def _oderesult_flatten(res):
+    keys = sorted(res.keys())
+    return [res[k] for k in keys], tuple(keys)
+
+
+def _oderesult_unflatten(keys, values):
+    return OdeResult(zip(keys, values))
+
+
+register_pytree_node(OdeResult, _oderesult_flatten, _oderesult_unflatten)

@@ -1,0 +1,577 @@
+"""High-level ``Solver`` class.
+
+Reference: ``/root/reference/qiskit_dynamics/solvers/solver_classes.py``.
+Builds a Hamiltonian or Lindblad model from operator specifications, optionally
+configures pulse-channel information (channel names, carrier frequencies,
+sample width ``dt``) for direct pulse-schedule simulation, applies the RWA
+with a cached signal map, and exposes ``solve`` with quantum_info type
+handling:
+
+- ``Statevector`` + HamiltonianModel: Schrodinger evolution
+- ``DensityMatrix`` + HamiltonianModel: simulate the unitary, conjugate
+- ``DensityMatrix`` + LindbladModel: direct (or vectorized) evolution
+- ``QuantumChannel``: SuperOp composition (vectorized Lindblad required)
+
+For schedule batches with a jax method, all schedules are zero-padded to a
+common duration and ONE function is compiled for every schedule (reference
+``solver_classes.py:592-676``); the jit boundary is complex-safe (``cjit``) so
+this path runs on the axon TPU platform.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, List, Optional, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..exceptions import DynamicsError
+from ..models import (
+    HamiltonianModel,
+    LindbladModel,
+    RotatingFrame,
+    rotating_wave_approximation,
+)
+from ..signals import Signal, DiscreteSignal, SignalList
+from ..pulse import Schedule, InstructionToSignals, block_to_schedule
+from ..quantum_info import (
+    QuantumState,
+    Statevector,
+    DensityMatrix,
+    BaseOperator,
+    Operator,
+    QuantumChannel,
+    SuperOp,
+)
+from ..utils.jit_tools import cjit
+from .results import OdeResult
+from .solver_functions import solve_lmde, _is_jax_method
+from .solver_utils import (
+    is_lindblad_model_vectorized,
+    is_lindblad_model_not_vectorized,
+    setup_args_lists,
+)
+
+__all__ = ["Solver"]
+
+
+def _qiskit_types():
+    """Optional qiskit quantum_info types for duck-typed interop."""
+    try:
+        from qiskit.quantum_info import states as qs
+        from qiskit.quantum_info.operators import Operator as QOp, SuperOp as QSuperOp
+        from qiskit.quantum_info.operators.channel.quantum_channel import QuantumChannel as QChan
+        from qiskit.quantum_info.states.quantum_state import QuantumState as QState
+
+        return {
+            "QuantumState": QState,
+            "Statevector": qs.Statevector,
+            "DensityMatrix": qs.DensityMatrix,
+            "Operator": QOp,
+            "SuperOp": QSuperOp,
+            "QuantumChannel": QChan,
+        }
+    except ImportError:
+        return None
+
+
+_QISKIT = _qiskit_types()
+
+
+def _isinstance_named(obj, name: str) -> bool:
+    native = {"QuantumState": QuantumState, "Statevector": Statevector,
+              "DensityMatrix": DensityMatrix, "Operator": Operator,
+              "SuperOp": SuperOp, "QuantumChannel": QuantumChannel,
+              "BaseOperator": BaseOperator}[name]
+    if isinstance(obj, native):
+        return True
+    if _QISKIT is not None and name in _QISKIT and isinstance(obj, _QISKIT[name]):
+        return True
+    return False
+
+
+class Solver:
+    """Solver for Hamiltonian and Lindblad dynamics, with pulse support."""
+
+    def __init__(
+        self,
+        static_hamiltonian=None,
+        hamiltonian_operators=None,
+        static_dissipators=None,
+        dissipator_operators=None,
+        hamiltonian_channels: Optional[List[str]] = None,
+        dissipator_channels: Optional[List[str]] = None,
+        channel_carrier_freqs: Optional[dict] = None,
+        dt: Optional[float] = None,
+        rotating_frame=None,
+        in_frame_basis: bool = False,
+        array_library: Optional[str] = None,
+        vectorized: Optional[bool] = None,
+        rwa_cutoff_freq: Optional[float] = None,
+        rwa_carrier_freqs=None,
+        validate: bool = True,
+    ):
+        # pulse configuration
+        self._hamiltonian_channels = None
+        self._dissipator_channels = None
+        self._all_channels = None
+        self._channel_carrier_freqs = None
+        self._dt = None
+        self._schedule_converter = None
+
+        if any([dt, channel_carrier_freqs, hamiltonian_channels, dissipator_channels]):
+            all_channels = []
+
+            if hamiltonian_channels is not None:
+                hamiltonian_channels = [chan.lower() for chan in hamiltonian_channels]
+                if hamiltonian_operators is None or len(hamiltonian_operators) != len(
+                    hamiltonian_channels
+                ):
+                    raise DynamicsError(
+                        "hamiltonian_channels must have same length as hamiltonian_operators."
+                    )
+                for chan in hamiltonian_channels:
+                    if chan not in all_channels:
+                        all_channels.append(chan)
+            self._hamiltonian_channels = hamiltonian_channels
+
+            if dissipator_channels is not None:
+                dissipator_channels = [chan.lower() for chan in dissipator_channels]
+                for chan in dissipator_channels:
+                    if chan not in all_channels:
+                        all_channels.append(chan)
+                if dissipator_operators is None or len(dissipator_operators) != len(
+                    dissipator_channels
+                ):
+                    raise DynamicsError(
+                        "dissipator_channels must have same length as dissipator_operators."
+                    )
+            self._dissipator_channels = dissipator_channels
+            self._all_channels = all_channels
+
+            channel_carrier_freqs = {
+                key.lower(): val for key, val in (channel_carrier_freqs or {}).items()
+            }
+            for chan in all_channels:
+                if chan not in channel_carrier_freqs:
+                    raise DynamicsError(
+                        f"Channel '{chan}' does not have carrier frequency specified in "
+                        "channel_carrier_freqs."
+                    )
+            self._channel_carrier_freqs = channel_carrier_freqs or None
+
+            if dt is not None:
+                self._dt = dt
+                self._schedule_converter = InstructionToSignals(
+                    dt=dt, carriers=self._channel_carrier_freqs, channels=self._all_channels
+                )
+            else:
+                raise DynamicsError("dt must be specified if channel information is provided.")
+
+        # model setup
+        if static_dissipators is None and dissipator_operators is None:
+            model = HamiltonianModel(
+                static_operator=static_hamiltonian,
+                operators=hamiltonian_operators,
+                rotating_frame=rotating_frame,
+                in_frame_basis=in_frame_basis,
+                array_library=array_library,
+                validate=validate,
+            )
+        else:
+            model = LindbladModel(
+                static_hamiltonian=static_hamiltonian,
+                hamiltonian_operators=hamiltonian_operators,
+                static_dissipators=static_dissipators,
+                dissipator_operators=dissipator_operators,
+                rotating_frame=rotating_frame,
+                in_frame_basis=in_frame_basis,
+                array_library=array_library,
+                vectorized=bool(vectorized),
+                validate=validate,
+            )
+
+        self._rwa_signal_map = None
+        self._model = model
+
+        if rwa_cutoff_freq:
+            if rwa_carrier_freqs is None:
+                if self._channel_carrier_freqs is not None:
+                    if self._hamiltonian_channels is not None:
+                        rwa_carrier_freqs = [
+                            self._channel_carrier_freqs[c] for c in self._hamiltonian_channels
+                        ]
+                    if self._dissipator_channels is not None:
+                        rwa_carrier_freqs = (
+                            rwa_carrier_freqs,
+                            [self._channel_carrier_freqs[c] for c in self._dissipator_channels],
+                        )
+                else:
+                    rwa_carrier_freqs = []
+                    if hamiltonian_operators is not None:
+                        rwa_carrier_freqs = [0.0] * len(hamiltonian_operators)
+                    if dissipator_operators is not None:
+                        rwa_carrier_freqs = (rwa_carrier_freqs, [0.0] * len(dissipator_operators))
+
+            if isinstance(rwa_carrier_freqs, tuple):
+                rwa_ham_sigs = None
+                rwa_lindblad_sigs = None
+                if rwa_carrier_freqs[0]:
+                    rwa_ham_sigs = [Signal(1.0, carrier_freq=f) for f in rwa_carrier_freqs[0]]
+                if rwa_carrier_freqs[1]:
+                    rwa_lindblad_sigs = [
+                        Signal(1.0, carrier_freq=f) for f in rwa_carrier_freqs[1]
+                    ]
+                self._model.signals = (rwa_ham_sigs, rwa_lindblad_sigs)
+            else:
+                rwa_sigs = [Signal(1.0, carrier_freq=f) for f in rwa_carrier_freqs]
+                if isinstance(model, LindbladModel):
+                    rwa_sigs = (rwa_sigs, None)
+                self._model.signals = rwa_sigs
+
+            self._model, rwa_signal_map = rotating_wave_approximation(
+                self._model, rwa_cutoff_freq, return_signal_map=True
+            )
+            self._rwa_signal_map = rwa_signal_map
+            self._set_new_signals(None)
+
+    @property
+    def model(self) -> Union[HamiltonianModel, LindbladModel]:
+        """The underlying model."""
+        return self._model
+
+    # --- solving -----------------------------------------------------------
+    def solve(
+        self,
+        t_span,
+        y0,
+        signals=None,
+        convert_results: bool = True,
+        **kwargs,
+    ) -> Union[OdeResult, List[OdeResult]]:
+        r"""Solve one or many dynamical problems (see reference type table)."""
+        # any ScheduleBlocks -> Schedules
+        if type(signals).__name__ == "ScheduleBlock":
+            signals = block_to_schedule(signals)
+        elif isinstance(signals, list):
+            signals = [
+                block_to_schedule(x) if type(x).__name__ == "ScheduleBlock" else x
+                for x in signals
+            ]
+
+        [t_span_list, y0_list, signals_list], multiple_sims = setup_args_lists(
+            args_list=[t_span, y0, signals],
+            args_names=["t_span", "y0", "signals"],
+            args_to_list=[_t_span_to_list, _y0_to_list, _signals_to_list],
+        )
+
+        method = kwargs.get("method", "")
+        if (
+            _is_jax_method(method)
+            and all(_is_schedule(x) for x in signals_list)
+            and not isinstance(jnp.zeros(1) + 0, jax.core.Tracer)
+        ):
+            all_results = self._solve_schedule_list_jax(
+                t_span_list=t_span_list,
+                y0_list=y0_list,
+                schedule_list=signals_list,
+                convert_results=convert_results,
+                **kwargs,
+            )
+        else:
+            all_results = self._solve_list(
+                t_span_list=t_span_list,
+                y0_list=y0_list,
+                signals_list=signals_list,
+                convert_results=convert_results,
+                **kwargs,
+            )
+
+        self._set_new_signals(None)
+        if multiple_sims is False:
+            return all_results[0]
+        return all_results
+
+    def _solve_list(self, t_span_list, y0_list, signals_list, convert_results=True, **kwargs):
+        all_results = []
+        for t_span, y0, signals in zip(t_span_list, y0_list, signals_list):
+            if _is_schedule(signals):
+                signals = self._schedule_to_signals(signals)
+            self._set_new_signals(signals)
+
+            y0, y0_input, y0_cls, state_type_wrapper = validate_and_format_initial_state(
+                y0, self.model
+            )
+            results = solve_lmde(generator=self.model, t_span=t_span, y0=y0, **kwargs)
+            results.y = format_final_states(results.y, self.model, y0_input, y0_cls)
+            if y0_cls is not None and convert_results:
+                results.y = [state_type_wrapper(yi) for yi in results.y]
+            all_results.append(results)
+
+        self._set_new_signals(None)
+        return all_results
+
+    def _solve_schedule_list_jax(
+        self, t_span_list, y0_list, schedule_list, convert_results=True, **kwargs
+    ):
+        """Compile ONE padded-schedule simulation function, reuse for all."""
+        max_duration = max(sched.duration for sched in schedule_list)
+        all_samples_shape = (len(self._all_channels), max_duration)
+
+        def make_sim_function(y0_cls):
+            def sim_function(t_span, y0, all_samples, y0_input):
+                model_sigs = self.model.signals
+
+                signals = []
+                for idx in range(len(self._all_channels)):
+                    carrier_freq = self._channel_carrier_freqs[self._all_channels[idx]]
+                    signals.append(
+                        DiscreteSignal(
+                            dt=self._dt, samples=all_samples[idx], carrier_freq=carrier_freq
+                        )
+                    )
+                signals = organize_signals_to_channels(
+                    signals,
+                    self._all_channels,
+                    type(self.model),
+                    self._hamiltonian_channels,
+                    self._dissipator_channels,
+                )
+                self._set_new_signals(signals)
+                results = solve_lmde(generator=self.model, t_span=t_span, y0=y0, **kwargs)
+                ys = format_final_states(results.y, self.model, y0_input, y0_cls)
+                self.model.signals = model_sigs
+                return results.t, ys
+
+            return cjit(sim_function)
+
+        sim_cache = {}
+        all_results = []
+        for t_span, y0, sched in zip(t_span_list, y0_list, schedule_list):
+            y0, y0_input, y0_cls, state_type_wrapper = validate_and_format_initial_state(
+                y0, self.model
+            )
+            all_signals = self._schedule_converter.get_signals(sched)
+            all_samples = np.zeros(all_samples_shape, dtype=complex)
+            for idx, sig in enumerate(all_signals):
+                all_samples[idx, 0 : len(sig.samples)] = np.asarray(sig.samples)
+
+            if y0_cls not in sim_cache:
+                sim_cache[y0_cls] = make_sim_function(y0_cls)
+            results_t, results_y = sim_cache[y0_cls](
+                np.asarray(t_span),
+                np.asarray(y0, dtype=complex),
+                all_samples,
+                np.asarray(y0_input, dtype=complex),
+            )
+            results = OdeResult(t=results_t, y=results_y)
+            if y0_cls is not None and convert_results:
+                results.y = [state_type_wrapper(yi) for yi in results.y]
+            all_results.append(results)
+
+        return all_results
+
+    def _set_new_signals(self, signals):
+        """Set (possibly RWA-mapped) signals on the model."""
+        if signals is not None:
+            if isinstance(self.model, LindbladModel) and isinstance(signals, (list, SignalList)):
+                signals = (signals, None)
+            if self._rwa_signal_map:
+                signals = self._rwa_signal_map(signals)
+            self.model.signals = signals
+        else:
+            if isinstance(self.model, LindbladModel):
+                self.model.signals = (None, None)
+            else:
+                self.model.signals = None
+
+    def _schedule_to_signals(self, schedule):
+        if self._schedule_converter is None:
+            raise DynamicsError("Solver instance not configured for pulse Schedule simulation.")
+        return organize_signals_to_channels(
+            self._schedule_converter.get_signals(schedule),
+            self._all_channels,
+            type(self.model),
+            self._hamiltonian_channels,
+            self._dissipator_channels,
+        )
+
+
+# ---------------------------------------------------------------------------
+# state type handling
+# ---------------------------------------------------------------------------
+
+
+def _is_schedule(x) -> bool:
+    if isinstance(x, Schedule):
+        return True
+    return type(x).__name__ == "Schedule"  # qiskit Schedule duck-typing
+
+
+def initial_state_converter(obj) -> Tuple[Any, type, Callable]:
+    """Convert an initial state object to (array, class, wrap-back function)."""
+    if _isinstance_named(obj, "QuantumState"):
+        y0, y0_cls = np.asarray(obj.data), type(obj)
+        dims = obj.dims()
+        wrapper = lambda x: y0_cls(np.asarray(x), dims=dims)
+    elif _isinstance_named(obj, "QuantumChannel"):
+        sup_cls = SuperOp if isinstance(obj, QuantumChannel) else _QISKIT["SuperOp"]
+        y0, y0_cls = np.asarray(sup_cls(obj).data), sup_cls
+        in_dims, out_dims = obj.input_dims(), obj.output_dims()
+        wrapper = lambda x: sup_cls(np.asarray(x), input_dims=in_dims, output_dims=out_dims)
+    elif _isinstance_named(obj, "BaseOperator") or _isinstance_named(obj, "Operator"):
+        op_cls = Operator if isinstance(obj, BaseOperator) else _QISKIT["Operator"]
+        y0, y0_cls = np.asarray(obj.data), op_cls
+        in_dims, out_dims = obj.input_dims(), obj.output_dims()
+        wrapper = lambda x: op_cls(np.asarray(x), input_dims=in_dims, output_dims=out_dims)
+    else:
+        return obj, None, lambda x: x
+    return y0, y0_cls, wrapper
+
+
+def _cls_is(y0_cls, name: str) -> bool:
+    if y0_cls is None:
+        return False
+    native = {"DensityMatrix": DensityMatrix, "SuperOp": SuperOp, "Statevector": Statevector}
+    if y0_cls is native.get(name):
+        return True
+    return _QISKIT is not None and y0_cls is _QISKIT.get(name)
+
+
+def validate_and_format_initial_state(y0, model):
+    """Encode the type-based simulation logic for the initial state."""
+    if _isinstance_named(y0, "QuantumState") and isinstance(model, LindbladModel):
+        dm_cls = DensityMatrix if isinstance(y0, QuantumState) else _QISKIT["DensityMatrix"]
+        y0 = dm_cls(y0)
+
+    y0, y0_cls, wrapper = initial_state_converter(y0)
+    if y0_cls is None:
+        y0 = np.asarray(y0) if not isinstance(y0, jax.core.Tracer) else y0
+    y0_input = y0
+
+    if _cls_is(y0_cls, "SuperOp") and is_lindblad_model_not_vectorized(model):
+        raise DynamicsError(
+            "Simulating SuperOp for a LindbladModel requires setting vectorized evaluation. "
+            "Set vectorized=True when constructing LindbladModel."
+        )
+
+    if (_cls_is(y0_cls, "DensityMatrix") or _cls_is(y0_cls, "SuperOp")) and isinstance(
+        model, HamiltonianModel
+    ):
+        y0 = np.eye(model.dim, dtype=complex)
+    elif _cls_is(y0_cls, "DensityMatrix") and is_lindblad_model_vectorized(model):
+        y0 = np.asarray(y0).flatten(order="F")
+
+    y0_arr_shape = np.shape(y0)
+    if isinstance(model, HamiltonianModel) and (
+        y0_arr_shape[0] != model.dim or len(y0_arr_shape) > 2
+    ):
+        raise DynamicsError("Shape mismatch for initial state y0 and HamiltonianModel.")
+    if is_lindblad_model_vectorized(model) and (
+        y0_arr_shape[0] != model.dim**2 or len(y0_arr_shape) > 2
+    ):
+        raise DynamicsError(
+            "Shape mismatch for initial state y0 and LindbladModel in vectorized mode."
+        )
+    if is_lindblad_model_not_vectorized(model) and y0_arr_shape[-2:] != (model.dim, model.dim):
+        raise DynamicsError("Shape mismatch for initial state y0 and LindbladModel.")
+
+    return y0, y0_input, y0_cls, wrapper
+
+
+def format_final_states(y, model, y0_input, y0_cls):
+    """Format final states of one simulation (conjugation / composition rules)."""
+    from ..unified import unp
+
+    y = unp.asarray(y)
+    y0_input = unp.asarray(y0_input) if not hasattr(y0_input, "data") else unp.asarray(
+        y0_input.data
+    )
+
+    if _cls_is(y0_cls, "DensityMatrix") and isinstance(model, HamiltonianModel):
+        # simulate unitary, then conjugate the initial density matrix
+        return y @ y0_input @ unp.conjugate(unp.transpose(y, (0, 2, 1)))
+    if _cls_is(y0_cls, "SuperOp") and isinstance(model, HamiltonianModel):
+        return (
+            unp.einsum("nka,nlb->nklab", unp.conjugate(y), y).reshape(
+                y.shape[0], y.shape[1] ** 2, y.shape[1] ** 2
+            )
+            @ y0_input
+        )
+    if _cls_is(y0_cls, "DensityMatrix") and is_lindblad_model_vectorized(model):
+        # un-vectorize: column-stacking reshape
+        dim = model.dim
+        out = unp.reshape(y, (y.shape[0], dim, dim))
+        return unp.transpose(out, (0, 2, 1))
+
+    return y
+
+
+def _t_span_to_list(t_span):
+    was_list = False
+    ndim = _nested_ndim(t_span)
+    if ndim > 2:
+        raise DynamicsError("t_span must be either 1d or 2d.")
+    if ndim == 1:
+        t_span = [t_span]
+    else:
+        was_list = True
+    return t_span, was_list
+
+
+def _y0_to_list(y0):
+    if not isinstance(y0, list):
+        return [y0], False
+    return y0, True
+
+
+def _signals_to_list(signals):
+    was_list = False
+    if signals is None:
+        signals = [signals]
+    elif isinstance(signals, tuple):
+        signals = [signals]
+    elif isinstance(signals, list) and isinstance(signals[0], tuple):
+        was_list = True
+    elif _is_schedule(signals):
+        signals = [signals]
+    elif isinstance(signals, list) and _is_schedule(signals[0]):
+        was_list = True
+    elif isinstance(signals, list) and isinstance(signals[0], (list, SignalList)):
+        was_list = True
+    elif isinstance(signals, SignalList) or (
+        isinstance(signals, list) and not isinstance(signals[0], (list, SignalList))
+    ):
+        signals = [signals]
+    else:
+        raise DynamicsError("Signals specified in invalid format.")
+    return signals, was_list
+
+
+def organize_signals_to_channels(
+    all_signals, all_channels, model_class, hamiltonian_channels, dissipator_channels
+):
+    """Map a channel-ordered signal list onto model signal structure."""
+    if model_class is HamiltonianModel:
+        if hamiltonian_channels is not None:
+            return [all_signals[all_channels.index(chan)] for chan in hamiltonian_channels]
+        return None
+    hamiltonian_signals = None
+    dissipator_signals = None
+    if hamiltonian_channels is not None:
+        hamiltonian_signals = [
+            all_signals[all_channels.index(chan)] for chan in hamiltonian_channels
+        ]
+    if dissipator_channels is not None:
+        dissipator_signals = [
+            all_signals[all_channels.index(chan)] for chan in dissipator_channels
+        ]
+    return (hamiltonian_signals, dissipator_signals)
+
+
+def _nested_ndim(x):
+    if isinstance(x, (list, tuple)):
+        return 1 + _nested_ndim(x[0])
+    if hasattr(x, "ndim"):
+        return x.ndim
+    return 0

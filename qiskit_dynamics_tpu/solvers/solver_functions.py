@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from scipy.integrate import OdeSolver
 
 from ..exceptions import DynamicsError
+from ..unified import unp
 from ..models import BaseGeneratorModel, GeneratorModel, HamiltonianModel, LindbladModel
 from .results import OdeResult
 from .solver_utils import is_lindblad_model_not_vectorized
@@ -128,12 +129,12 @@ def solve_ode(
     elif method == "RK4":
         results = RK4_solver(solver_rhs, t_span, np.asarray(y0), t_eval=t_eval, **kwargs)
     elif method == "jax_RK4":
-        results = jax_RK4_solver(solver_rhs, t_span, jnp.asarray(y0), t_eval=t_eval, **kwargs)
+        results = jax_RK4_solver(solver_rhs, t_span, unp.asarray(y0), t_eval=t_eval, **kwargs)
     elif method == "jax_odeint":
-        results = jax_odeint(solver_rhs, t_span, jnp.asarray(y0), t_eval=t_eval, **kwargs)
+        results = jax_odeint(solver_rhs, t_span, unp.asarray(y0), t_eval=t_eval, **kwargs)
     elif method in _TPU_ADAPTIVE:
         results = _TPU_ADAPTIVE[method](
-            solver_rhs, t_span, jnp.asarray(y0, dtype=complex), t_eval=t_eval, **kwargs
+            solver_rhs, t_span, unp.asarray(y0, dtype=complex), t_eval=t_eval, **kwargs
         )
 
     if isinstance(rhs, BaseGeneratorModel):
@@ -196,9 +197,9 @@ def solve_lmde(
             raise DynamicsError("jax_expm cannot be used with a generator in sparse mode.")
         results = jax_expm_solver(solver_generator, t_span, y0, t_eval=t_eval, **kwargs)
     elif method == "jax_expm_parallel":
-        results = jax_expm_parallel_solver(solver_generator, t_span, jnp.asarray(y0, dtype=complex), t_eval=t_eval, **kwargs)
+        results = jax_expm_parallel_solver(solver_generator, t_span, unp.asarray(y0, dtype=complex), t_eval=t_eval, **kwargs)
     elif method == "jax_RK4_parallel":
-        results = jax_RK4_parallel_solver(solver_generator, t_span, jnp.asarray(y0, dtype=complex), t_eval=t_eval, **kwargs)
+        results = jax_RK4_parallel_solver(solver_generator, t_span, unp.asarray(y0, dtype=complex), t_eval=t_eval, **kwargs)
 
     if isinstance(generator, BaseGeneratorModel):
         if not model_in_frame_basis:

@@ -32,8 +32,10 @@ def encode_complex(tree):
 
     def enc(x):
         if hasattr(x, "dtype") and np.issubdtype(x.dtype, np.complexfloating):
-            if isinstance(x, jax.core.Tracer) or isinstance(x, jax.Array):
+            if isinstance(x, jax.core.Tracer):
                 return {_RE_KEY: jnp.real(x), _IM_KEY: jnp.imag(x)}
+            # concrete values split on host (complex device arrays must never
+            # exist on the deployment TPU platform)
             x = np.asarray(x)
             return {_RE_KEY: np.ascontiguousarray(x.real), _IM_KEY: np.ascontiguousarray(x.imag)}
         return x

@@ -1,0 +1,198 @@
+"""Solver class tests: type handling, signal/RWA handling, pulse simulation."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.linalg import expm
+
+from qiskit_dynamics_tpu.solvers import Solver
+from qiskit_dynamics_tpu.signals import Signal
+from qiskit_dynamics_tpu.quantum_info import Statevector, DensityMatrix, Operator, SuperOp
+from qiskit_dynamics_tpu.pulse import Schedule, Play, Gaussian, Constant, ShiftPhase
+from qiskit_dynamics_tpu.exceptions import DynamicsError
+
+X = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex)
+Z = np.array([[1.0, 0.0], [0.0, -1.0]], dtype=complex)
+
+NU = 5.0
+H0 = 2 * np.pi * NU * Z / 2
+HD = 2 * np.pi * X / 2
+R = 0.1
+
+
+def make_solver(**kwargs):
+    return Solver(
+        static_hamiltonian=H0,
+        hamiltonian_operators=[R * HD],
+        rotating_frame=H0,
+        **kwargs,
+    )
+
+
+def rabi_signals():
+    return [Signal(1.0, carrier_freq=NU)]
+
+
+def test_statevector_roundtrip():
+    solver = make_solver()
+    y0 = Statevector([1.0, 0.0])
+    T = 1 / R  # inversion time: cos drive gives effective Rabi rate R/2
+    res = solver.solve(t_span=[0, T], y0=y0, signals=rabi_signals(), atol=1e-10, rtol=1e-10)
+    yf = res.y[-1]
+    assert isinstance(yf, Statevector)
+    # near-complete population transfer
+    assert np.abs(np.asarray(yf.data)[1]) ** 2 > 0.99
+
+
+def test_density_matrix_hamiltonian_conjugation():
+    solver = make_solver()
+    y0_sv = Statevector([1.0, 0.0])
+    y0_dm = DensityMatrix(np.outer([1, 0], [1, 0]).astype(complex))
+    T = 1 / R / 4
+    res_sv = solver.solve([0, T], y0_sv, rabi_signals(), atol=1e-10, rtol=1e-10)
+    res_dm = solver.solve([0, T], y0_dm, rabi_signals(), atol=1e-10, rtol=1e-10)
+    yf_dm = res_dm.y[-1]
+    assert isinstance(yf_dm, DensityMatrix)
+    sv = np.asarray(res_sv.y[-1].data)
+    np.testing.assert_allclose(np.asarray(yf_dm.data), np.outer(sv, sv.conj()), atol=1e-8)
+
+
+def test_operator_input_gives_unitary():
+    solver = make_solver()
+    T = 0.5
+    res = solver.solve([0, T], Operator(np.eye(2, dtype=complex)), rabi_signals(),
+                       atol=1e-12, rtol=1e-12)
+    U = np.asarray(res.y[-1].data)
+    # unitarity
+    np.testing.assert_allclose(U @ U.conj().T, np.eye(2), atol=1e-8)
+
+
+def test_superop_hamiltonian():
+    solver = make_solver()
+    T = 0.3
+    res_u = solver.solve([0, T], Operator(np.eye(2, dtype=complex)), rabi_signals(),
+                         atol=1e-12, rtol=1e-12)
+    U = np.asarray(res_u.y[-1].data)
+    res_s = solver.solve([0, T], SuperOp(np.eye(4, dtype=complex)), rabi_signals(),
+                         atol=1e-12, rtol=1e-12)
+    S = np.asarray(res_s.y[-1].data)
+    np.testing.assert_allclose(S, np.kron(U.conj(), U), atol=1e-8)
+
+
+def test_lindblad_density_matrix():
+    solver = Solver(
+        static_hamiltonian=H0,
+        hamiltonian_operators=[R * HD],
+        dissipator_operators=[0.05 * X],
+        rotating_frame=H0,
+    )
+    y0 = DensityMatrix(np.diag([1.0, 0.0]).astype(complex))
+    res = solver.solve([0, 1.0], y0, (rabi_signals(), [Signal(1.0)]), atol=1e-10, rtol=1e-10)
+    yf = res.y[-1]
+    assert isinstance(yf, DensityMatrix)
+    np.testing.assert_allclose(np.trace(np.asarray(yf.data)), 1.0, atol=1e-8)
+
+
+def test_vectorized_lindblad_superop_and_dm():
+    solver = Solver(
+        static_hamiltonian=H0,
+        dissipator_operators=[0.05 * X],
+        vectorized=True,
+    )
+    y0 = DensityMatrix(np.diag([1.0, 0.0]).astype(complex))
+    res = solver.solve([0, 1.0], y0, (None, [Signal(1.0)]), atol=1e-10, rtol=1e-10)
+    yf = res.y[-1]
+    assert isinstance(yf, DensityMatrix)
+    np.testing.assert_allclose(np.trace(np.asarray(yf.data)), 1.0, atol=1e-8)
+
+    res_s = solver.solve([0, 1.0], SuperOp(np.eye(4, dtype=complex)), (None, [Signal(1.0)]),
+                         atol=1e-10, rtol=1e-10)
+    assert isinstance(res_s.y[-1], SuperOp)
+    # applying the superop to vec(rho0) matches direct dm evolution
+    S = np.asarray(res_s.y[-1].data)
+    rho_f = (S @ np.asarray(y0.data).flatten(order="F")).reshape(2, 2, order="F")
+    np.testing.assert_allclose(rho_f, np.asarray(yf.data), atol=1e-6)
+
+
+def test_superop_unvectorized_lindblad_raises():
+    solver = Solver(static_hamiltonian=H0, dissipator_operators=[0.05 * X])
+    with pytest.raises(DynamicsError):
+        solver.solve([0, 1.0], SuperOp(np.eye(4, dtype=complex)), (None, [Signal(1.0)]))
+
+
+def test_multiple_sims_broadcasting():
+    solver = make_solver()
+    y0 = Statevector([1.0, 0.0])
+    sigs = [[Signal(a, carrier_freq=NU)] for a in [0.5, 1.0, 1.5]]
+    results = solver.solve([0, 1.0], y0, sigs, atol=1e-8, rtol=1e-8)
+    assert isinstance(results, list) and len(results) == 3
+
+
+def test_rwa_solver_matches_full():
+    """RWA solve approximates the full solve for weak drive."""
+    full = make_solver()
+    rwa = make_solver(rwa_cutoff_freq=1.5 * NU, rwa_carrier_freqs=[NU])
+    y0 = Statevector([1.0, 0.0])
+    T = 1 / R / 4
+    res_full = full.solve([0, T], y0, rabi_signals(), atol=1e-10, rtol=1e-10)
+    res_rwa = rwa.solve([0, T], y0, rabi_signals(), atol=1e-10, rtol=1e-10)
+    p_full = np.abs(np.asarray(res_full.y[-1].data)) ** 2
+    p_rwa = np.abs(np.asarray(res_rwa.y[-1].data)) ** 2
+    np.testing.assert_allclose(p_full, p_rwa, atol=5e-2)
+
+
+def pulse_solver(**kwargs):
+    return Solver(
+        static_hamiltonian=H0,
+        hamiltonian_operators=[HD],
+        hamiltonian_channels=["d0"],
+        channel_carrier_freqs={"d0": NU},
+        dt=0.1,
+        rotating_frame=H0,
+        **kwargs,
+    )
+
+
+def test_pulse_schedule_simulation():
+    solver = pulse_solver()
+    sched = Schedule(Play(Constant(duration=100, amp=R), "d0"))
+    y0 = Statevector([1.0, 0.0])
+    res = solver.solve([0, 100 * 0.1], y0, sched, atol=1e-10, rtol=1e-10)
+    yf = res.y[-1]
+    assert isinstance(yf, Statevector)
+    # constant amp R drive for T = 10 = 1/R: population inversion (RWA rate R/2)
+    assert np.abs(np.asarray(yf.data)[1]) ** 2 > 0.95
+
+
+def test_pulse_schedule_jit_path_matches_signal_path():
+    solver = pulse_solver()
+    sched = Schedule(Play(Gaussian(duration=100, amp=0.3, sigma=20), "d0"))
+    y0 = Statevector([1.0, 0.0])
+    res_jax = solver.solve([0, 10.0], y0, [sched, sched], method="tpu_dopri5",
+                           atol=1e-10, rtol=1e-10)
+    res_host = solver.solve([0, 10.0], y0, sched, method="DOP853", atol=1e-10, rtol=1e-10)
+    assert len(res_jax) == 2
+    np.testing.assert_allclose(
+        np.asarray(res_jax[0].y[-1].data), np.asarray(res_jax[1].y[-1].data), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_jax[0].y[-1].data), np.asarray(res_host.y[-1].data), atol=1e-6
+    )
+
+
+def test_pulse_phase_shift():
+    """ShiftPhase rotates the drive axis; probability unaffected for single pulse."""
+    solver = pulse_solver()
+    sched1 = Schedule(Play(Constant(duration=50, amp=R), "d0"))
+    sched2 = Schedule(
+        ShiftPhase(np.pi / 2, "d0"), Play(Constant(duration=50, amp=R), "d0")
+    )
+    y0 = Statevector([1.0, 0.0])
+    r1 = solver.solve([0, 5.0], y0, sched1, atol=1e-10, rtol=1e-10)
+    r2 = solver.solve([0, 5.0], y0, sched2, atol=1e-10, rtol=1e-10)
+    p1 = np.abs(np.asarray(r1.y[-1].data)[1]) ** 2
+    p2 = np.abs(np.asarray(r2.y[-1].data)[1]) ** 2
+    # equal up to small beyond-RWA (counter-rotating) corrections
+    np.testing.assert_allclose(p1, p2, atol=1e-3)
+    # but the states differ (phase present)
+    assert not np.allclose(np.asarray(r1.y[-1].data), np.asarray(r2.y[-1].data), atol=1e-3)
