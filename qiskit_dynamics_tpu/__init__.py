@@ -22,3 +22,4 @@ from . import solvers
 from . import pulse
 from . import quantum_info
 from . import utils
+from . import parallel

@@ -1,0 +1,21 @@
+"""Multi-chip parallelism: device meshes, sharded sweeps, sharded scans.
+
+New TPU-native infrastructure with no counterpart in the reference (which is
+single-process; SURVEY.md §2.13/§5).
+"""
+from .mesh import DATA_AXIS, TIME_AXIS, make_mesh, data_mesh, batch_sharding, local_device_count
+from .sweep import pvmap, sharded_sweep
+from .scan import propagator_scan, sharded_propagator_scan
+
+__all__ = [
+    "DATA_AXIS",
+    "TIME_AXIS",
+    "make_mesh",
+    "data_mesh",
+    "batch_sharding",
+    "local_device_count",
+    "pvmap",
+    "sharded_sweep",
+    "propagator_scan",
+    "sharded_propagator_scan",
+]

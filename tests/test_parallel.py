@@ -1,0 +1,94 @@
+"""Tests for the multi-chip parallel layer (8 virtual CPU devices, conftest)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qiskit_dynamics_tpu.parallel import (
+    make_mesh,
+    data_mesh,
+    pvmap,
+    sharded_sweep,
+    propagator_scan,
+    sharded_propagator_scan,
+    DATA_AXIS,
+    TIME_AXIS,
+)
+
+
+def test_make_mesh_default():
+    mesh = data_mesh()
+    assert mesh.shape[DATA_AXIS] == len(jax.devices())
+
+
+def test_make_mesh_2d():
+    mesh = make_mesh((4, 2), (DATA_AXIS, TIME_AXIS))
+    assert mesh.shape[DATA_AXIS] == 4
+    assert mesh.shape[TIME_AXIS] == 2
+
+
+def test_pvmap_matches_vmap():
+    def f(x):
+        return jnp.sin(x) ** 2 + x
+
+    batch = jnp.linspace(0.0, 1.0, 24)
+    out = pvmap(f)(batch)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(jax.vmap(f)(batch)), atol=1e-12)
+
+
+@pytest.mark.parametrize("batch_size", [5, 8, 13])
+def test_pvmap_non_divisible_batches(batch_size):
+    def f(x):
+        return {"y": 2.0 * x["a"] + x["b"].sum()}
+
+    batch = {
+        "a": jnp.arange(batch_size, dtype=float),
+        "b": jnp.ones((batch_size, 3)),
+    }
+    out = pvmap(f)(batch)
+    assert out["y"].shape == (batch_size,)
+    np.testing.assert_allclose(np.asarray(out["y"]), 2.0 * np.arange(batch_size) + 3.0)
+
+
+def test_sharded_sweep_complex_outputs():
+    # complex values must survive the cjit boundary
+    def f(amp):
+        return jnp.exp(1j * amp)
+
+    amps = jnp.linspace(0.0, np.pi, 16)
+    out = sharded_sweep(f, amps)
+    np.testing.assert_allclose(np.asarray(out), np.exp(1j * np.linspace(0, np.pi, 16)), atol=1e-12)
+
+
+def test_propagator_scan_orders():
+    rng = np.random.default_rng(42)
+    T, n = 16, 4
+    props = rng.standard_normal((T, n, n)) + 1j * rng.standard_normal((T, n, n))
+    props = jnp.asarray(props)
+    out = propagator_scan(props)
+    expected = props[0]
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(expected))
+    for k in range(1, T):
+        expected = props[k] @ expected
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(expected), atol=1e-10)
+
+
+def test_sharded_propagator_scan_matches_single_device():
+    rng = np.random.default_rng(7)
+    T, n = 32, 4
+    # near-unitary propagators to keep products well-conditioned
+    props = np.stack(
+        [np.linalg.qr(rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)))[0]
+         for _ in range(T)]
+    )
+    props = jnp.asarray(props)
+    mesh = make_mesh(axis_names=(TIME_AXIS,))
+    out = sharded_propagator_scan(props, mesh=mesh)
+    ref = propagator_scan(props)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
+
+
+def test_sharded_propagator_scan_divisibility_error():
+    props = jnp.tile(jnp.eye(2, dtype=complex), (9, 1, 1))
+    with pytest.raises(ValueError):
+        sharded_propagator_scan(props)
