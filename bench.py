@@ -1,0 +1,104 @@
+"""Headline benchmark: CR-gate amplitude-sweep throughput (BASELINE.md).
+
+10k-point amplitude sweep of a two-transmon cross-resonance ``Solver``
+(dim=16, rotating frame + RWA), fixed-step Magnus-2 exponential solver under
+``jit(vmap(...))`` on one chip, compared against single-core NumPy/SciPy
+DOP853 (the reference's default solve path) at matched physics accuracy.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sims/sec", "vs_baseline": N}``
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__) or ".", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main():
+    from qiskit_dynamics_tpu.benchmarks import cr_solver
+    from qiskit_dynamics_tpu import Signal
+
+    sweep_size = int(os.environ.get("BENCH_SWEEP_SIZE", "10000"))
+    n_baseline = int(os.environ.get("BENCH_BASELINE_POINTS", "3"))
+    log(f"backend={jax.default_backend()} sweep={sweep_size}")
+
+    solver, w1 = cr_solver()
+    dim = 16
+    y0 = np.zeros(dim, dtype=complex)
+    y0[0] = 1.0
+    T = 100.0
+    amp_scale = 0.02
+
+    def sim(amp):
+        sig = Signal(lambda t: amp * amp_scale, carrier_freq=w1)
+        res = solver.solve(
+            t_span=[0.0, T], y0=y0, signals=[sig], method="jax_expm", max_dt=0.5, magnus_order=2
+        )
+        return jnp.abs(res.y[-1]) ** 2
+
+    sweep = jax.jit(jax.vmap(sim))
+    amps = jnp.linspace(0.25, 1.0, sweep_size)
+
+    # NOTE: timing uses forced host transfers — on the axon TPU platform
+    # block_until_ready is a no-op on the first dispatch of an executable.
+    t0 = time.time()
+    out = np.asarray(sweep(amps))
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    best = np.inf
+    for _ in range(2):
+        t0 = time.time()
+        out = np.asarray(sweep(amps))
+        best = min(best, time.time() - t0)
+    device_throughput = sweep_size / best
+    log(f"device: {best:.3f}s for {sweep_size} sims -> {device_throughput:.1f} sims/sec")
+
+    # single-core NumPy/SciPy DOP853 baseline at matched accuracy, extrapolated
+    check_idx = np.linspace(0, sweep_size - 1, n_baseline).astype(int)
+    check_amps = np.asarray(amps)[check_idx]
+    t0 = time.time()
+    base_results = []
+    for a in check_amps:
+        r = solver.solve(
+            t_span=[0.0, T],
+            y0=y0,
+            signals=[Signal(lambda t, a=a: a * amp_scale, carrier_freq=w1)],
+            method="DOP853",
+            atol=1e-8,
+            rtol=1e-8,
+        )
+        base_results.append(np.abs(np.asarray(r.y[-1])) ** 2)
+    numpy_time = (time.time() - t0) / n_baseline
+    numpy_throughput = 1.0 / numpy_time
+    log(f"numpy DOP853: {numpy_time:.3f}s/sim -> {numpy_throughput:.2f} sims/sec")
+
+    # accuracy at the probe points (reuses the compiled 10k sweep's outputs)
+    max_err = float(np.max(np.abs(out[check_idx] - np.asarray(base_results))))
+    log(f"max |device - DOP853(1e-8)| over {n_baseline} probe points: {max_err:.2e}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "cr_sweep_throughput_dim16",
+                "value": round(device_throughput, 2),
+                "unit": "sims/sec",
+                "vs_baseline": round(device_throughput / numpy_throughput, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

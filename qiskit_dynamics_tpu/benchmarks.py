@@ -1,0 +1,87 @@
+"""Flagship benchmark models (BASELINE.md configs).
+
+The headline benchmark (BASELINE.json north star) is a 10k-point amplitude
+sweep of a two-transmon cross-resonance ``Solver`` — dim=16, rotating frame +
+RWA — mirroring the reference's user-guide cross-resonance example
+(``/root/reference/docs/tutorials/optimizing_pulse_sequence.rst`` and
+``how_to_configure_simulations.rst``). These builders are shared by
+``bench.py`` and ``__graft_entry__.py``.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .solvers import Solver
+from .signals import Signal
+
+__all__ = ["cr_solver", "rabi_solver"]
+
+
+def _transmon_ops(dim: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    a = np.diag(np.sqrt(np.arange(1, dim)), 1)
+    adag = a.conj().T
+    N = np.diag(np.arange(dim))
+    return a, adag, N
+
+
+def cr_solver(
+    dim: int = 4,
+    w0: float = 5.0,
+    w1: float = 5.1,
+    alpha0: float = -0.33,
+    alpha1: float = -0.33,
+    J: float = 0.002,
+    rwa_cutoff_freq: Optional[float] = None,
+):
+    """Two-transmon cross-resonance Solver (drive on qubit 0 at qubit 1's freq).
+
+    ``dim`` levels per transmon (total Hilbert dim ``dim**2``; dim=4 -> 16).
+    Rotating frame = diagonal of the static Hamiltonian; RWA cutoff defaults to
+    twice the mean transmon frequency.
+
+    Returns:
+        (solver, drive_freq): the configured ``Solver`` and the CR drive
+        carrier frequency (= target-qubit frequency).
+    """
+    a, adag, N = _transmon_ops(dim)
+    ident = np.eye(dim)
+
+    def two(op, which):
+        return np.kron(op, ident) if which == 0 else np.kron(ident, op)
+
+    H0 = (
+        2 * np.pi * w0 * two(N, 0)
+        + np.pi * alpha0 * two(N @ (N - ident), 0)
+        + 2 * np.pi * w1 * two(N, 1)
+        + np.pi * alpha1 * two(N @ (N - ident), 1)
+        + 2 * np.pi * J * (np.kron(adag, a) + np.kron(a, adag))
+    )
+    drive0 = 2 * np.pi * two(a + adag, 0)
+
+    if rwa_cutoff_freq is None:
+        # mean transmon frequency: keeps the ~|w0-w1| rotating terms, drops the
+        # ~(w0+w1) counter-rotating ones with a wide margin on both sides
+        rwa_cutoff_freq = (w0 + w1) / 2
+
+    solver = Solver(
+        static_hamiltonian=H0,
+        hamiltonian_operators=[drive0],
+        rotating_frame=np.diag(H0),
+        rwa_cutoff_freq=rwa_cutoff_freq,
+        rwa_carrier_freqs=[w1],
+    )
+    return solver, w1
+
+
+def rabi_solver(nu: float = 5.0):
+    """Single-qubit Rabi Solver (BASELINE config 1)."""
+    X = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex)
+    Z = np.array([[1.0, 0.0], [0.0, -1.0]], dtype=complex)
+    solver = Solver(
+        static_hamiltonian=2 * np.pi * nu * Z / 2,
+        hamiltonian_operators=[2 * np.pi * X / 2],
+        rotating_frame=2 * np.pi * nu * Z / 2,
+    )
+    return solver, nu
