@@ -1,0 +1,348 @@
+"""Tests for the perturbation module: multisets, compiled ops, Dyson/Magnus.
+
+Validation strategy mirrors the reference's
+``test/dynamics/perturbation/test_solve_lmde_perturbation.py``: compare
+computed terms against independently-coded explicit nested integrals and
+exponentiation identities.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.linalg import expm
+
+from qiskit_dynamics_tpu.perturbation import (
+    solve_lmde_perturbation,
+    to_multiset,
+    clean_multisets,
+    get_all_submultisets,
+    CustomMatmul,
+    magnus_from_dyson,
+)
+from qiskit_dynamics_tpu.perturbation.multiset_utils import (
+    submultisets_and_complements,
+    is_submultiset,
+    multiset_complement,
+)
+from qiskit_dynamics_tpu.perturbation.custom_dot import compile_rule, CustomMul
+
+
+class TestMultisetUtils:
+    def test_to_multiset_forms(self):
+        assert to_multiset([1, 0, 0]) == (0, 0, 1)
+        assert to_multiset({0: 2, 1: 1}) == (0, 0, 1)
+        assert to_multiset(3) == (3,)
+
+    def test_ordering(self):
+        # (0,0,1) < (0,1,1): canonical ordering by size then expanded lexicographic
+        out = clean_multisets([{0: 1, 1: 2}, {0: 2, 1: 1}, [1], [0]])
+        assert out == [(0,), (1,), (0, 0, 1), (0, 1, 1)]
+
+    def test_submultisets_and_complements(self):
+        subs, comps = submultisets_and_complements((0, 0, 1))
+        assert ((0,) in subs) and ((1,) in subs) and ((0, 0) in subs) and ((0, 1) in subs)
+        for s, c in zip(subs, comps):
+            assert tuple(sorted(s + c)) == (0, 0, 1)
+
+    def test_closure(self):
+        out = get_all_submultisets([(0, 1, 2)])
+        assert out == [
+            (0,), (1,), (2,), (0, 1), (0, 2), (1, 2), (0, 1, 2),
+        ]
+
+    def test_sub_and_complement(self):
+        assert is_submultiset((0, 1), (0, 1, 1))
+        assert not is_submultiset((0, 0), (0, 1, 1))
+        assert multiset_complement((0, 1, 1), (1,)) == (0, 1)
+
+
+class TestCustomDot:
+    def test_matmul_rule_numpy_vs_jax(self):
+        rng = np.random.default_rng(3)
+        A = rng.standard_normal((3, 4, 4)) + 1j * rng.standard_normal((3, 4, 4))
+        B = rng.standard_normal((2, 4, 4)) + 1j * rng.standard_normal((2, 4, 4))
+        # out0 = 2 A0@B1 + 3 A2@B0 ; out1 = A1@B1
+        rule = [
+            (np.array([2.0, 3.0]), np.array([[0, 1], [2, 0]])),
+            (np.array([1.0]), np.array([[1, 1]])),
+        ]
+        cm = CustomMatmul(rule)
+        expected = np.stack([2 * A[0] @ B[1] + 3 * A[2] @ B[0], A[1] @ B[1]])
+        np.testing.assert_allclose(cm(A, B), expected, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(jax.jit(cm)(jnp.asarray(A), jnp.asarray(B))), expected, atol=1e-12
+        )
+
+    def test_mul_rule(self):
+        A = np.arange(8.0).reshape(2, 2, 2)
+        B = np.ones((1, 2, 2))
+        rule = [(np.array([1.0, -1.0]), np.array([[0, 0], [1, 0]]))]
+        out = CustomMul(rule)(A, B)
+        np.testing.assert_allclose(out[0], A[0] - A[1])
+
+    def test_padding(self):
+        rule = [(np.array([1.0]), np.array([[0, 0]]))]
+        c = compile_rule(rule, unique_evaluation_len=4, linear_combo_len=3)
+        assert c.pairs.shape == (4, 2) and c.coeffs.shape == (1, 3)
+
+
+def _2x2_ops():
+    X = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex)
+    Y = np.array([[0.0, -1j], [1j, 0.0]], dtype=complex)
+    Z = np.array([[1.0, 0.0], [0.0, -1.0]], dtype=complex)
+    return X, Y, Z
+
+
+class TestDysonMagnusConstant:
+    """Constant perturbations with zero generator: closed forms."""
+
+    def setup_method(self, method):
+        X, Y, _ = _2x2_ops()
+        self.A0, self.A1 = -1j * X, -1j * Y
+        self.T = 0.8
+
+    def test_dyson_orders(self):
+        res = solve_lmde_perturbation(
+            perturbations=[lambda t: self.A0, lambda t: self.A1],
+            t_span=[0.0, self.T],
+            expansion_method="dyson",
+            expansion_order=3,
+            atol=1e-12, rtol=1e-12,
+        )
+        data = res.perturbation_data
+        T = self.T
+        np.testing.assert_allclose(
+            data.get_item([0])[-1], self.A0 * T, atol=1e-8
+        )
+        np.testing.assert_allclose(
+            data.get_item([0, 0])[-1], self.A0 @ self.A0 * T**2 / 2, atol=1e-8
+        )
+        np.testing.assert_allclose(
+            data.get_item([0, 1])[-1],
+            (self.A0 @ self.A1 + self.A1 @ self.A0) * T**2 / 2,
+            atol=1e-8,
+        )
+        np.testing.assert_allclose(
+            data.get_item([0, 0, 0])[-1], self.A0 @ self.A0 @ self.A0 * T**3 / 6, atol=1e-8
+        )
+
+    def test_magnus_higher_orders_vanish(self):
+        # constant generator: Omega(T) = (c0 A0 + c1 A1) T exactly, so all
+        # Magnus terms of order >= 2 vanish
+        res = solve_lmde_perturbation(
+            perturbations=[lambda t: self.A0, lambda t: self.A1],
+            t_span=[0.0, self.T],
+            expansion_method="magnus",
+            expansion_order=2,
+            atol=1e-12, rtol=1e-12,
+        )
+        data = res.perturbation_data
+        np.testing.assert_allclose(data.get_item([0])[-1], self.A0 * self.T, atol=1e-8)
+        for label in [[0, 0], [0, 1], [1, 1]]:
+            np.testing.assert_allclose(
+                data.get_item(label)[-1], np.zeros((2, 2)), atol=1e-8
+            )
+
+
+class TestDysonMagnusTimeDependent:
+    """Time-dependent coefficients: explicit nested integrals + exponentiation."""
+
+    def setup_method(self, method):
+        X, Y, _ = _2x2_ops()
+        self.A, self.B = -1j * X, -1j * Y
+        self.f = lambda t: np.cos(2.0 * t)
+        self.g = lambda t: np.sin(t) + t**2
+        self.T = 0.7
+
+    def _nested2(self, h1, h2):
+        # int_0^T dt1 h1(t1) int_0^t1 dt2 h2(t2) via high-res Simpson
+        from scipy.integrate import quad
+
+        inner = lambda t1: quad(h2, 0.0, t1, limit=200)[0]
+        return quad(lambda t1: h1(t1) * inner(t1), 0.0, self.T, limit=200)[0]
+
+    def test_dyson_second_order_cross(self):
+        res = solve_lmde_perturbation(
+            perturbations=[lambda t: self.f(t) * self.A, lambda t: self.g(t) * self.B],
+            t_span=[0.0, self.T],
+            expansion_method="dyson",
+            expansion_order=2,
+            atol=1e-13, rtol=1e-13,
+        )
+        c_fg = self._nested2(self.f, self.g)
+        c_gf = self._nested2(self.g, self.f)
+        expected = c_fg * self.A @ self.B + c_gf * self.B @ self.A
+        np.testing.assert_allclose(
+            res.perturbation_data.get_item([0, 1])[-1], expected, atol=1e-8
+        )
+
+    def test_magnus_second_order_cross(self):
+        res = solve_lmde_perturbation(
+            perturbations=[lambda t: self.f(t) * self.A, lambda t: self.g(t) * self.B],
+            t_span=[0.0, self.T],
+            expansion_method="magnus",
+            expansion_order=2,
+            atol=1e-13, rtol=1e-13,
+        )
+        c_fg = self._nested2(self.f, self.g)
+        c_gf = self._nested2(self.g, self.f)
+        comm = self.A @ self.B - self.B @ self.A
+        expected = 0.5 * (c_fg - c_gf) * comm
+        np.testing.assert_allclose(
+            res.perturbation_data.get_item([0, 1])[-1], expected, atol=1e-8
+        )
+
+    def test_magnus_exponentiation(self):
+        # exp(sum_k c^k O_k)(T) matches the direct solve to O(c^4)
+        res = solve_lmde_perturbation(
+            perturbations=[lambda t: self.f(t) * self.A],
+            t_span=[0.0, self.T],
+            expansion_method="magnus",
+            expansion_order=3,
+            atol=1e-13, rtol=1e-13,
+        )
+        data = res.perturbation_data
+        c = 0.05
+        Om = (
+            c * data.get_item([0])[-1]
+            + c**2 * data.get_item([0, 0])[-1]
+            + c**3 * data.get_item([0, 0, 0])[-1]
+        )
+        from qiskit_dynamics_tpu import solve_ode
+
+        direct = solve_ode(
+            rhs=lambda t, y: c * self.f(t) * self.A @ y,
+            t_span=[0.0, self.T],
+            y0=np.eye(2, dtype=complex),
+            method="DOP853", atol=1e-13, rtol=1e-13,
+        ).y[-1]
+        np.testing.assert_allclose(expm(Om), direct, atol=5e-7)
+
+    def test_dyson_like_ordering(self):
+        res = solve_lmde_perturbation(
+            perturbations=[lambda t: self.f(t) * self.A, lambda t: self.g(t) * self.B],
+            t_span=[0.0, self.T],
+            expansion_method="dyson_like",
+            expansion_order=2,
+            atol=1e-13, rtol=1e-13,
+        )
+        c_fg = self._nested2(self.f, self.g)
+        expected = c_fg * self.A @ self.B
+        np.testing.assert_allclose(
+            res.perturbation_data.get_item([0, 1])[-1], expected, atol=1e-8
+        )
+
+    def test_jax_matches_numpy(self):
+        kwargs = dict(
+            perturbations=[lambda t: jnp.cos(2.0 * t) * jnp.asarray(self.A),
+                           lambda t: (jnp.sin(t) + t**2) * jnp.asarray(self.B)],
+            t_span=[0.0, self.T],
+            expansion_order=2,
+        )
+        res_np = solve_lmde_perturbation(
+            expansion_method="magnus", integration_method="DOP853",
+            atol=1e-12, rtol=1e-12, **kwargs,
+        )
+        res_jax = solve_lmde_perturbation(
+            expansion_method="magnus", integration_method="tpu_dopri5",
+            atol=1e-12, rtol=1e-12, **kwargs,
+        )
+        for label in [[0], [1], [0, 0], [0, 1], [1, 1]]:
+            np.testing.assert_allclose(
+                np.asarray(res_jax.perturbation_data.get_item(label)[-1]),
+                res_np.perturbation_data.get_item(label)[-1],
+                atol=1e-7,
+            )
+
+
+class TestWithFrameGenerator:
+    def test_dyson_in_frame_consistency(self):
+        X, Y, Z = _2x2_ops()
+        G0 = -1j * Z
+        pert = lambda t: -1j * np.cos(t) * X
+        common = dict(
+            perturbations=[pert],
+            t_span=[0.0, 0.5],
+            expansion_method="dyson",
+            expansion_order=1,
+            generator=lambda t: G0,
+            atol=1e-13, rtol=1e-13,
+        )
+        in_frame = solve_lmde_perturbation(dyson_in_frame=True, **common)
+        out_frame = solve_lmde_perturbation(dyson_in_frame=False, **common)
+        V = in_frame.y[-1]
+        np.testing.assert_allclose(
+            out_frame.perturbation_data.get_item([0])[-1],
+            V @ in_frame.perturbation_data.get_item([0])[-1],
+            atol=1e-9,
+        )
+        # first-order term = int V(t)^-1 Gp(t) V(t) dt
+        from scipy.integrate import quad
+
+        def integrand(t):
+            Vt = expm(G0 * t)
+            return np.linalg.inv(Vt) @ pert(t) @ Vt
+
+        num = np.zeros((2, 2), dtype=complex)
+        for i in range(2):
+            for j in range(2):
+                num[i, j] = (
+                    quad(lambda t: integrand(t)[i, j].real, 0, 0.5, limit=200)[0]
+                    + 1j * quad(lambda t: integrand(t)[i, j].imag, 0, 0.5, limit=200)[0]
+                )
+        np.testing.assert_allclose(
+            in_frame.perturbation_data.get_item([0])[-1], num, atol=1e-8
+        )
+
+    def test_y0_columns(self):
+        X, _, _ = _2x2_ops()
+        y0 = np.array([1.0, 0.0], dtype=complex)
+        res = solve_lmde_perturbation(
+            perturbations=[lambda t: -1j * X],
+            t_span=[0.0, 0.3],
+            expansion_method="dyson",
+            expansion_order=1,
+            y0=y0,
+            dyson_in_frame=False,
+            atol=1e-12, rtol=1e-12,
+        )
+        np.testing.assert_allclose(
+            res.perturbation_data.get_item([0])[-1],
+            (-1j * X * 0.3) @ y0[:, None],
+            atol=1e-8,
+        )
+
+
+class TestValidation:
+    def test_no_order_or_labels(self):
+        from qiskit_dynamics_tpu.exceptions import DynamicsError
+
+        with pytest.raises(DynamicsError):
+            solve_lmde_perturbation(
+                perturbations=[lambda t: np.eye(2)],
+                t_span=[0, 1],
+                expansion_method="dyson",
+            )
+
+    def test_magnus_y0_rejected(self):
+        from qiskit_dynamics_tpu.exceptions import DynamicsError
+
+        with pytest.raises(DynamicsError):
+            solve_lmde_perturbation(
+                perturbations=[lambda t: np.eye(2)],
+                t_span=[0, 1],
+                expansion_method="magnus",
+                expansion_order=1,
+                y0=np.eye(2),
+            )
+
+    def test_bad_method(self):
+        from qiskit_dynamics_tpu.exceptions import DynamicsError
+
+        with pytest.raises(DynamicsError):
+            solve_lmde_perturbation(
+                perturbations=[lambda t: np.eye(2)],
+                t_span=[0, 1],
+                expansion_method="born",
+                expansion_order=1,
+            )
