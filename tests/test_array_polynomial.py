@@ -1,0 +1,174 @@
+"""Tests for ArrayPolynomial: evaluation, array methods, algebra identities."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qiskit_dynamics_tpu.perturbation import ArrayPolynomial
+from qiskit_dynamics_tpu.exceptions import DynamicsError
+
+
+def _random_poly(rng, shape=(3, 3), labels=((0,), (1,), (0, 1), (1, 1)), const=True):
+    coeffs = rng.standard_normal((len(labels),) + shape) + 1j * rng.standard_normal(
+        (len(labels),) + shape
+    )
+    c = rng.standard_normal(shape) + 1j * rng.standard_normal(shape) if const else None
+    return ArrayPolynomial(
+        constant_term=c, array_coefficients=coeffs, monomial_labels=list(labels)
+    )
+
+
+def _direct_eval(ap, c):
+    out = 0 if ap.constant_term is None else np.asarray(ap.constant_term).copy()
+    for label, coeff in zip(ap.monomial_labels, np.asarray(ap.array_coefficients)):
+        out = out + np.prod([c[i] for i in label]) * coeff
+    return out
+
+
+class TestEvaluation:
+    def test_monomials(self):
+        ap = ArrayPolynomial(
+            array_coefficients=np.ones((3, 2, 2)),
+            monomial_labels=[[0], [0, 1], [1, 1]],
+        )
+        c = np.array([2.0, 3.0])
+        np.testing.assert_allclose(ap.compute_monomials(c), [2.0, 6.0, 9.0])
+
+    def test_monomials_batched(self):
+        ap = ArrayPolynomial(
+            array_coefficients=np.ones((2, 2, 2)), monomial_labels=[[0], [0, 1]]
+        )
+        c = np.array([[2.0, 4.0], [3.0, 5.0]])  # (r=2, batch=2)
+        np.testing.assert_allclose(ap.compute_monomials(c), [[2.0, 4.0], [6.0, 20.0]])
+
+    def test_call_matches_direct(self):
+        rng = np.random.default_rng(5)
+        ap = _random_poly(rng)
+        c = rng.standard_normal(2)
+        np.testing.assert_allclose(ap(c), _direct_eval(ap, c), atol=1e-12)
+
+    def test_constant_only(self):
+        A = np.eye(2)
+        ap = ArrayPolynomial(constant_term=A)
+        np.testing.assert_allclose(ap(), A)
+
+    def test_jit_and_grad(self):
+        rng = np.random.default_rng(6)
+        ap = _random_poly(rng, shape=(2, 2))
+
+        @jax.jit
+        def f(c):
+            return jnp.real(jnp.sum(ap(c)))
+
+        c = jnp.array([0.3, 0.4])
+        expected = np.real(np.sum(_direct_eval(ap, np.array([0.3, 0.4]))))
+        np.testing.assert_allclose(float(f(c)), expected, atol=1e-12)
+        g = jax.grad(f)(c)
+        assert g.shape == (2,)
+
+    def test_validation(self):
+        with pytest.raises(DynamicsError):
+            ArrayPolynomial()
+        with pytest.raises(DynamicsError):
+            ArrayPolynomial(array_coefficients=np.ones((2, 2, 2)), monomial_labels=[[0]])
+
+
+class TestArrayMethods:
+    def setup_method(self, method):
+        rng = np.random.default_rng(7)
+        self.ap = _random_poly(rng)
+        self.c = rng.standard_normal(2)
+
+    def test_transpose(self):
+        np.testing.assert_allclose(self.ap.transpose()(self.c), self.ap(self.c).T, atol=1e-12)
+
+    def test_conj(self):
+        np.testing.assert_allclose(self.ap.conj()(self.c), self.ap(self.c).conj(), atol=1e-12)
+
+    def test_trace(self):
+        np.testing.assert_allclose(
+            self.ap.trace()(self.c), np.trace(self.ap(self.c)), atol=1e-12
+        )
+
+    def test_sum(self):
+        np.testing.assert_allclose(
+            self.ap.sum(axis=0)(self.c), self.ap(self.c).sum(axis=0), atol=1e-12
+        )
+
+    def test_real(self):
+        np.testing.assert_allclose(self.ap.real(self.c), self.ap(self.c).real, atol=1e-12)
+
+    def test_getitem(self):
+        np.testing.assert_allclose(self.ap[0, 1](self.c), self.ap(self.c)[0, 1], atol=1e-12)
+
+    def test_len(self):
+        assert len(self.ap) == 5
+
+
+class TestAlgebra:
+    def setup_method(self, method):
+        rng = np.random.default_rng(8)
+        self.ap1 = _random_poly(rng, labels=((0,), (1,), (0, 1)))
+        self.ap2 = _random_poly(rng, labels=((0,), (0, 0)))
+        self.c = rng.standard_normal(2)
+
+    def test_add(self):
+        out = self.ap1 + self.ap2
+        np.testing.assert_allclose(out(self.c), self.ap1(self.c) + self.ap2(self.c), atol=1e-12)
+
+    def test_add_array(self):
+        A = np.ones((3, 3))
+        np.testing.assert_allclose((self.ap1 + A)(self.c), self.ap1(self.c) + A, atol=1e-12)
+
+    def test_sub(self):
+        out = self.ap1 - self.ap2
+        np.testing.assert_allclose(out(self.c), self.ap1(self.c) - self.ap2(self.c), atol=1e-12)
+
+    def test_matmul(self):
+        out = self.ap1 @ self.ap2
+        np.testing.assert_allclose(out(self.c), self.ap1(self.c) @ self.ap2(self.c), atol=1e-11)
+
+    def test_matmul_array(self):
+        A = np.arange(9.0).reshape(3, 3)
+        np.testing.assert_allclose((self.ap1 @ A)(self.c), self.ap1(self.c) @ A, atol=1e-11)
+        np.testing.assert_allclose((A @ self.ap1)(self.c), A @ self.ap1(self.c), atol=1e-11)
+
+    def test_mul(self):
+        out = self.ap1 * self.ap2
+        np.testing.assert_allclose(out(self.c), self.ap1(self.c) * self.ap2(self.c), atol=1e-11)
+
+    def test_scalar_mul(self):
+        np.testing.assert_allclose((2.0 * self.ap1)(self.c), 2.0 * self.ap1(self.c), atol=1e-12)
+
+    def test_neg(self):
+        np.testing.assert_allclose((-self.ap1)(self.c), -self.ap1(self.c), atol=1e-12)
+
+    def test_matmul_truncated(self):
+        # degree <= 2 truncation: matches full product with high-degree
+        # monomials dropped
+        out = self.ap1.matmul(self.ap2, monomial_filter=lambda m: len(m) <= 2)
+        assert all(len(m) <= 2 for m in out.monomial_labels)
+        full = self.ap1 @ self.ap2
+        expected = np.asarray(full.constant_term).copy()
+        for label, coeff in zip(full.monomial_labels, np.asarray(full.array_coefficients)):
+            if len(label) <= 2:
+                expected = expected + np.prod([self.c[i] for i in label]) * coeff
+        np.testing.assert_allclose(out(self.c), expected, atol=1e-11)
+
+    def test_matmul_identity_of_truncation(self):
+        # (ap1 @ ap2)(c) equality checked degree-by-degree via direct expansion
+        full = self.ap1 @ self.ap2
+        direct = {}
+        pairs = [((), np.asarray(self.ap1.constant_term))] + list(
+            zip(self.ap1.monomial_labels, np.asarray(self.ap1.array_coefficients))
+        )
+        pairs2 = [((), np.asarray(self.ap2.constant_term))] + list(
+            zip(self.ap2.monomial_labels, np.asarray(self.ap2.array_coefficients))
+        )
+        for l1, a1 in pairs:
+            for l2, a2 in pairs2:
+                key = tuple(sorted(l1 + l2))
+                direct[key] = direct.get(key, 0) + a1 @ a2
+        for label, coeff in zip(full.monomial_labels, np.asarray(full.array_coefficients)):
+            np.testing.assert_allclose(coeff, direct[label], atol=1e-11)
+        np.testing.assert_allclose(np.asarray(full.constant_term), direct[()], atol=1e-11)
