@@ -13,7 +13,8 @@ from .exceptions import DynamicsError
 from .dtypes import ArrayLike
 from .models import RotatingFrame
 from .signals import Signal, DiscreteSignal
-from .solvers import solve_ode, solve_lmde, Solver, OdeResult
+from .solvers import solve_ode, solve_lmde, Solver, OdeResult, DysonSolver, MagnusSolver
+from .perturbation import solve_lmde_perturbation, ArrayPolynomial
 from .utils import cjit
 
 from . import models
@@ -23,3 +24,4 @@ from . import pulse
 from . import quantum_info
 from . import utils
 from . import parallel
+from . import perturbation

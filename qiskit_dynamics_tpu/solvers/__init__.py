@@ -15,3 +15,4 @@ from .adaptive import tpu_dopri5, tpu_dop853, tpu_rk_solve
 from .jax_odeint import jax_odeint
 from .scipy_solve_ivp import scipy_solve_ivp
 from .solver_classes import Solver
+from .perturbative_solvers import ExpansionModel, DysonSolver, MagnusSolver
