@@ -22,6 +22,9 @@ from . import signals
 from . import solvers
 from . import pulse
 from . import quantum_info
+from .backend import DynamicsBackend
+
 from . import utils
 from . import parallel
 from . import perturbation
+from . import backend

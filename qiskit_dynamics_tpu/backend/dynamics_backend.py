@@ -1,0 +1,597 @@
+"""Pulse-level simulator backend (the serving layer).
+
+Reference behavior: ``/root/reference/qiskit_dynamics/backend/dynamics_backend.py``.
+
+Wraps a pulse-configured :class:`Solver` behind a backend interface: takes
+pulse schedules (native :class:`Schedule` or qiskit ``Schedule``/
+``ScheduleBlock`` when qiskit is installed), simulates them, and produces
+counts or IQ data through the dressed-basis measurement pipeline. Options
+mirror the reference's supported set (shots, meas_level/meas_return,
+iq_centers/iq_width, max_outcome_level, memory, seed_simulator,
+experiment_result_function, initial_state, normalize_states, solver_options,
+subsystem_dims, meas_map, control_channel_map).
+"""
+from __future__ import annotations
+
+import copy
+import datetime
+import uuid
+import warnings
+from types import SimpleNamespace
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from ..exceptions import DynamicsError
+from ..quantum_info import Statevector, DensityMatrix
+from ..pulse import Schedule, Acquire, block_to_schedule
+from ..solvers import Solver, OdeResult
+from .backend_utils import (
+    _get_dressed_state_decomposition,
+    _get_lab_frame_static_hamiltonian,
+    _get_memory_slot_probabilities,
+    _sample_probability_dict,
+    _get_counts_from_samples,
+    _get_iq_data,
+    _probabilities_dict,
+)
+from .dynamics_job import DynamicsJob
+from .results import ExperimentResult, ExperimentResultData, Result
+from .string_parser import parse_backend_hamiltonian_dict
+
+__all__ = ["DynamicsBackend", "default_experiment_result_function"]
+
+
+class _Options(SimpleNamespace):
+    """Attribute-access options container."""
+
+    def update_options(self, **fields):
+        self.__dict__.update(fields)
+
+
+def _is_native_or_qiskit_schedule(x) -> bool:
+    if isinstance(x, Schedule):
+        return True
+    try:
+        from qiskit import pulse as qiskit_pulse
+
+        return isinstance(x, (qiskit_pulse.Schedule, qiskit_pulse.ScheduleBlock))
+    except ImportError:
+        return False
+
+
+def _validate_run_input(run_input, accept_list: bool = True):
+    if isinstance(run_input, list) and accept_list:
+        for x in run_input:
+            _validate_run_input(x, accept_list=False)
+    elif not _is_native_or_qiskit_schedule(run_input):
+        raise DynamicsError(f"Input type {type(run_input)} not supported by DynamicsBackend.")
+
+
+def _to_schedule_list(run_input, backend=None) -> Tuple[List[Schedule], List[Optional[int]]]:
+    """Normalize inputs to native/qiskit Schedules; track circuit memslot counts."""
+    if not isinstance(run_input, list):
+        run_input = [run_input]
+    schedules, num_memslots = [], []
+    for sched in run_input:
+        num_memslots.append(None)
+        if isinstance(sched, Schedule):
+            schedules.append(sched)
+            continue
+        try:
+            from qiskit import pulse as qiskit_pulse
+
+            if isinstance(sched, qiskit_pulse.ScheduleBlock):
+                schedules.append(block_to_schedule(sched))
+                continue
+            if isinstance(sched, qiskit_pulse.Schedule):
+                schedules.append(sched)
+                continue
+        except ImportError:
+            pass
+        raise DynamicsError(f"Type {type(sched)} cannot be converted to Schedule.")
+    return schedules, num_memslots
+
+
+def _get_acquire_instruction_timings(
+    schedules: List[Schedule], subsystem_dims: List[int], dt: float
+) -> Tuple[List[List[float]], List[List[int]], List[List[int]]]:
+    """Extract per-schedule integration spans and measurement layout from the
+    Acquire instructions (all acquires in a schedule must share a start time)."""
+    t_span_list, measurement_subsystems_list, memory_slot_indices_list = [], [], []
+    for schedule in schedules:
+        acquires, acquire_times = [], []
+        for start_time, inst in schedule.instructions:
+            is_acquire = isinstance(inst, Acquire) or type(inst).__name__ == "Acquire"
+            if is_acquire and getattr(inst, "mem_slot", None) is not None:
+                acquires.append(inst)
+                acquire_times.append(start_time)
+
+        if not acquire_times:
+            raise DynamicsError(
+                "At least one measurement saving a result in a MemorySlot must be present "
+                "in each schedule."
+            )
+        if any(t != acquire_times[0] for t in acquire_times[1:]):
+            raise DynamicsError("DynamicsBackend.run only supports measurements at one time.")
+
+        t_span_list.append([0.0, dt * acquire_times[0]])
+        measurement_subsystems, memory_slot_indices = [], []
+        for inst in acquires:
+            idx = inst.channel.index
+            if not idx < len(subsystem_dims):
+                raise DynamicsError(f"Attempted to measure out of bounds subsystem {idx}.")
+            if subsystem_dims[idx] == 1:
+                warnings.warn(f"Measuring trivial subsystem {idx} with dimension 1.")
+            measurement_subsystems.append(idx)
+            memory_slot_indices.append(inst.mem_slot.index)
+        measurement_subsystems_list.append(measurement_subsystems)
+        memory_slot_indices_list.append(memory_slot_indices)
+    return t_span_list, measurement_subsystems_list, memory_slot_indices_list
+
+
+class DynamicsBackend:
+    """Pulse-level simulator backend around a pulse-configured :class:`Solver`."""
+
+    def __init__(self, solver: Solver, **options):
+        self.name = "DynamicsBackend"
+        self.backend_version = "0.1"
+
+        self._dressed_evals = None
+        self._dressed_states = None
+        self._dressed_states_adjoint = None
+
+        self._options = self._default_options()
+
+        if "subsystem_dims" not in options:
+            options["subsystem_dims"] = [solver.model.dim]
+        self.set_options(solver=solver, **options)
+
+        if self.options.meas_map is None:
+            self.set_options(
+                meas_map=[[idx] for idx in range(len(self.options.subsystem_dims))]
+            )
+
+        self.dt = solver._dt
+        self.num_qubits = len(self.options.subsystem_dims)
+
+    @staticmethod
+    def _default_options() -> _Options:
+        return _Options(
+            shots=1024,
+            solver=None,
+            solver_options={},
+            subsystem_dims=None,
+            meas_map=None,
+            control_channel_map=None,
+            normalize_states=True,
+            initial_state="ground_state",
+            meas_level=2,
+            meas_return="avg",
+            iq_centers=None,
+            iq_width=0.2,
+            max_outcome_level=1,
+            memory=True,
+            seed_simulator=None,
+            experiment_result_function=None,  # resolved to default at use
+        )
+
+    @property
+    def options(self) -> _Options:
+        """Backend options."""
+        return self._options
+
+    def set_options(self, **fields):
+        """Set and validate options."""
+        validate_subsystem_dims = False
+        validate_iq_centers = False
+
+        for key, value in fields.items():
+            if not hasattr(self._options, key):
+                raise AttributeError(f"Invalid option {key}")
+
+            if key == "initial_state":
+                if value != "ground_state" and not isinstance(
+                    value, (Statevector, DensityMatrix)
+                ):
+                    raise DynamicsError(
+                        'initial_state must be either "ground_state", or a Statevector or '
+                        "DensityMatrix instance."
+                    )
+            elif key == "meas_level" and value not in [1, 2]:
+                raise DynamicsError("Only meas_level 1 and 2 are supported by DynamicsBackend.")
+            elif key == "meas_return" and value not in ["single", "avg"]:
+                raise DynamicsError("meas_return must be either 'single' or 'avg'.")
+            elif key == "max_outcome_level":
+                if value is not None and (not isinstance(value, int) or value <= 0):
+                    raise DynamicsError("max_outcome_level must be a positive integer or None.")
+            elif key == "experiment_result_function" and value is not None and not callable(value):
+                raise DynamicsError("experiment_result_function must be callable.")
+            elif key == "iq_width" and (not isinstance(value, float) or value <= 0):
+                raise DynamicsError("iq_width must be a positive float.")
+            elif key == "iq_centers":
+                if value is not None and not all(
+                    isinstance(level, (list, tuple)) and len(level) == 2
+                    for sub in value
+                    for level in sub
+                ):
+                    raise DynamicsError(
+                        "The iq_centers option must be either None or of type "
+                        "List[List[List[float, float]]]."
+                    )
+                validate_iq_centers = True
+            elif key == "subsystem_dims":
+                validate_subsystem_dims = True
+                validate_iq_centers = True
+            elif key == "solver":
+                validate_subsystem_dims = True
+            elif key == "control_channel_map" and value is not None:
+                if not isinstance(value, dict):
+                    raise DynamicsError(
+                        "The control_channel_map option must either be None or a dictionary."
+                    )
+                if not all(isinstance(x, int) for x in value.values()):
+                    raise DynamicsError("The control_channel_map values must be of type int.")
+
+            if key == "solver":
+                self._set_solver(value)
+            else:
+                self._options.update_options(**{key: value})
+
+        if (
+            validate_subsystem_dims
+            and np.prod(self._options.subsystem_dims) != self._options.solver.model.dim
+        ):
+            raise DynamicsError(
+                "DynamicsBackend options subsystem_dims and solver.model.dim are inconsistent."
+            )
+
+        if validate_iq_centers and self._options.iq_centers is not None:
+            if [len(sub) for sub in self._options.iq_centers] != list(
+                self._options.subsystem_dims
+            ):
+                raise DynamicsError(
+                    "iq_centers option is not consistent with subsystem_dims."
+                )
+
+    def _set_solver(self, solver: Solver):
+        """Set the solver and compute dressed states of the lab-frame static H."""
+        if solver._dt is None:
+            raise DynamicsError(
+                "Solver passed to DynamicsBackend is not configured for Pulse simulation."
+            )
+        self._options.update_options(solver=solver)
+        static_hamiltonian = _get_lab_frame_static_hamiltonian(solver.model)
+        dressed_evals, dressed_states = _get_dressed_state_decomposition(static_hamiltonian)
+        self._dressed_evals = dressed_evals
+        self._dressed_states = dressed_states
+        self._dressed_states_adjoint = dressed_states.conj().T
+
+    # ------------------------------------------------------------------ #
+    # simulation entry points
+    # ------------------------------------------------------------------ #
+
+    def _resolve_y0(self, y0):
+        if y0 is None:
+            y0 = self.options.initial_state
+        if isinstance(y0, str) and y0 == "ground_state":
+            y0 = Statevector(self._dressed_states[:, 0], dims=tuple(self.options.subsystem_dims))
+        return y0
+
+    def solve(
+        self,
+        solve_input,
+        t_span=None,
+        y0=None,
+        convert_results: bool = True,
+        validate: bool = True,
+    ) -> Union[OdeResult, List[OdeResult]]:
+        """Simulate schedules and return raw ``OdeResult`` objects."""
+        if validate:
+            _validate_run_input(solve_input)
+        schedules, _ = _to_schedule_list(solve_input, backend=self)
+        y0 = self._resolve_y0(y0)
+        if t_span is None:
+            t_span = [[0, sched.duration * self.dt] for sched in schedules]
+        return self.options.solver.solve(
+            t_span=t_span,
+            y0=y0,
+            signals=schedules,
+            convert_results=convert_results,
+            **self.options.solver_options,
+        )
+
+    def run(self, run_input, validate: bool = True, **options) -> DynamicsJob:
+        """Run simulations and return a (synchronously executed) job."""
+        if validate:
+            _validate_run_input(run_input)
+
+        if options:
+            backend = copy.deepcopy(self)
+            backend.set_options(**options)
+        else:
+            backend = self
+
+        schedules, num_memory_slots_list = _to_schedule_list(run_input, backend=backend)
+        (
+            t_span,
+            measurement_subsystems_list,
+            memory_slot_indices_list,
+        ) = _get_acquire_instruction_timings(
+            schedules, backend.options.subsystem_dims, backend.options.solver._dt
+        )
+
+        job = DynamicsJob(
+            backend=backend,
+            job_id=str(uuid.uuid4()),
+            fn=backend._run,
+            fn_kwargs={
+                "t_span": t_span,
+                "schedules": schedules,
+                "measurement_subsystems_list": measurement_subsystems_list,
+                "memory_slot_indices_list": memory_slot_indices_list,
+                "num_memory_slots_list": num_memory_slots_list,
+            },
+        )
+        job.submit()
+        return job
+
+    def _run(
+        self,
+        job_id,
+        t_span,
+        schedules,
+        measurement_subsystems_list,
+        memory_slot_indices_list,
+        num_memory_slots_list,
+    ) -> Result:
+        """Simulate all schedules and build the Result."""
+        y0 = self._resolve_y0(None)
+        solver_results = self.options.solver.solve(
+            t_span=t_span, y0=y0, signals=schedules, **self.options.solver_options
+        )
+        if not isinstance(solver_results, list):
+            solver_results = [solver_results]
+
+        result_function = (
+            self.options.experiment_result_function or default_experiment_result_function
+        )
+        rng = np.random.default_rng(self.options.seed_simulator)
+        experiment_results = []
+        for (
+            schedule,
+            solver_result,
+            measurement_subsystems,
+            memory_slot_indices,
+            num_memory_slots,
+        ) in zip(
+            schedules,
+            solver_results,
+            measurement_subsystems_list,
+            memory_slot_indices_list,
+            num_memory_slots_list,
+        ):
+            experiment_results.append(
+                result_function(
+                    schedule.name,
+                    solver_result,
+                    measurement_subsystems,
+                    memory_slot_indices,
+                    num_memory_slots,
+                    self,
+                    seed=int(rng.integers(low=0, high=9223372036854775807)),
+                    metadata=getattr(schedule, "metadata", None),
+                )
+            )
+
+        return Result(
+            backend_name=self.name,
+            backend_version=self.backend_version,
+            job_id=job_id,
+            success=True,
+            results=experiment_results,
+            date=datetime.datetime.now().isoformat(),
+        )
+
+    @property
+    def meas_map(self) -> List[List[int]]:
+        """Measurement map."""
+        return self.options.meas_map
+
+    @classmethod
+    def from_config(
+        cls,
+        hamiltonian_dict: dict,
+        dt: float,
+        channel_carrier_freqs: Dict[str, float],
+        subsystem_list: Optional[List[int]] = None,
+        rotating_frame: Union[str, None, np.ndarray] = "auto",
+        array_library: Optional[str] = None,
+        vectorized: bool = False,
+        rwa_cutoff_freq: Optional[float] = None,
+        **options,
+    ) -> "DynamicsBackend":
+        """Build a backend from a pulse-backend Hamiltonian dictionary.
+
+        Native equivalent of the reference's ``from_backend``
+        (``dynamics_backend.py:593-802``) taking the configuration data
+        directly instead of a qiskit backend object.
+
+        Args:
+            hamiltonian_dict: Hamiltonian dict (see
+                :func:`parse_backend_hamiltonian_dict`).
+            dt: Sample width in seconds (or model time units).
+            channel_carrier_freqs: carrier frequency for every channel label
+                appearing in the parsed Hamiltonian (e.g. ``{"d0": 5.1e9}``).
+            subsystem_list: subsystems to keep.
+            rotating_frame: ``"auto"`` selects the diagonal of the static
+                Hamiltonian (dense) or the full static Hamiltonian; also
+                accepts an explicit frame operator or ``None``.
+            array_library: array library for the model.
+            vectorized: whether to vectorize a Lindblad model.
+            rwa_cutoff_freq: optional RWA cutoff.
+            options: backend options.
+        """
+        (
+            static_hamiltonian,
+            hamiltonian_operators,
+            channels,
+            subsystem_dims_dict,
+        ) = parse_backend_hamiltonian_dict(hamiltonian_dict, subsystem_list)
+
+        missing = [ch for ch in channels if ch not in channel_carrier_freqs]
+        if missing:
+            raise DynamicsError(f"channel_carrier_freqs missing carriers for: {missing}")
+
+        if isinstance(rotating_frame, str) and rotating_frame == "auto":
+            if array_library is not None and "sparse" in array_library:
+                rotating_frame = np.diag(np.diag(static_hamiltonian))
+            else:
+                rotating_frame = static_hamiltonian
+
+        solver = Solver(
+            static_hamiltonian=static_hamiltonian,
+            hamiltonian_operators=hamiltonian_operators,
+            hamiltonian_channels=channels,
+            channel_carrier_freqs={ch: channel_carrier_freqs[ch] for ch in channels},
+            dt=dt,
+            rotating_frame=rotating_frame,
+            array_library=array_library,
+            vectorized=vectorized,
+            rwa_cutoff_freq=rwa_cutoff_freq,
+        )
+        return cls(
+            solver=solver, subsystem_dims=list(subsystem_dims_dict.values()), **options
+        )
+
+    @classmethod
+    def from_backend(cls, backend, subsystem_list=None, **kwargs) -> "DynamicsBackend":
+        """Build from a qiskit backend instance (requires qiskit installed)."""
+        config = getattr(backend, "configuration", lambda: None)()
+        if config is None or not hasattr(config, "hamiltonian"):
+            raise DynamicsError(
+                "DynamicsBackend.from_backend requires a backend exposing a pulse "
+                "configuration with a Hamiltonian dict; alternatively use from_config."
+            )
+        defaults = getattr(backend, "defaults", lambda: None)()
+        drive_freqs = getattr(defaults, "qubit_freq_est", None)
+        if drive_freqs is None:
+            raise DynamicsError("Backend defaults with qubit_freq_est required.")
+        channel_carrier_freqs = {f"d{idx}": freq for idx, freq in enumerate(drive_freqs)}
+        # control channel LOs from the configuration's u_channel_lo
+        u_channel_lo = getattr(config, "u_channel_lo", [])
+        for u_idx, lo_list in enumerate(u_channel_lo):
+            freq = 0.0
+            for lo in lo_list:
+                freq += drive_freqs[lo.q] * np.real(lo.scale)
+            channel_carrier_freqs[f"u{u_idx}"] = freq
+        return cls.from_config(
+            hamiltonian_dict=config.hamiltonian,
+            dt=config.dt,
+            channel_carrier_freqs=channel_carrier_freqs,
+            subsystem_list=subsystem_list,
+            **kwargs,
+        )
+
+
+def default_experiment_result_function(
+    experiment_name: str,
+    solver_result: OdeResult,
+    measurement_subsystems: List[int],
+    memory_slot_indices: List[int],
+    num_memory_slots: Union[None, int],
+    backend: DynamicsBackend,
+    seed: Optional[int] = None,
+    metadata: Optional[Dict] = None,
+) -> ExperimentResult:
+    """Default measurement pipeline: frame-out -> dressed basis -> normalize ->
+    probabilities -> counts (meas_level 2) or Gaussian IQ clouds (meas_level 1)."""
+    yf = solver_result.y[-1]
+    tf = solver_result.t[-1]
+
+    if isinstance(yf, Statevector) or type(yf).__name__ == "Statevector":
+        arr = np.asarray(
+            backend.options.solver.model.rotating_frame.state_out_of_frame(
+                t=tf, y=np.asarray(yf)
+            )
+        )
+        arr = backend._dressed_states_adjoint @ arr
+        if backend.options.normalize_states:
+            arr = arr / np.linalg.norm(arr)
+        yf = Statevector(arr, dims=tuple(backend.options.subsystem_dims))
+    elif isinstance(yf, DensityMatrix) or type(yf).__name__ == "DensityMatrix":
+        arr = np.asarray(
+            backend.options.solver.model.rotating_frame.operator_out_of_frame(
+                t=tf, operator=np.asarray(yf)
+            )
+        )
+        arr = backend._dressed_states_adjoint @ arr @ backend._dressed_states
+        if backend.options.normalize_states:
+            arr = arr / np.diag(arr).sum()
+        yf = DensityMatrix(arr, dims=tuple(backend.options.subsystem_dims))
+    else:
+        raise DynamicsError(
+            f"State type {type(yf)} not supported by default_experiment_result_function."
+        )
+
+    header = {"name": experiment_name, "metadata": metadata}
+
+    if backend.options.meas_level == 2:
+        memory_slot_probabilities = _get_memory_slot_probabilities(
+            probability_dict=_probabilities_dict(
+                yf.probabilities(), yf.dims(), qargs=measurement_subsystems
+            ),
+            memory_slot_indices=memory_slot_indices,
+            num_memory_slots=num_memory_slots,
+            max_outcome_value=backend.options.max_outcome_level,
+        )
+        memory_samples = _sample_probability_dict(
+            memory_slot_probabilities,
+            shots=backend.options.shots,
+            normalize_probabilities=backend.options.normalize_states,
+            seed=seed,
+        )
+        counts = _get_counts_from_samples(memory_samples)
+        exp_data = ExperimentResultData(
+            counts=counts, memory=memory_samples if backend.options.memory else None
+        )
+        return ExperimentResult(
+            shots=backend.options.shots,
+            success=True,
+            data=exp_data,
+            meas_level=2,
+            seed=seed,
+            header=header,
+        )
+
+    # meas_level == 1
+    iq_centers = backend.options.iq_centers
+    if iq_centers is None:
+        iq_centers = []
+        for sub_dim in backend.options.subsystem_dims:
+            theta = 2 * np.pi / sub_dim
+            iq_centers.append(
+                [(np.cos(idx * theta), np.sin(idx * theta)) for idx in range(sub_dim)]
+            )
+
+    measurement_data = _get_iq_data(
+        yf,
+        measurement_subsystems=measurement_subsystems,
+        iq_centers=iq_centers,
+        iq_width=backend.options.iq_width,
+        shots=backend.options.shots,
+        memory_slot_indices=memory_slot_indices,
+        num_memory_slots=num_memory_slots,
+        seed=seed,
+    )
+    if backend.options.meas_return == "avg":
+        measurement_data = np.average(measurement_data, axis=0)
+
+    return ExperimentResult(
+        shots=backend.options.shots,
+        success=True,
+        data=ExperimentResultData(memory=measurement_data),
+        meas_level=1,
+        seed=seed,
+        header=header,
+    )

@@ -205,6 +205,7 @@ class Schedule:
 
     def __init__(self, *instructions, name: Optional[str] = None):
         self.name = name
+        self.metadata: dict = {}
         self._timeslots: List[Tuple[int, Instruction]] = []
         for inst in instructions:
             if isinstance(inst, tuple):

@@ -1,0 +1,286 @@
+"""Tests for the backend layer: string parser, measurement utils, DynamicsBackend.
+
+Mirrors the reference's test strategy
+(``/root/reference/test/dynamics/backend/``): validation error cases,
+physics-level pi-pulse counts tests, measurement options.
+"""
+import numpy as np
+import pytest
+
+from qiskit_dynamics_tpu import Solver
+from qiskit_dynamics_tpu.backend import (
+    DynamicsBackend,
+    parse_backend_hamiltonian_dict,
+)
+from qiskit_dynamics_tpu.backend.backend_utils import (
+    _get_dressed_state_decomposition,
+    _get_memory_slot_probabilities,
+    _probabilities_dict,
+    _get_iq_data,
+)
+from qiskit_dynamics_tpu.exceptions import DynamicsError
+from qiskit_dynamics_tpu.pulse import (
+    Schedule,
+    Play,
+    Acquire,
+    DriveChannel,
+    AcquireChannel,
+    MemorySlot,
+    Gaussian,
+    Constant,
+)
+from qiskit_dynamics_tpu.quantum_info import Statevector, DensityMatrix
+
+
+class TestStringParser:
+    def test_single_transmon(self):
+        ham = {
+            "h_str": ["v*np.pi*O0", "alpha*np.pi*O0*O0", "r*np.pi*X0||D0"],
+            "qub": {"0": 4},
+            "vars": {"v": 2.1, "alpha": -0.33, "r": 0.02},
+        }
+        static, ops, channels, dims = parse_backend_hamiltonian_dict(ham)
+        assert channels == ["d0"]
+        assert dims == {0: 4}
+        N = np.diag(np.arange(4))
+        a = np.diag(np.sqrt(np.arange(1, 4)), 1)
+        X = a + a.conj().T
+        np.testing.assert_allclose(
+            static, 2.1 * np.pi * N + (-0.33) * np.pi * N @ N, atol=1e-12
+        )
+        np.testing.assert_allclose(ops[0], 0.02 * np.pi * X, atol=1e-12)
+
+    def test_two_transmon_sum_format(self):
+        ham = {
+            "h_str": [
+                "_SUM[i,0,1,wq{i}/2*(I{i}-Z{i})]",
+                "_SUM[i,0,1,delta{i}/2*O{i}*O{i}]",
+                "_SUM[i,0,1,-delta{i}/2*O{i}]",
+                "_SUM[i,0,1,omegad{i}*X{i}||D{i}]",
+                "jq0q1*Sp0*Sm1",
+                "jq0q1*Sm0*Sp1",
+            ],
+            "qub": {"0": 3, "1": 3},
+            "vars": {
+                "wq0": 32.5,
+                "wq1": 33.1,
+                "delta0": -2.1,
+                "delta1": -2.09,
+                "jq0q1": 0.01,
+                "omegad0": 0.97,
+                "omegad1": 0.98,
+            },
+        }
+        static, ops, channels, dims = parse_backend_hamiltonian_dict(ham)
+        assert channels == ["d0", "d1"]
+        assert dims == {0: 3, 1: 3}
+        assert static.shape == (9, 9)
+        # hermiticity of static part
+        np.testing.assert_allclose(static, static.conj().T, atol=1e-12)
+        # subsystem 0 operator should be I tensor X (little-endian: sub 0 last)
+        a = np.diag(np.sqrt(np.arange(1, 3)), 1)
+        X3 = a + a.conj().T
+        np.testing.assert_allclose(ops[0], 0.97 * np.kron(np.eye(3), X3), atol=1e-12)
+        np.testing.assert_allclose(ops[1], 0.98 * np.kron(X3, np.eye(3)), atol=1e-12)
+
+    def test_subsystem_filtering(self):
+        ham = {
+            "h_str": ["w0*N0", "w1*N1", "j*Sp0*Sm1", "r*X0||D0", "r*X1||D1"],
+            "qub": {"0": 2, "1": 2},
+            "vars": {"w0": 5.0, "w1": 5.1, "j": 0.01, "r": 0.02},
+        }
+        static, ops, channels, dims = parse_backend_hamiltonian_dict(ham, subsystem_list=[0])
+        assert channels == ["d0"]
+        assert dims == {0: 2}
+        assert static.shape == (2, 2)
+        np.testing.assert_allclose(static, 5.0 * np.diag([0.0, 1.0]), atol=1e-12)
+
+    def test_dag(self):
+        ham = {
+            "h_str": ["r*(Sm0+Sm0.dag)||D0"],
+            "qub": {"0": 2},
+            "vars": {"r": 0.5},
+        }
+        _, ops, _, _ = parse_backend_hamiltonian_dict(ham)
+        np.testing.assert_allclose(ops[0], 0.5 * np.array([[0, 1], [1, 0]]), atol=1e-12)
+
+    def test_validation_errors(self):
+        with pytest.raises(DynamicsError):
+            parse_backend_hamiltonian_dict({"h_str": [], "qub": {"0": 2}})
+        with pytest.raises(DynamicsError):
+            parse_backend_hamiltonian_dict({"h_str": ["X0"], "qub": {}})
+        with pytest.raises(DynamicsError):
+            parse_backend_hamiltonian_dict(
+                {"h_str": ["r*X0||"], "qub": {"0": 2}, "vars": {"r": 1.0}}
+            )
+
+
+class TestBackendUtils:
+    def test_dressed_state_decomposition(self):
+        H = np.diag([0.0, 1.0, 5.0]) + 0.01 * np.ones((3, 3))
+        evals, states = _get_dressed_state_decomposition(H)
+        # each dressed state dominated by its elementary component
+        for i in range(3):
+            assert np.argmax(np.abs(states[:, i])) == i
+        # reconstruction
+        np.testing.assert_allclose(
+            states @ np.diag(evals) @ states.conj().T, H, atol=1e-10
+        )
+
+    def test_dressed_non_hermitian_raises(self):
+        with pytest.raises(DynamicsError):
+            _get_dressed_state_decomposition(np.array([[0.0, 1.0], [0.0, 0.0]]))
+
+    def test_probabilities_dict(self):
+        # two qubits: state |01> (sub0=1, sub1=0)
+        probs = np.zeros(4)
+        probs[1] = 1.0  # index 1 = (sub1=0, sub0=1) little endian
+        d = _probabilities_dict(probs, (2, 2), qargs=[0, 1])
+        assert d == {"01": 1.0}
+        d0 = _probabilities_dict(probs, (2, 2), qargs=[0])
+        assert d0 == {"1": 1.0}
+        d1 = _probabilities_dict(probs, (2, 2), qargs=[1])
+        assert d1 == {"0": 1.0}
+
+    def test_memory_slot_probabilities(self):
+        probs = {"02": 0.3, "10": 0.7}
+        out = _get_memory_slot_probabilities(
+            probs, memory_slot_indices=[0, 1], num_memory_slots=2, max_outcome_value=1
+        )
+        # "02": slot0 <- '2'->'1', slot1 <- '0' => "01"; "10": slot0 <- 0, slot1 <- 1 => "10"
+        assert out == {"01": 0.3, "10": 0.7}
+
+    def test_iq_data_shape(self):
+        state = Statevector([1.0, 0.0], dims=(2,))
+        iq = _get_iq_data(
+            state,
+            measurement_subsystems=[0],
+            iq_centers=[[[1, 0], [-1, 0]]],
+            iq_width=0.1,
+            shots=100,
+            memory_slot_indices=[0],
+            seed=5,
+        )
+        assert iq.shape == (100, 1, 2)
+        assert np.abs(iq[:, 0, 0].mean() - 1.0) < 0.1
+
+
+def _rabi_backend(**options):
+    """2-level solver configured for pulse simulation of a d0 drive."""
+    nu = 5.0
+    X = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex)
+    Z = np.array([[1.0, 0.0], [0.0, -1.0]], dtype=complex)
+    r = 0.1
+    solver = Solver(
+        static_hamiltonian=2 * np.pi * nu * Z / 2,
+        hamiltonian_operators=[2 * np.pi * r * X / 2],
+        hamiltonian_channels=["d0"],
+        channel_carrier_freqs={"d0": nu},
+        dt=0.1,
+        rotating_frame=2 * np.pi * nu * Z / 2,
+    )
+    return DynamicsBackend(solver=solver, subsystem_dims=[2], **options), r
+
+
+class TestDynamicsBackend:
+    def test_pi_pulse_counts(self):
+        backend, r = _rabi_backend(seed_simulator=42)
+        # constant pulse implementing a pi rotation: amp * r * duration * dt = 1
+        n_samples = 50
+        amp = 1.0 / (r * n_samples * 0.1)
+        sched = Schedule(name="pi_pulse")
+        sched.append(Play(Constant(duration=n_samples, amp=amp), DriveChannel(0)))
+        sched.insert(n_samples, Acquire(1, AcquireChannel(0), MemorySlot(0)))
+
+        res = backend.run(sched, solver_options={"method": "DOP853", "atol": 1e-10, "rtol": 1e-10}).result()
+        counts = res.get_counts()
+        assert counts.get("1", 0) > 1000  # nearly all shots in |1>
+
+    def test_no_pulse_ground_state(self):
+        backend, _ = _rabi_backend(seed_simulator=3)
+        sched = Schedule(name="idle")
+        sched.append(Acquire(1, AcquireChannel(0), MemorySlot(0)))
+        sched.insert(100, Acquire(1, AcquireChannel(0), MemorySlot(0)))
+        with pytest.raises(DynamicsError):
+            # measurements at two different times unsupported
+            backend.run(sched)
+
+        sched2 = Schedule(name="idle2")
+        sched2.insert(100, Acquire(1, AcquireChannel(0), MemorySlot(0)))
+        res = backend.run(sched2).result()
+        assert res.get_counts() == {"0": 1024}
+
+    def test_meas_level_1(self):
+        backend, r = _rabi_backend(seed_simulator=7, meas_level=1, meas_return="single")
+        sched = Schedule(name="iq")
+        sched.insert(10, Acquire(1, AcquireChannel(0), MemorySlot(0)))
+        res = backend.run(sched).result()
+        iq = res.get_memory()
+        assert iq.shape == (1024, 1, 2)
+        # ground state: centered near (1, 0)
+        assert abs(iq[:, 0, 0].mean() - 1.0) < 0.05
+
+    def test_solve_passthrough(self):
+        backend, r = _rabi_backend()
+        sched = Schedule(name="s")
+        sched.append(Play(Constant(duration=10, amp=0.1), DriveChannel(0)))
+        sched.insert(10, Acquire(1, AcquireChannel(0), MemorySlot(0)))
+        out = backend.solve(sched, y0=Statevector([1.0, 0.0]))
+        if isinstance(out, list):
+            out = out[0]
+        assert hasattr(out, "y")
+        assert isinstance(out.y[-1], Statevector)
+
+    def test_option_validation(self):
+        backend, _ = _rabi_backend()
+        with pytest.raises(DynamicsError):
+            backend.set_options(meas_level=3)
+        with pytest.raises(DynamicsError):
+            backend.set_options(meas_return="bad")
+        with pytest.raises(DynamicsError):
+            backend.set_options(max_outcome_level=0)
+        with pytest.raises(DynamicsError):
+            backend.set_options(iq_width=-1.0)
+        with pytest.raises(DynamicsError):
+            backend.set_options(initial_state="bad_string")
+        with pytest.raises(AttributeError):
+            backend.set_options(nonexistent_option=1)
+
+    def test_subsystem_dims_validation(self):
+        nu = 5.0
+        Z = np.array([[1.0, 0.0], [0.0, -1.0]], dtype=complex)
+        X = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex)
+        solver = Solver(
+            static_hamiltonian=2 * np.pi * nu * Z / 2,
+            hamiltonian_operators=[2 * np.pi * X / 2],
+            hamiltonian_channels=["d0"],
+            channel_carrier_freqs={"d0": nu},
+            dt=0.1,
+            rotating_frame=None,
+        )
+        with pytest.raises(DynamicsError):
+            DynamicsBackend(solver=solver, subsystem_dims=[3])
+
+    def test_unconfigured_solver_rejected(self):
+        Z = np.array([[1.0, 0.0], [0.0, -1.0]], dtype=complex)
+        solver = Solver(static_hamiltonian=Z)
+        with pytest.raises(DynamicsError):
+            DynamicsBackend(solver=solver)
+
+    def test_from_config(self):
+        ham = {
+            "h_str": ["v*np.pi*(I0-Z0)", "r*np.pi*X0||D0"],
+            "qub": {"0": 2},
+            "vars": {"v": 5.0, "r": 0.1},
+        }
+        backend = DynamicsBackend.from_config(
+            hamiltonian_dict=ham,
+            dt=0.1,
+            channel_carrier_freqs={"d0": 5.0},
+            seed_simulator=11,
+        )
+        assert backend.options.subsystem_dims == [2]
+        sched = Schedule(name="idle")
+        sched.insert(10, Acquire(1, AcquireChannel(0), MemorySlot(0)))
+        res = backend.run(sched).result()
+        assert res.get_counts() == {"0": 1024}
