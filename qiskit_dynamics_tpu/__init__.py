@@ -11,6 +11,7 @@ __version__ = "0.1.0"
 
 from .exceptions import DynamicsError
 from .dtypes import ArrayLike
+from .arraylias import DYNAMICS_NUMPY, DYNAMICS_NUMPY_ALIAS, DYNAMICS_SCIPY, requires_array_library
 from .models import RotatingFrame
 from .signals import Signal, DiscreteSignal
 from .solvers import solve_ode, solve_lmde, Solver, OdeResult, DysonSolver, MagnusSolver

@@ -15,9 +15,10 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
-from ..unified import unp
+from ..unified import unp, contains_tracer
 from jax.experimental import sparse as jsparse
 from jax.tree_util import register_pytree_node
 from scipy.sparse import csr_matrix, issparse
@@ -103,7 +104,25 @@ class OperatorCollection:
         )
 
     def evaluate_rhs(self, coefficients, y):
-        r"""Return ``(G_d + Sigma_j c_j G_j) y``."""
+        r"""Return ``(G_d + Sigma_j c_j G_j) y``.
+
+        For 1d ``y`` the operators are multiplied into the state BEFORE the
+        linear combination (``Sigma_j c_j (G_j y)``), like the reference's
+        sparse path (``operator_collections.py:238-248``) — but here for TPU
+        layout: under ``vmap`` over a parameter sweep this shape becomes one
+        ``(k*n, n) @ (n, B)`` matmul with the sweep batch on the lane
+        dimension (full MXU tiles), instead of B independent padded ``(n, n)``
+        matmuls.
+        """
+        if not self._sparse and jnp.ndim(y) == 1 and self._operators is not None:
+            xp = jnp if (contains_tracer(coefficients, y)
+                         or isinstance(y, jax.Array)
+                         or isinstance(coefficients, jax.Array)) else np
+            op_dot_y = xp.tensordot(self._operators, y, axes=(2, 0))  # (k, n)
+            rhs = xp.tensordot(coefficients, op_dot_y, axes=(0, 0))
+            if self._static_operator is not None:
+                rhs = rhs + self._static_operator @ y
+            return rhs
         gen = self.evaluate(coefficients)
         if self._sparse:
             return jsparse.bcoo_dot_general(

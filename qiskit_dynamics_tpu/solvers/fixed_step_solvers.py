@@ -20,6 +20,7 @@ from jax.scipy.linalg import expm as jexpm
 from scipy.linalg import expm as scipy_expm
 
 from ..exceptions import DynamicsError
+from ..ops.expm import expm_taylor
 from .results import OdeResult
 from .solver_utils import merge_t_args, trim_t_results
 from .lanczos import lanczos_expm, jax_lanczos_expm
@@ -70,9 +71,31 @@ def scipy_expm_solver(generator, t_span, y0, max_dt, t_eval=None, magnus_order: 
     )
 
 
-def jax_expm_solver(generator, t_span, y0, max_dt, t_eval=None, magnus_order: int = 1):
-    """Fixed-step matrix-exponential solver via ``jax.scipy.linalg.expm``."""
-    take_step = get_exponential_take_step(magnus_order, expm_func=jexpm)
+def _select_expm(expm_method: str, expm_order: int, expm_squarings: int):
+    """Pick the expm kernel: 'pade' = jax.scipy (norm-adaptive, branching),
+    'taylor' = branch-free fixed-order scaling-and-squaring (ops/expm.py) —
+    the fast TPU path for fixed-step solvers whose step norm is bounded."""
+    if expm_method == "taylor":
+        return lambda a: expm_taylor(a, order=expm_order, squarings=expm_squarings)
+    if expm_method == "pade":
+        return jexpm
+    raise DynamicsError(f"expm_method {expm_method} not supported (use 'pade' or 'taylor').")
+
+
+def jax_expm_solver(
+    generator,
+    t_span,
+    y0,
+    max_dt,
+    t_eval=None,
+    magnus_order: int = 1,
+    expm_method: str = "pade",
+    expm_order: int = 12,
+    expm_squarings: int = 2,
+):
+    """Fixed-step matrix-exponential solver (jax)."""
+    expm_func = _select_expm(expm_method, expm_order, expm_squarings)
+    take_step = get_exponential_take_step(magnus_order, expm_func=expm_func)
     return fixed_step_solver_template_jax(
         take_step, rhs_func=generator, t_span=t_span, y0=jnp.asarray(y0, dtype=complex),
         max_dt=max_dt, t_eval=t_eval,
@@ -102,9 +125,20 @@ def jax_lanczos_diag_solver(generator, t_span, y0, max_dt, k_dim, t_eval=None):
     )
 
 
-def jax_expm_parallel_solver(generator, t_span, y0, max_dt, t_eval=None, magnus_order: int = 1):
+def jax_expm_parallel_solver(
+    generator,
+    t_span,
+    y0,
+    max_dt,
+    t_eval=None,
+    magnus_order: int = 1,
+    expm_method: str = "pade",
+    expm_order: int = 12,
+    expm_squarings: int = 2,
+):
     """Parallel expm solver: batched per-step propagators + associative scan."""
-    take_step = get_exponential_take_step(magnus_order, expm_func=jexpm, just_propagator=True)
+    expm_func = _select_expm(expm_method, expm_order, expm_squarings)
+    take_step = get_exponential_take_step(magnus_order, expm_func=expm_func, just_propagator=True)
     return fixed_step_lmde_solver_parallel_template_jax(
         take_step, generator=generator, t_span=t_span, y0=y0, max_dt=max_dt, t_eval=t_eval
     )

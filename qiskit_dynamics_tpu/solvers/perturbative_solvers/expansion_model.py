@@ -270,3 +270,61 @@ class ExpansionModel:
     def evaluate(self, coeffs):
         """Evaluate the expansion polynomial at Chebyshev coefficients."""
         return self._expansion_polynomial(coeffs)
+
+    # ------------------------------------------------------------------ #
+    # checkpointing — the precompute is expensive; the reference recomputes
+    # it on every construction (SURVEY.md §5). Here it can be saved/loaded.
+    # ------------------------------------------------------------------ #
+
+    def save(self, path: str):
+        """Serialize the precomputed expansion to an ``.npz`` checkpoint."""
+        poly = self._expansion_polynomial
+        np.savez(
+            path,
+            expansion_method=self._expansion_method,
+            dt=self._dt,
+            Udt=self._Udt,
+            operators=self._operators,
+            carrier_freqs=self._carrier_freqs,
+            chebyshev_orders=np.asarray(self._chebyshev_orders),
+            include_imag=np.asarray(self._include_imag),
+            frame_operator=np.asarray(
+                self._rotating_frame.frame_operator
+                if self._rotating_frame.frame_operator is not None
+                else np.zeros(self._Udt.shape, dtype=complex)
+            ),
+            poly_constant=np.asarray(
+                poly.constant_term
+                if poly.constant_term is not None
+                else np.zeros(self._Udt.shape, dtype=complex)
+            ),
+            poly_has_constant=poly.constant_term is not None,
+            poly_coefficients=np.asarray(poly.array_coefficients),
+            poly_labels=np.asarray(
+                [",".join(map(str, label)) for label in poly.monomial_labels]
+            ),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "ExpansionModel":
+        """Reconstruct an ExpansionModel from a checkpoint without recompute."""
+        data = np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
+        obj = object.__new__(cls)
+        obj._expansion_method = str(data["expansion_method"])
+        obj._dt = float(data["dt"])
+        obj._Udt = data["Udt"]
+        obj._operators = data["operators"]
+        obj._carrier_freqs = data["carrier_freqs"]
+        obj._chebyshev_orders = list(data["chebyshev_orders"])
+        obj._include_imag = [bool(b) for b in data["include_imag"]]
+        obj._rotating_frame = RotatingFrame(data["frame_operator"])
+        labels = [
+            tuple(int(i) for i in s.split(",")) if s else ()
+            for s in data["poly_labels"]
+        ]
+        obj._expansion_polynomial = ArrayPolynomial(
+            constant_term=data["poly_constant"] if bool(data["poly_has_constant"]) else None,
+            array_coefficients=data["poly_coefficients"],
+            monomial_labels=labels,
+        )
+        return obj

@@ -31,6 +31,7 @@ from scipy.integrate import OdeSolver
 
 from ..exceptions import DynamicsError
 from ..unified import unp
+from ..utils.metrics import solve_span
 from ..models import BaseGeneratorModel, GeneratorModel, HamiltonianModel, LindbladModel
 from .results import OdeResult
 from .solver_utils import is_lindblad_model_not_vectorized
@@ -124,18 +125,23 @@ def solve_ode(
     else:
         solver_rhs = rhs
 
-    if method in SOLVE_IVP_METHODS or (isinstance(method, type) and issubclass(method, OdeSolver)):
-        results = scipy_solve_ivp(solver_rhs, t_span, np.asarray(y0), method, t_eval=t_eval, **kwargs)
-    elif method == "RK4":
-        results = RK4_solver(solver_rhs, t_span, np.asarray(y0), t_eval=t_eval, **kwargs)
-    elif method == "jax_RK4":
-        results = jax_RK4_solver(solver_rhs, t_span, unp.asarray(y0), t_eval=t_eval, **kwargs)
-    elif method == "jax_odeint":
-        results = jax_odeint(solver_rhs, t_span, unp.asarray(y0), t_eval=t_eval, **kwargs)
-    elif method in _TPU_ADAPTIVE:
-        results = _TPU_ADAPTIVE[method](
-            solver_rhs, t_span, unp.asarray(y0, dtype=complex), t_eval=t_eval, **kwargs
-        )
+    with solve_span(f"solve_ode[{method}]", method=str(method)):
+        if method in SOLVE_IVP_METHODS or (
+            isinstance(method, type) and issubclass(method, OdeSolver)
+        ):
+            results = scipy_solve_ivp(
+                solver_rhs, t_span, np.asarray(y0), method, t_eval=t_eval, **kwargs
+            )
+        elif method == "RK4":
+            results = RK4_solver(solver_rhs, t_span, np.asarray(y0), t_eval=t_eval, **kwargs)
+        elif method == "jax_RK4":
+            results = jax_RK4_solver(solver_rhs, t_span, unp.asarray(y0), t_eval=t_eval, **kwargs)
+        elif method == "jax_odeint":
+            results = jax_odeint(solver_rhs, t_span, unp.asarray(y0), t_eval=t_eval, **kwargs)
+        elif method in _TPU_ADAPTIVE:
+            results = _TPU_ADAPTIVE[method](
+                solver_rhs, t_span, unp.asarray(y0, dtype=complex), t_eval=t_eval, **kwargs
+            )
 
     if isinstance(rhs, BaseGeneratorModel):
         if not model_in_frame_basis:
@@ -182,24 +188,35 @@ def solve_lmde(
         solver_generator = generator
 
     y0_ndim = jnp.ndim(y0)
-    if method == "scipy_expm":
-        results = scipy_expm_solver(solver_generator, t_span, np.asarray(y0), t_eval=t_eval, **kwargs)
-    elif method == "lanczos_diag":
-        _lanczos_validation(generator, t_span, y0, kwargs["k_dim"])
-        results = lanczos_diag_solver(solver_generator, t_span, np.asarray(y0), t_eval=t_eval, **kwargs)
-    elif method == "jax_lanczos_diag":
-        _lanczos_validation(generator, t_span, y0, kwargs["k_dim"])
-        results = jax_lanczos_diag_solver(solver_generator, t_span, y0, t_eval=t_eval, **kwargs)
-    elif method == "jax_expm":
-        if isinstance(generator, BaseGeneratorModel) and generator.array_library is not None and (
-            "sparse" in str(generator.array_library)
-        ):
-            raise DynamicsError("jax_expm cannot be used with a generator in sparse mode.")
-        results = jax_expm_solver(solver_generator, t_span, y0, t_eval=t_eval, **kwargs)
-    elif method == "jax_expm_parallel":
-        results = jax_expm_parallel_solver(solver_generator, t_span, unp.asarray(y0, dtype=complex), t_eval=t_eval, **kwargs)
-    elif method == "jax_RK4_parallel":
-        results = jax_RK4_parallel_solver(solver_generator, t_span, unp.asarray(y0, dtype=complex), t_eval=t_eval, **kwargs)
+    with solve_span(f"solve_lmde[{method}]", method=str(method)):
+        if method == "scipy_expm":
+            results = scipy_expm_solver(
+                solver_generator, t_span, np.asarray(y0), t_eval=t_eval, **kwargs
+            )
+        elif method == "lanczos_diag":
+            _lanczos_validation(generator, t_span, y0, kwargs["k_dim"])
+            results = lanczos_diag_solver(
+                solver_generator, t_span, np.asarray(y0), t_eval=t_eval, **kwargs
+            )
+        elif method == "jax_lanczos_diag":
+            _lanczos_validation(generator, t_span, y0, kwargs["k_dim"])
+            results = jax_lanczos_diag_solver(
+                solver_generator, t_span, y0, t_eval=t_eval, **kwargs
+            )
+        elif method == "jax_expm":
+            if isinstance(generator, BaseGeneratorModel) and generator.array_library is not None and (
+                "sparse" in str(generator.array_library)
+            ):
+                raise DynamicsError("jax_expm cannot be used with a generator in sparse mode.")
+            results = jax_expm_solver(solver_generator, t_span, y0, t_eval=t_eval, **kwargs)
+        elif method == "jax_expm_parallel":
+            results = jax_expm_parallel_solver(
+                solver_generator, t_span, unp.asarray(y0, dtype=complex), t_eval=t_eval, **kwargs
+            )
+        elif method == "jax_RK4_parallel":
+            results = jax_RK4_parallel_solver(
+                solver_generator, t_span, unp.asarray(y0, dtype=complex), t_eval=t_eval, **kwargs
+            )
 
     if isinstance(generator, BaseGeneratorModel):
         if not model_in_frame_basis:

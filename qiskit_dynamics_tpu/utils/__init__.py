@@ -1,2 +1,3 @@
 """Utilities: complex-safe jit boundaries, profiling, metrics."""
 from .jit_tools import cjit, encode_complex, decode_complex
+from .metrics import enable_metrics, disable_metrics, solve_metrics, SolveMetrics, solve_span

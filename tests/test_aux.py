@@ -1,0 +1,138 @@
+"""Tests for aux subsystems: arraylias compat, metrics, expm kernel, checkpointing."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.linalg import expm as scipy_expm
+
+from qiskit_dynamics_tpu import (
+    DYNAMICS_NUMPY as unp,
+    DYNAMICS_NUMPY_ALIAS as numpy_alias,
+    DYNAMICS_SCIPY as usp,
+    requires_array_library,
+    Signal,
+    solve_ode,
+)
+from qiskit_dynamics_tpu.ops import expm_taylor
+from qiskit_dynamics_tpu.utils import enable_metrics, disable_metrics, solve_metrics
+
+
+class TestArrayliasCompat:
+    def test_unp_dispatch(self):
+        out = unp.sin(np.array([0.0, np.pi / 2]))
+        assert isinstance(out, np.ndarray)
+        np.testing.assert_allclose(out, [0.0, 1.0], atol=1e-12)
+
+        @jax.jit
+        def f(x):
+            return unp.sin(x)
+
+        np.testing.assert_allclose(np.asarray(f(jnp.array(np.pi / 2))), 1.0, atol=1e-7)
+
+    def test_alias_asarray(self):
+        x = [[1.0, 0.0], [0.0, 1.0]]
+        assert isinstance(numpy_alias(like="numpy").asarray(x), np.ndarray)
+        assert isinstance(numpy_alias(like="jax").asarray(x), jax.Array)
+        bcoo = numpy_alias(like="jax_sparse").asarray(x)
+        np.testing.assert_allclose(np.asarray(bcoo.todense()), x)
+        sp = numpy_alias(like="scipy_sparse").asarray(x)
+        np.testing.assert_allclose(sp.toarray(), x)
+
+    def test_infer_libs(self):
+        assert numpy_alias.infer_libs(np.zeros(2)) == ("numpy",)
+        assert numpy_alias.infer_libs(jnp.zeros(2)) == ("jax",)
+
+    def test_scipy_dispatch(self):
+        A = np.array([[0.0, 1.0], [-1.0, 0.0]])
+        np.testing.assert_allclose(usp.linalg.expm(A), scipy_expm(A), atol=1e-12)
+
+    def test_requires_array_library_passthrough(self):
+        @requires_array_library("jax")
+        def f(x):
+            return 2 * x
+
+        assert f(3) == 6
+
+
+class TestExpmTaylor:
+    def test_matches_scipy(self):
+        rng = np.random.default_rng(2)
+        A = rng.standard_normal((5, 8, 8)) + 1j * rng.standard_normal((5, 8, 8))
+        A = 0.3 * A
+        out = np.asarray(expm_taylor(jnp.asarray(A), order=12, squarings=2))
+        expected = np.stack([scipy_expm(a) for a in A])
+        np.testing.assert_allclose(out, expected, atol=1e-10)
+
+    def test_in_solver(self):
+        # jax_expm with taylor kernel matches pade kernel
+        G = -1j * np.array([[1.0, 0.3], [0.3, -1.0]], dtype=complex)
+
+        def gen(t):
+            return jnp.asarray(G) * jnp.cos(t)
+
+        r1 = solve_ode(lambda t, y: gen(t) @ y, [0.0, 1.0], np.eye(2, dtype=complex),
+                       method="DOP853", atol=1e-12, rtol=1e-12)
+        from qiskit_dynamics_tpu import solve_lmde
+
+        r2 = solve_lmde(gen, [0.0, 1.0], np.eye(2, dtype=complex), method="jax_expm",
+                        max_dt=0.01, magnus_order=2, expm_method="taylor",
+                        expm_order=10, expm_squarings=1)
+        np.testing.assert_allclose(np.asarray(r2.y[-1]), np.asarray(r1.y[-1]), atol=1e-8)
+
+
+class TestMetrics:
+    def test_record_and_disable(self):
+        disable_metrics(clear=True)
+        enable_metrics()
+        solve_ode(
+            lambda t, y: -0.5 * y, [0.0, 1.0], np.array([1.0 + 0j]), method="DOP853"
+        )
+        records = solve_metrics()
+        assert len(records) == 1
+        assert "DOP853" in records[0].method
+        assert records[0].wall_time_s > 0
+        disable_metrics(clear=True)
+        solve_ode(
+            lambda t, y: -0.5 * y, [0.0, 1.0], np.array([1.0 + 0j]), method="DOP853"
+        )
+        assert solve_metrics() == []
+
+
+class TestExpansionModelCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        from qiskit_dynamics_tpu.solvers import ExpansionModel, DysonSolver
+
+        X = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex)
+        Z = np.diag([1.0, -1.0]).astype(complex)
+        G0 = -1j * 2 * np.pi * 5.0 * Z / 2
+        G1 = -1j * 2 * np.pi * X / 2
+
+        model = ExpansionModel(
+            operators=[G1], rotating_frame=G0, dt=0.05, carrier_freqs=[5.0],
+            chebyshev_orders=[1], expansion_method="dyson", expansion_order=3,
+            atol=1e-12, rtol=1e-12,
+        )
+        path = os.path.join(tmp_path, "expansion.npz")
+        model.save(path)
+        loaded = ExpansionModel.load(path)
+
+        coeffs = np.linspace(0.1, 0.4, len(model.expansion_polynomial.monomial_labels))
+        # evaluate at arbitrary first-order variable values
+        c = np.linspace(0.05, 0.2, 4)
+        np.testing.assert_allclose(
+            np.asarray(loaded.evaluate(c)), np.asarray(model.evaluate(c)), atol=1e-12
+        )
+        assert loaded.dt == model.dt
+        np.testing.assert_allclose(loaded.Udt, model.Udt, atol=1e-12)
+
+        # a solver built around the loaded model steps identically
+        solver = DysonSolver.__new__(DysonSolver)
+        from qiskit_dynamics_tpu.solvers.perturbative_solvers.perturbative_solver import (
+            _PerturbativeSolver,
+        )
+
+        _PerturbativeSolver.__init__(solver, loaded)
+        sig = Signal(lambda t: 0.3, carrier_freq=5.0)
+        res = solver.solve(0.0, 5, np.eye(2, dtype=complex), [sig])
+        assert np.isfinite(np.asarray(res.y[-1])).all()
