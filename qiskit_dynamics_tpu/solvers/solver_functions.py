@@ -48,6 +48,7 @@ from .fixed_step_solvers import (
 from .scipy_solve_ivp import scipy_solve_ivp, SOLVE_IVP_METHODS
 from .jax_odeint import jax_odeint
 from .adaptive import tpu_dopri5, tpu_dop853
+from .diffrax_solver import diffrax_solver, _is_diffrax_method
 
 __all__ = ["solve_ode", "solve_lmde", "ODE_METHODS", "LMDE_METHODS"]
 
@@ -76,6 +77,8 @@ LMDE_METHODS = [
 
 def _is_jax_method(method) -> bool:
     """Whether the method executes inside jax (jit-compatible)."""
+    if _is_diffrax_method(method):
+        return True
     return method in (
         ["jax_odeint", "jax_RK4", "jax_expm", "jax_expm_parallel", "jax_RK4_parallel",
          "jax_lanczos_diag"] + list(_TPU_ADAPTIVE)
@@ -113,8 +116,10 @@ def solve_ode(
     **kwargs,
 ) -> OdeResult:
     r"""Solve ``dy/dt = f(t, y)``. See module docstring for available methods."""
-    if method not in ODE_METHODS and not (
-        isinstance(method, type) and issubclass(method, OdeSolver)
+    if (
+        method not in ODE_METHODS
+        and not (isinstance(method, type) and issubclass(method, OdeSolver))
+        and not _is_diffrax_method(method)
     ):
         raise DynamicsError(f"Method {method} not supported by solve_ode.")
 
@@ -142,6 +147,11 @@ def solve_ode(
             results = _TPU_ADAPTIVE[method](
                 solver_rhs, t_span, unp.asarray(y0, dtype=complex), t_eval=t_eval, **kwargs
             )
+        elif _is_diffrax_method(method):
+            results = diffrax_solver(
+                solver_rhs, t_span, unp.asarray(y0, dtype=complex), method,
+                t_eval=t_eval, **kwargs,
+            )
 
     if isinstance(rhs, BaseGeneratorModel):
         if not model_in_frame_basis:
@@ -163,6 +173,7 @@ def solve_lmde(
     if (
         method in ODE_METHODS
         or (isinstance(method, type) and issubclass(method, OdeSolver))
+        or _is_diffrax_method(method)
     ):
         if isinstance(generator, BaseGeneratorModel):
             rhs = generator
