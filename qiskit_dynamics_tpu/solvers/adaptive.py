@@ -62,8 +62,22 @@ _DOP853.E5 = np.asarray(_SciDOP853.E5)
 _DOP853.E3 = np.asarray(_SciDOP853.E3)
 
 
+def _cabs(x):
+    """|x| via real/imag split.
+
+    Avoids ``abs`` on complex arrays: XLA's algebraic simplifier (as of
+    jax 0.9 / CPU PJRT) canonicalizes complex constants like ``[0, 1]`` into a
+    complex iota and then miscompiles ``abs(iota)`` (RET_CHECK shape failure
+    in ``algebraic_simplifier.cc``). Splitting into real components sidesteps
+    the broken rewrite and costs nothing after fusion.
+    """
+    if jnp.iscomplexobj(x):
+        return jnp.sqrt(jnp.real(x) ** 2 + jnp.imag(x) ** 2)
+    return jnp.abs(x)
+
+
 def _rms_norm(x):
-    return jnp.sqrt(jnp.mean(jnp.abs(x) ** 2))
+    return jnp.sqrt(jnp.mean(_cabs(x) ** 2))
 
 
 def _dopri5_error_norm(K, h, scale):
@@ -74,8 +88,8 @@ def _dopri5_error_norm(K, h, scale):
 def _dop853_error_norm(K, h, scale):
     err5 = jnp.tensordot(_DOP853.E5, K, axes=1) / scale
     err3 = jnp.tensordot(_DOP853.E3, K, axes=1) / scale
-    err5_norm_2 = jnp.sum(jnp.abs(err5) ** 2)
-    err3_norm_2 = jnp.sum(jnp.abs(err3) ** 2)
+    err5_norm_2 = jnp.sum(_cabs(err5) ** 2)
+    err3_norm_2 = jnp.sum(_cabs(err3) ** 2)
     denom = err5_norm_2 + 0.01 * err3_norm_2
     denom = jnp.where(denom == 0.0, 1.0, denom)
     n = err5.size
@@ -88,7 +102,7 @@ def _select_initial_step(f, t0, y0, f0, err_exp, rtol, atol):
 
     y0 = _jax.lax.stop_gradient(y0)
     f0 = _jax.lax.stop_gradient(f0)
-    scale = atol + rtol * jnp.abs(y0)
+    scale = atol + rtol * _cabs(y0)
     d0 = _rms_norm(y0 / scale)
     d1 = _rms_norm(f0 / scale)
     h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / jnp.where(d1 == 0, 1.0, d1))
@@ -197,7 +211,7 @@ def tpu_rk_solve(
 
         # step control is non-differentiable by construction: gradients flow
         # through the accepted states, never through step-size selection
-        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
+        scale = atol + rtol * jnp.maximum(_cabs(y), _cabs(y_new))
         err_norm = lax.stop_gradient(error_norm_fn(K, h_eff, scale))
 
         accept = (err_norm <= 1.0) | (h_eff <= 1e-14 * jnp.maximum(1.0, jnp.abs(s)))
