@@ -44,7 +44,8 @@ def main():
     def sim(amp):
         sig = Signal(lambda t: amp * amp_scale, carrier_freq=w1)
         res = solver.solve(
-            t_span=[0.0, T], y0=y0, signals=[sig], method="jax_expm", max_dt=0.5, magnus_order=2
+            t_span=[0.0, T], y0=y0, signals=[sig], method="jax_expm", max_dt=0.5,
+            magnus_order=2, expm_method="taylor", expm_order=8, expm_squarings=0,
         )
         return jnp.abs(res.y[-1]) ** 2
 
