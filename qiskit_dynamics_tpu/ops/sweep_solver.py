@@ -1,0 +1,221 @@
+r"""Fused Pallas sweep solver: one kernel for an entire fixed-step LMDE sweep.
+
+The standard sweep path (``jit(vmap(solve))``) issues hundreds of small
+batched ops per solve; even with batched generators, TPU pads ``(B, n, n)``
+complex stacks 8x on the minormost tile and every step costs several kernel
+dispatches. This module instead runs the ENTIRE fixed-step solve for a tile
+of sweep members inside one Pallas program:
+
+- layout is batch-on-lanes: every matrix quantity is ``(n, n, TILE_B)`` /
+  state ``(n, TILE_B)`` with the sweep batch on the lane dimension — full
+  (8, 128) tiles, zero padding waste;
+- per step, the frame-basis generator is assembled in VMEM from the operator
+  stack and per-step signal coefficients, rotated by the frame phase matrix
+  (``cos/sin`` of a precomputed frequency-difference matrix — reference math:
+  ``rotating_frame.py:286-370``), combined with the Magnus-2 commutator rule
+  (Gauss points, reference ``fixed_step_solvers.py:321-403``), exponentiated
+  with the branch-free Taylor kernel, and applied to the state;
+- the time loop is a ``fori_loop`` over VMEM-resident buffers: per B-tile the
+  whole trajectory runs with ZERO HBM round-trips for intermediates.
+
+Used by the CR-sweep benchmark; validated against the generic solver path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["sweep_expm_magnus2"]
+
+_GAUSS_C1 = 0.5 - np.sqrt(3) / 6
+_GAUSS_C2 = 0.5 + np.sqrt(3) / 6
+_P2 = np.sqrt(3) / 12
+
+
+def _kernel(
+    n: int,
+    k: int,
+    T: int,
+    dt: float,
+    order: int,
+    # refs:
+    statr_ref, stati_ref,       # (n, n) static op (frame basis, diag-subtracted)
+    opsr_ref, opsi_ref,         # (k, n, n) signal operators (frame basis)
+    omega_ref,                  # (n, n) frame frequency differences Im(d_j - d_i)
+    coef_ref,                   # (T, 2, k, TILE_B) real signal values at Gauss pts
+    y0r_ref, y0i_ref,           # (n, TILE_B) initial state (frame basis)
+    outr_ref, outi_ref,         # (n, TILE_B) final state
+    # scratch (all (n, n, TILE_B) unless noted):
+    g1r, g1i, g2r, g2i, mr, mi, tr, ti, pr, pi, yr, yi,  # yr/yi: (n, TILE_B)
+):
+    """One B-tile: full T-step Magnus-2 propagation in VMEM."""
+
+    def build_generator(step, gauss_idx, gauss_c, out_r, out_i):
+        """out <- P(tau) * (static + sum_j c_j ops_j); tau = (step+c) dt."""
+        tau = (step.astype(jnp.float32) + gauss_c) * dt
+        for i in range(n):
+            # combo over operators; coefficients vary along lanes
+            acc_r = jnp.broadcast_to(statr_ref[i][:, None], out_r[i].shape).astype(jnp.float32)
+            acc_i = jnp.broadcast_to(stati_ref[i][:, None], out_i[i].shape).astype(jnp.float32)
+            for j in range(k):
+                c = coef_ref[step, gauss_idx, j][None, :]  # (1, TILE_B)
+                acc_r = acc_r + c * opsr_ref[j, i][:, None]
+                acc_i = acc_i + c * opsi_ref[j, i][:, None]
+            # frame rotation: multiply by exp(i omega[i,:] tau) elementwise
+            ph = omega_ref[i] * tau  # (n,)
+            cos_p = jnp.cos(ph)[:, None]
+            sin_p = jnp.sin(ph)[:, None]
+            out_r[i] = acc_r * cos_p - acc_i * sin_p
+            out_i[i] = acc_r * sin_p + acc_i * cos_p
+
+    def matmul_into(ar, ai, br, bi, cr, ci, alpha=1.0, beta=0.0):
+        """C <- beta*C + alpha * A @ B (complex, batch on lanes)."""
+        for i in range(n):
+            acc_r = jnp.zeros_like(cr[i])
+            acc_i = jnp.zeros_like(ci[i])
+            for m in range(n):
+                xr = ar[i, m][None, :]
+                xi = ai[i, m][None, :]
+                acc_r += xr * br[m] - xi * bi[m]
+                acc_i += xr * bi[m] + xi * br[m]
+            if beta == 0.0:
+                cr[i] = alpha * acc_r
+                ci[i] = alpha * acc_i
+            else:
+                cr[i] = beta * cr[i] + alpha * acc_r
+                ci[i] = beta * ci[i] + alpha * acc_i
+
+    def body(step, _):
+        # two Gauss-point generator samples
+        build_generator(step, 0, _GAUSS_C1, g1r, g1i)
+        build_generator(step, 1, _GAUSS_C2, g2r, g2i)
+
+        # Magnus-2: M = dt (G1 + G2)/2 + p2 dt^2 (G2 G1 - G1 G2)
+        matmul_into(g2r, g2i, g1r, g1i, mr, mi, alpha=_P2 * dt * dt)
+        matmul_into(g1r, g1i, g2r, g2i, mr, mi, alpha=-_P2 * dt * dt, beta=1.0)
+        for i in range(n):
+            mr[i] = mr[i] + (0.5 * dt) * (g1r[i] + g2r[i])
+            mi[i] = mi[i] + (0.5 * dt) * (g1i[i] + g2i[i])
+
+        # U = expm(M): Horner Taylor, reusing g1 as the running polynomial
+        for i in range(n):
+            tr[i] = mr[i] * (1.0 / order)
+            ti[i] = mi[i] * (1.0 / order)
+            tr[i, i] += 1.0
+        for kk in range(order - 1, 0, -1):
+            matmul_into(mr, mi, tr, ti, pr, pi, alpha=1.0 / kk)
+            for i in range(n):
+                tr[i] = pr[i]
+                ti[i] = pi[i]
+                tr[i, i] += 1.0
+
+        # y <- U @ y (temporaries staged through pr/pi row 0 so all reads of
+        # the old y complete before any write)
+        for i in range(n):
+            acc_r = jnp.zeros_like(yr[i])
+            acc_i = jnp.zeros_like(yi[i])
+            for m in range(n):
+                ur = tr[i, m]
+                ui = ti[i, m]
+                acc_r += ur * yr[m] - ui * yi[m]
+                acc_i += ur * yi[m] + ui * yr[m]
+            pr[0, i] = acc_r
+            pi[0, i] = acc_i
+        for i in range(n):
+            yr[i] = pr[0, i]
+            yi[i] = pi[0, i]
+        return 0
+
+    for i in range(n):
+        yr[i] = y0r_ref[i]
+        yi[i] = y0i_ref[i]
+
+    jax.lax.fori_loop(0, T, body, 0)
+
+    for i in range(n):
+        outr_ref[i] = yr[i]
+        outi_ref[i] = yi[i]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dt", "order", "tile_b", "interpret")
+)
+def sweep_expm_magnus2(
+    static_op,
+    operators,
+    frame_omega,
+    coefficients,
+    y0,
+    dt: float,
+    order: int = 8,
+    tile_b: int = 512,
+    interpret: bool = False,
+):
+    r"""Fixed-step Magnus-2 sweep solve, fused into one Pallas kernel.
+
+    Solves ``y' = G_b(t) y`` for every sweep member ``b`` with
+    ``G_b(t) = P(t) \circ (static + \sum_j c_{b,j}(t) ops_j)`` where
+    ``P(t)[i,m] = exp(i omega[i,m] t)`` is the frame phase matrix.
+
+    Args:
+        static_op: (n, n) complex static generator in the frame basis (frame
+            diagonal already subtracted).
+        operators: (k, n, n) complex signal operators in the frame basis.
+        frame_omega: (n, n) real frequency-difference matrix
+            ``Im(d_m) - Im(d_i)`` of the frame diagonal.
+        coefficients: (T, 2, k, B) real signal values at the two Gauss points
+            of every step.
+        y0: (n, B) complex initial states in the frame basis.
+        dt: step size; ``T`` steps are taken.
+        order: Taylor order of the in-kernel expm.
+        tile_b: lane-tile size (B must be a multiple).
+        interpret: run in interpreter mode (CPU tests).
+
+    Returns:
+        (n, B) complex final states in the frame basis at ``t = T dt``.
+    """
+    T, _, k, B = coefficients.shape
+    n = y0.shape[0]
+    if B % tile_b != 0:
+        raise ValueError(f"sweep batch {B} must be a multiple of tile_b={tile_b}")
+
+    f32 = jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64
+    statr = jnp.real(static_op).astype(f32)
+    stati = jnp.imag(static_op).astype(f32)
+    opsr = jnp.real(operators).astype(f32)
+    opsi = jnp.imag(operators).astype(f32)
+    omega = jnp.asarray(frame_omega).astype(f32)
+    coef = jnp.asarray(coefficients).astype(f32)
+    y0r = jnp.real(y0).astype(f32)
+    y0i = jnp.imag(y0).astype(f32)
+
+    grid = (B // tile_b,)
+    # replicated (whole-array) inputs
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda b: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+    # lane-tiled inputs
+    coef_spec = pl.BlockSpec((T, 2, k, tile_b), lambda b: (0, 0, 0, b), memory_space=pltpu.VMEM)
+    y_spec = pl.BlockSpec((n, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel, n, k, T, float(dt), order)
+    scratch_mat = pltpu.VMEM((n, n, tile_b), f32)
+    scratch_vec = pltpu.VMEM((n, tile_b), f32)
+
+    outr, outi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            full(statr), full(stati), full(opsr), full(opsi), full(omega),
+            coef_spec, y_spec, y_spec,
+        ],
+        out_specs=[y_spec, y_spec],
+        out_shape=[jax.ShapeDtypeStruct((n, B), f32)] * 2,
+        scratch_shapes=[scratch_mat] * 10 + [scratch_vec] * 2,
+        interpret=interpret,
+    )(statr, stati, opsr, opsi, omega, coef, y0r, y0i)
+    return outr + 1j * outi

@@ -54,3 +54,29 @@ class TestExpmBol:
         Pr, Pi = expm_taylor_bol(Xr, Xr, order=6, squarings=0, interpret=True, tile_b=128)
         P = np.asarray(from_bol(Pr, Pi))
         np.testing.assert_allclose(P, np.broadcast_to(np.eye(n), (B, n, n)), atol=1e-6)
+
+
+class TestFusedSweepSolver:
+    def test_fused_matches_generic_path(self):
+        import jax
+        from qiskit_dynamics_tpu.benchmarks import cr_solver, fused_cr_sweep
+        from qiskit_dynamics_tpu import Signal
+
+        solver, w1 = cr_solver()
+        y0 = np.zeros(16, dtype=complex)
+        y0[0] = 1.0
+        amps = jnp.array([0.3, 0.75, 1.0])
+        T, dt = 5.0, 0.5
+        out = fused_cr_sweep(solver, w1, amps, t_final=T, dt=dt, tile_b=128, interpret=True)
+
+        def ref(amp):
+            sig = Signal(lambda t: amp * 0.02, carrier_freq=w1)
+            res = solver.solve(
+                t_span=[0.0, T], y0=y0, signals=[sig], method="jax_expm",
+                max_dt=dt, magnus_order=2, expm_method="taylor",
+                expm_order=8, expm_squarings=0,
+            )
+            return jnp.abs(res.y[-1]) ** 2
+
+        expected = jax.vmap(ref)(amps)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-10)
