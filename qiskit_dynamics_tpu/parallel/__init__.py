@@ -4,7 +4,7 @@ New TPU-native infrastructure with no counterpart in the reference (which is
 single-process; SURVEY.md §2.13/§5).
 """
 from .mesh import DATA_AXIS, TIME_AXIS, make_mesh, data_mesh, batch_sharding, local_device_count
-from .sweep import pvmap, sharded_sweep
+from .sweep import pvmap, sharded_sweep, pshard_batch
 from .scan import propagator_scan, sharded_propagator_scan
 
 __all__ = [
@@ -15,6 +15,7 @@ __all__ = [
     "batch_sharding",
     "local_device_count",
     "pvmap",
+    "pshard_batch",
     "sharded_sweep",
     "propagator_scan",
     "sharded_propagator_scan",

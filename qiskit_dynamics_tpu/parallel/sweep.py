@@ -84,6 +84,46 @@ def pvmap(
     return mapped
 
 
+def pshard_batch(
+    fn_batch: Callable,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = DATA_AXIS,
+) -> Callable:
+    """Shard a *batch-level* function over the mesh.
+
+    Unlike :func:`pvmap` (which maps a single-example function), ``fn_batch``
+    already consumes a whole batch (dim 0) — e.g. a fused Pallas sweep kernel
+    — and is applied independently to each chip's shard. The batch is padded
+    to a multiple of the axis size and trimmed on return.
+    """
+
+    @functools.wraps(fn_batch)
+    def mapped(batch):
+        m = mesh if mesh is not None else data_mesh()
+        n_shards = m.shape[axis_name]
+        leaves = jax.tree_util.tree_leaves(batch)
+        batch_size = leaves[0].shape[0]
+        padded = -(-batch_size // n_shards) * n_shards
+        batch_p = jax.tree_util.tree_map(lambda x: _pad_to(jnp.asarray(x), padded), batch)
+
+        in_spec = jax.tree_util.tree_map(
+            lambda x: P(axis_name, *([None] * (x.ndim - 1))), batch_p
+        )
+        eval_shape = jax.eval_shape(
+            fn_batch, jax.tree_util.tree_map(lambda x: x[: padded // n_shards], batch_p)
+        )
+        out_spec = jax.tree_util.tree_map(
+            lambda s: P(axis_name, *([None] * (len(s.shape) - 1))), eval_shape
+        )
+        sharded = shard_map(
+            fn_batch, mesh=m, in_specs=(in_spec,), out_specs=out_spec, check_vma=False
+        )
+        out = sharded(batch_p)
+        return jax.tree_util.tree_map(lambda x: x[:batch_size], out)
+
+    return mapped
+
+
 def sharded_sweep(
     fn: Callable,
     params,

@@ -60,6 +60,10 @@ class _Unified:
         return asarray(x, dtype=dtype)
 
     def __getattr__(self, name):
+        if not callable(getattr(np, name, None)):
+            # constants (pi, inf, nan, newaxis, dtypes, ...)
+            return getattr(np, name)
+
         def fn(*args, **kwargs):
             mod = jnp if contains_tracer(*args) or contains_tracer(*kwargs.values()) else np
             return getattr(mod, name)(*args, **kwargs)

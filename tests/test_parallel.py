@@ -92,3 +92,14 @@ def test_sharded_propagator_scan_divisibility_error():
     props = jnp.tile(jnp.eye(2, dtype=complex), (9, 1, 1))
     with pytest.raises(ValueError):
         sharded_propagator_scan(props)
+
+
+def test_pshard_batch_matches_direct():
+    from qiskit_dynamics_tpu.parallel import pshard_batch
+
+    def fn_batch(xs):  # batch-level function
+        return jnp.cumsum(jnp.ones_like(xs)) * 0 + xs * 2.0
+
+    xs = jnp.arange(20.0)
+    out = pshard_batch(fn_batch)(xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xs) * 2.0)
