@@ -345,8 +345,8 @@ class Solver:
 
             return cjit(sim_function)
 
-        sim_cache = {}
-        all_results = []
+        # prepare per-simulation inputs
+        prepared = []
         for t_span, y0, sched in zip(t_span_list, y0_list, schedule_list):
             y0, y0_input, y0_cls, state_type_wrapper = validate_and_format_initial_state(
                 y0, self.model
@@ -355,19 +355,61 @@ class Solver:
             all_samples = np.zeros(all_samples_shape, dtype=complex)
             for idx, sig in enumerate(all_signals):
                 all_samples[idx, 0 : len(sig.samples)] = np.asarray(sig.samples)
-
-            if y0_cls not in sim_cache:
-                sim_cache[y0_cls] = make_sim_function(y0_cls)
-            results_t, results_y = sim_cache[y0_cls](
-                np.asarray(t_span),
-                np.asarray(y0, dtype=complex),
-                all_samples,
-                np.asarray(y0_input, dtype=complex),
+            prepared.append(
+                (
+                    np.asarray(t_span),
+                    np.asarray(y0, dtype=complex),
+                    all_samples,
+                    np.asarray(y0_input, dtype=complex),
+                    y0_cls,
+                    state_type_wrapper,
+                )
             )
+
+        def wrap(results_t, results_y, y0_cls, state_type_wrapper):
             results = OdeResult(t=results_t, y=results_y)
             if y0_cls is not None and convert_results:
                 results.y = [state_type_wrapper(yi) for yi in results.y]
-            all_results.append(results)
+            return results
+
+        # batched fast path (improves on the reference's per-schedule loop,
+        # solver_classes.py:648-674): when every simulation shares the state
+        # type and y0/t_span shapes, run ONE vmapped device call for the
+        # whole batch
+        y0_classes = {p[4] for p in prepared}
+        same_shapes = (
+            len(prepared) > 1
+            and len(y0_classes) == 1
+            and len({p[1].shape for p in prepared}) == 1
+            and len({tuple(np.asarray(p[0]).ravel()) for p in prepared}) == 1
+        )
+        if same_shapes:
+            y0_cls = prepared[0][4]
+            state_type_wrapper = prepared[0][5]
+            sim_function = make_sim_function(y0_cls)
+            batched = cjit(
+                jax.vmap(
+                    sim_function.__wrapped__, in_axes=(None, 0, 0, 0), out_axes=(None, 0)
+                )
+            )
+            ts, ys = batched(
+                prepared[0][0],
+                np.stack([p[1] for p in prepared]),
+                np.stack([p[2] for p in prepared]),
+                np.stack([p[3] for p in prepared]),
+            )
+            ys = np.asarray(ys)
+            return [
+                wrap(ts, ys[i], y0_cls, state_type_wrapper) for i in range(len(prepared))
+            ]
+
+        sim_cache = {}
+        all_results = []
+        for t_span, y0, all_samples, y0_input, y0_cls, state_type_wrapper in prepared:
+            if y0_cls not in sim_cache:
+                sim_cache[y0_cls] = make_sim_function(y0_cls)
+            results_t, results_y = sim_cache[y0_cls](t_span, y0, all_samples, y0_input)
+            all_results.append(wrap(results_t, results_y, y0_cls, state_type_wrapper))
 
         return all_results
 

@@ -196,3 +196,46 @@ def test_pulse_phase_shift():
     np.testing.assert_allclose(p1, p2, atol=1e-3)
     # but the states differ (phase present)
     assert not np.allclose(np.asarray(r1.y[-1].data), np.asarray(r2.y[-1].data), atol=1e-3)
+
+
+def test_schedule_batch_vmapped_matches_serial():
+    """Batched schedule fast path (one vmapped call) == per-schedule solves."""
+    import numpy as np
+    import jax.numpy as jnp
+    from qiskit_dynamics_tpu import Solver
+    from qiskit_dynamics_tpu.pulse import Schedule, Play, DriveChannel, Constant
+
+    nu, r = 5.0, 0.1
+    X = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex)
+    Z = np.array([[1.0, 0.0], [0.0, -1.0]], dtype=complex)
+    solver = Solver(
+        static_hamiltonian=2 * np.pi * nu * Z / 2,
+        hamiltonian_operators=[2 * np.pi * r * X / 2],
+        hamiltonian_channels=["d0"],
+        channel_carrier_freqs={"d0": nu},
+        dt=0.1,
+        rotating_frame=2 * np.pi * nu * Z / 2,
+    )
+    y0 = np.array([1.0, 0.0], dtype=complex)
+    scheds = []
+    for amp in [0.3, 0.6, 0.9]:
+        s = Schedule(name=f"amp{amp}")
+        s.append(Play(Constant(duration=40, amp=amp), DriveChannel(0)))
+        scheds.append(s)
+
+    # batch path: same t_span/y0 for all -> vmapped single call
+    batch_results = solver.solve(
+        t_span=[0.0, 4.0], y0=y0, signals=scheds, method="tpu_dopri5",
+        atol=1e-10, rtol=1e-10, convert_results=False,
+    )
+    assert isinstance(batch_results, list) and len(batch_results) == 3
+
+    # serial reference: one schedule at a time
+    for sched, batch_res in zip(scheds, batch_results):
+        single = solver.solve(
+            t_span=[0.0, 4.0], y0=y0, signals=sched, method="tpu_dopri5",
+            atol=1e-10, rtol=1e-10, convert_results=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(batch_res.y[-1]), np.asarray(single.y[-1]), atol=1e-8
+        )
