@@ -78,6 +78,8 @@ class _NumpyAlias:
         class _Namespace:
             @staticmethod
             def asarray(x, dtype=None):
+                if hasattr(x, "full") and callable(x.full):
+                    x = x.full()  # qutip Qobj duck-typing (reference asarray.py:36-59)
                 if lib in (None, "numpy"):
                     return np.asarray(x, dtype=dtype)
                 if lib == "jax":

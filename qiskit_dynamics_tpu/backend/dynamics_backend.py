@@ -398,6 +398,48 @@ class DynamicsBackend:
         """Measurement map."""
         return self.options.meas_map
 
+    # --- channel accessors (reference dynamics_backend.py:530-590) -------- #
+
+    def _get_qubit_channel(self, qubit: int, cls, method_name: str):
+        if qubit < len(self.options.subsystem_dims):
+            return cls(qubit)
+        raise DynamicsError(
+            f"{method_name} requested for qubit {qubit}, which is out of bounds."
+        )
+
+    def drive_channel(self, qubit: int):
+        """Drive channel for a qubit."""
+        from ..pulse import DriveChannel
+
+        return self._get_qubit_channel(qubit, DriveChannel, "drive_channel")
+
+    def measure_channel(self, qubit: int):
+        """Measure channel for a qubit."""
+        from ..pulse import MeasureChannel
+
+        return self._get_qubit_channel(qubit, MeasureChannel, "measure_channel")
+
+    def acquire_channel(self, qubit: int):
+        """Acquire channel for a qubit."""
+        from ..pulse import AcquireChannel
+
+        return self._get_qubit_channel(qubit, AcquireChannel, "acquire_channel")
+
+    def control_channel(self, qubits):
+        """Control channel(s) looked up via the ``control_channel_map`` option."""
+        from ..pulse import ControlChannel
+
+        if self.options.control_channel_map is None:
+            raise NotImplementedError
+        if not isinstance(qubits, list):
+            qubits = [qubits]
+        channels = []
+        for label in qubits:
+            if label not in self.options.control_channel_map:
+                raise DynamicsError(f"Key {label} not in control_channel_map.")
+            channels.append(ControlChannel(self.options.control_channel_map[label]))
+        return channels
+
     @classmethod
     def from_config(
         cls,

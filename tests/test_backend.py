@@ -284,3 +284,44 @@ class TestDynamicsBackend:
         sched.insert(10, Acquire(1, AcquireChannel(0), MemorySlot(0)))
         res = backend.run(sched).result()
         assert res.get_counts() == {"0": 1024}
+
+
+class TestChannelAccessors:
+    def test_channels(self):
+        backend, _ = _rabi_backend(control_channel_map={(0, 1): 3})
+        assert backend.drive_channel(0).name == "d0"
+        assert backend.measure_channel(0).name == "m0"
+        assert backend.acquire_channel(0).name == "a0"
+        assert backend.control_channel((0, 1))[0].name == "u3"
+        with pytest.raises(DynamicsError):
+            backend.drive_channel(5)
+        with pytest.raises(DynamicsError):
+            backend.control_channel((1, 0))
+
+    def test_control_channel_unset(self):
+        backend, _ = _rabi_backend()
+        with pytest.raises(NotImplementedError):
+            backend.control_channel((0, 1))
+
+
+class TestTwoQubitCounts:
+    def test_two_transmon_idle_counts(self):
+        ham = {
+            "h_str": [
+                "_SUM[i,0,1,w{i}*N{i}]",
+                "j*Sp0*Sm1", "j*Sm0*Sp1",
+                "r*X0||D0", "r*X1||D1",
+            ],
+            "qub": {"0": 2, "1": 2},
+            "vars": {"w0": 31.4, "w1": 32.0, "j": 0.01, "r": 0.6},
+        }
+        backend = DynamicsBackend.from_config(
+            hamiltonian_dict=ham, dt=0.1,
+            channel_carrier_freqs={"d0": 31.4 / (2 * np.pi), "d1": 32.0 / (2 * np.pi)},
+            seed_simulator=5,
+        )
+        sched = Schedule(name="idle2q")
+        sched.insert(20, Acquire(1, AcquireChannel(0), MemorySlot(0)))
+        sched.insert(20, Acquire(1, AcquireChannel(1), MemorySlot(1)))
+        counts = backend.run(sched).result().get_counts()
+        assert counts == {"00": 1024}
