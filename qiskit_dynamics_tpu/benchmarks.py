@@ -120,7 +120,6 @@ def fused_cr_sweep(
     d = np.asarray(model.rotating_frame.frame_diag)
     omega = np.imag(d)[None, :] - np.imag(d)[:, None]
     dim = static_fb.shape[0]
-    k = ops_fb.shape[0]
 
     n_steps = int(round(t_final / dt))
     gauss_times = dt * (
