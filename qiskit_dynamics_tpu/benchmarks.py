@@ -108,49 +108,28 @@ def fused_cr_sweep(
     ``Solver.solve(..., method='jax_expm', magnus_order=2)`` up to Taylor
     truncation.
     """
-    import jax
     import jax.numpy as jnp
 
-    from .ops.sweep_solver import sweep_expm_magnus2, _GAUSS_C1, _GAUSS_C2
+    from .solvers.fused_sweep import fused_sweep_solve
 
     model = solver.model
-    coll = model._operator_collection
-    static_fb = np.asarray(coll.static_operator)
-    ops_fb = np.asarray(coll.operators)
-    d = np.asarray(model.rotating_frame.frame_diag)
-    omega = np.imag(d)[None, :] - np.imag(d)[:, None]
-    dim = static_fb.shape[0]
-
-    n_steps = int(round(t_final / dt))
-    gauss_times = dt * (
-        np.arange(n_steps)[:, None] + np.array([_GAUSS_C1, _GAUSS_C2])[None, :]
-    )  # (T, 2)
-
-    def signal_values(amp):
-        sig = Signal(lambda t: amp * amp_scale, carrier_freq=drive_freq)
-        sigs = [sig]
-        if solver._rwa_signal_map is not None:
-            sigs = solver._rwa_signal_map(sigs)
-        return SignalList(list(sigs))(jnp.asarray(gauss_times))  # (T, 2, k)
-
-    coeffs = jax.vmap(signal_values)(jnp.asarray(amps))  # (B, T, 2, k)
-    coeffs = jnp.moveaxis(coeffs, 0, -1)  # (T, 2, k, B)
-
-    B = coeffs.shape[-1]
-    pad = (-B) % tile_b
-    if pad:
-        filler = jnp.broadcast_to(coeffs[..., :1], coeffs.shape[:-1] + (pad,))
-        coeffs = jnp.concatenate([coeffs, filler], axis=-1)
-
+    dim = model.dim
     y0 = np.zeros(dim, dtype=complex)
     y0[0] = 1.0
-    y0_fb = np.asarray(model.rotating_frame.state_into_frame_basis(y0))
-    y0_cols = jnp.broadcast_to(jnp.asarray(y0_fb)[:, None], (dim, B + pad))
 
-    yf = sweep_expm_magnus2(
-        static_fb, ops_fb, omega, coeffs, y0_cols, dt=dt, order=order,
-        tile_b=tile_b, interpret=interpret,
-    )[:, :B]
-    # out of frame basis; populations are frame-phase invariant
-    yf = model.rotating_frame.state_out_of_frame_basis(yf)
-    return jnp.abs(yf.T) ** 2
+    def signals_fn(amp):
+        return [Signal(lambda t: amp * amp_scale, carrier_freq=drive_freq)]
+
+    yf = fused_sweep_solve(
+        model,
+        signals_fn,
+        jnp.asarray(amps),
+        t_span=(0.0, t_final),
+        max_dt=dt,
+        y0=y0,
+        expm_order=order,
+        tile_b=tile_b,
+        interpret=interpret,
+        rwa_signal_map=solver._rwa_signal_map,
+    )
+    return jnp.abs(yf) ** 2

@@ -16,3 +16,4 @@ from .jax_odeint import jax_odeint
 from .scipy_solve_ivp import scipy_solve_ivp
 from .solver_classes import Solver
 from .perturbative_solvers import ExpansionModel, DysonSolver, MagnusSolver
+from .fused_sweep import fused_sweep_solve
