@@ -14,7 +14,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 from .solvers import Solver
-from .signals import Signal, SignalList
+from .signals import Signal
 
 __all__ = ["cr_solver", "rabi_solver", "fused_cr_sweep"]
 

@@ -9,7 +9,8 @@ trajectory of each lane-tile fused into one Pallas kernel (see
 
 Restrictions (by construction of the kernel):
 - fixed-step Magnus-2 on a ``GeneratorModel``/``HamiltonianModel`` (dense);
-- all sweep members share ``y0`` and the time grid;
+- all sweep members share ``y0`` and the time grid, and ``t_span[0] == 0``
+  (the kernel's frame phases are referenced to t = 0);
 - signal values must be real (standard ``Re[f e^{i 2 pi nu t}]`` signals).
 """
 from __future__ import annotations
@@ -22,8 +23,10 @@ import jax.numpy as jnp
 
 from ..exceptions import DynamicsError
 from ..models import LindbladModel
+from ..models.operator_collections import OperatorCollection
 from ..signals import SignalList
 from ..ops.sweep_solver import sweep_expm_magnus2, _GAUSS_C1, _GAUSS_C2
+from .fixed_step_solvers import get_fixed_step_sizes
 
 __all__ = ["fused_sweep_solve"]
 
@@ -65,8 +68,17 @@ def fused_sweep_solve(
     if isinstance(model, LindbladModel):
         raise DynamicsError("fused_sweep_solve supports generator models only.")
     coll = model._operator_collection
-    if coll.operators is None or getattr(coll, "_sparse", False):
+    if (
+        coll.operators is None
+        or getattr(coll, "_sparse", False)
+        or not isinstance(coll, OperatorCollection)
+    ):
         raise DynamicsError("fused_sweep_solve requires dense operators.")
+    t0, tf = float(t_span[0]), float(t_span[-1])
+    if t0 != 0.0:
+        raise DynamicsError("fused_sweep_solve currently requires t_span[0] == 0.")
+    if tf <= t0:
+        raise DynamicsError("fused_sweep_solve requires t_span[1] > t_span[0].")
 
     static_fb = coll.static_operator
     if static_fb is None:
@@ -81,12 +93,16 @@ def fused_sweep_solve(
         d = np.asarray(frame_diag)
         omega = np.imag(d)[None, :] - np.imag(d)[:, None]
 
-    t0, tf = float(t_span[0]), float(t_span[-1])
-    n_steps = max(1, int(np.ceil((tf - t0) / max_dt - 1e-12)))
-    dt = (tf - t0) / n_steps
+    # same step-grid rule as the generic fixed-step solvers, so results match
+    # method="jax_expm" exactly
+    _, h_list, n_steps_list = get_fixed_step_sizes((t0, tf), None, max_dt)
+    n_steps = int(n_steps_list[0])
+    dt = float(h_list[0])
     gauss_times = t0 + dt * (
         np.arange(n_steps)[:, None] + np.array([_GAUSS_C1, _GAUSS_C2])[None, :]
     )
+
+    k = ops_fb.shape[0]
 
     def signal_values(p):
         sigs = signals_fn(p)
@@ -94,6 +110,11 @@ def fused_sweep_solve(
             sigs = rwa_signal_map(sigs)
         if not isinstance(sigs, SignalList):
             sigs = SignalList(list(sigs))
+        if len(sigs) != k:
+            raise DynamicsError(
+                f"signals_fn (after any rwa_signal_map) must produce {k} signals to "
+                f"match the model's operators; got {len(sigs)}."
+            )
         return sigs(jnp.asarray(gauss_times))  # (T, 2, k)
 
     coeffs = jnp.moveaxis(jax.vmap(signal_values)(params), 0, -1)  # (T, 2, k, B)
@@ -104,16 +125,7 @@ def fused_sweep_solve(
         filler = jnp.broadcast_to(coeffs[..., :1], coeffs.shape[:-1] + (pad,))
         coeffs = jnp.concatenate([coeffs, filler], axis=-1)
 
-    # NOTE: the kernel phases are exp(i omega t) with t measured from 0; for
-    # t0 != 0 the frame rotation reference point shifts, handled by solving in
-    # the t-translated frame and correcting the endpoint phases.
     y0_fb = np.asarray(model.rotating_frame.state_into_frame_basis(np.asarray(y0)))
-    if t0 != 0.0 and frame_diag is not None:
-        # conjugate the generator time argument: G(t) with t from t0 equals
-        # the t-from-0 kernel applied after rotating y0 by exp(-t0 F) ... to
-        # keep round-1 scope explicit, require t0 == 0
-        raise DynamicsError("fused_sweep_solve currently requires t_span[0] == 0.")
-
     y0_cols = jnp.broadcast_to(jnp.asarray(y0_fb)[:, None], (model.dim, B + pad))
     yf = sweep_expm_magnus2(
         static_fb, ops_fb, omega, coeffs, y0_cols, dt=dt, order=expm_order,

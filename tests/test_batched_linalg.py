@@ -80,3 +80,29 @@ class TestFusedSweepSolver:
 
         expected = jax.vmap(ref)(amps)
         np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-10)
+
+    def test_fused_sweep_validations(self):
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu import Signal
+        from qiskit_dynamics_tpu.exceptions import DynamicsError
+        import pytest
+
+        solver, w1 = cr_solver()
+        model = solver.model
+        y0 = np.zeros(16, dtype=complex)
+        y0[0] = 1.0
+        ok_fn = lambda amp: [Signal(lambda t: amp, carrier_freq=w1)]
+
+        with pytest.raises(DynamicsError, match="t_span\\[0\\]"):
+            fused_sweep_solve(model, ok_fn, jnp.array([0.1]), t_span=(1.0, 2.0),
+                              max_dt=0.5, y0=y0, interpret=True)
+        with pytest.raises(DynamicsError, match="t_span\\[1\\]"):
+            fused_sweep_solve(model, ok_fn, jnp.array([0.1]), t_span=(0.0, -1.0),
+                              max_dt=0.5, y0=y0, interpret=True)
+        # signal count mismatch vs the RWA'd model's operator count
+        with pytest.raises(DynamicsError, match="signals"):
+            fused_sweep_solve(
+                model, ok_fn, jnp.array([0.1]), t_span=(0.0, 1.0),
+                max_dt=0.5, y0=y0, interpret=True,
+            )
