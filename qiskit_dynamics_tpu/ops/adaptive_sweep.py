@@ -1,0 +1,267 @@
+r"""Fused lockstep-adaptive Dormand-Prince sweep kernel.
+
+Companion to :mod:`.sweep_solver` for ADAPTIVE stepping: solves
+``y'_b = G_b(t) y_b`` for a sweep of lanes with a SHARED adaptive time grid —
+a step is accepted when the max error over all lanes of the tile passes the
+tolerance, so every lane advances together ("lockstep"). For parameter sweeps
+of one model this is as accurate as per-member adaptivity (the error control
+follows the stiffest lane) while keeping the whole solve inside one Pallas
+program: state, stages, and generators live in VMEM; there are zero per-step
+kernel dispatches.
+
+Signal model (what the kernel can evaluate at arbitrary times in-kernel):
+constant-envelope signals ``c_j(t, b) = Re[A_j(b) e^{i(2 pi nu_j t)}]`` with a
+per-lane complex amplitude — the standard always-on-drive parameter sweep.
+Generators are frame-basis: ``G(t) = P(t) * (static + sum_j c_j(t) ops_j)``
+with ``P(t)[i,m] = exp(i omega[i,m] t)`` (same conventions as
+:func:`.sweep_solver.sweep_expm_magnus2`).
+
+Error control matches ``tpu_dopri5`` (solvers/adaptive.py): rms over state
+entries of ``err/scale`` with ``scale = atol + rtol*max(|y|,|y_new|)``, max
+over lanes; step factor ``clip(0.9 err^(-1/5), 0.2, 5)``. If the step budget
+is exhausted before ``tf``, the output is NaN-poisoned (the in-graph error
+convention used across the framework).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from scipy.integrate._ivp.rk import RK45 as _SciDOPRI5
+
+__all__ = ["sweep_dopri5_lockstep"]
+
+_A = np.asarray(_SciDOPRI5.A)        # (6, 6) stage coefficients (explicit)
+_B = np.asarray(_SciDOPRI5.B)        # (6,) solution weights
+_C = np.asarray(_SciDOPRI5.C)        # (6,) stage times
+_E = np.asarray(_SciDOPRI5.E)        # (7,) error weights (incl. FSAL stage)
+_N_STAGES = 6
+
+
+def _kernel(
+    n: int,
+    k: int,
+    tf: float,
+    atol: float,
+    rtol: float,
+    max_steps: int,
+    h0: float,
+    # refs
+    statr_ref, stati_ref,          # (n, n)
+    opsr_ref, opsi_ref,            # (k, n, n)
+    omega_ref,                     # (n, n)
+    freq_ref,                      # (1, k) signal angular frequencies (2 pi nu)
+    ampr_ref, ampi_ref,            # (k, TILE_B) per-lane complex amplitudes
+    y0r_ref, y0i_ref,              # (n, TILE_B)
+    outr_ref, outi_ref,            # (n, TILE_B)
+    # scratch
+    gr, gi,                        # (n, n, TILE_B) generator
+    kr, ki,                        # (7, n, TILE_B) RK stages
+    yr, yi,                        # (n, TILE_B) current state
+    wr, wi,                        # (n, TILE_B) work state (stage arg / y_new)
+):
+    def signal_coeff(j, t):
+        # c_j(t, :) = Ar cos(w t) - Ai sin(w t), per lane
+        w = freq_ref[0, j]
+        return ampr_ref[j] * jnp.cos(w * t) - ampi_ref[j] * jnp.sin(w * t)
+
+    def build_generator(t):
+        """gr/gi <- P(t) * (static + sum_j c_j(t) ops_j)."""
+        coeffs = [signal_coeff(j, t) for j in range(k)]
+        for i in range(n):
+            acc_r = jnp.broadcast_to(statr_ref[i][:, None], gr[i].shape).astype(jnp.float32)
+            acc_i = jnp.broadcast_to(stati_ref[i][:, None], gi[i].shape).astype(jnp.float32)
+            for j in range(k):
+                c = coeffs[j][None, :]
+                acc_r = acc_r + c * opsr_ref[j, i][:, None]
+                acc_i = acc_i + c * opsi_ref[j, i][:, None]
+            ph = omega_ref[i] * t
+            cos_p = jnp.cos(ph)[:, None]
+            sin_p = jnp.sin(ph)[:, None]
+            gr[i] = acc_r * cos_p - acc_i * sin_p
+            gi[i] = acc_r * sin_p + acc_i * cos_p
+
+    def rhs_into_stage(s, t):
+        """kr/ki[s] <- G(t) @ w (current work state in wr/wi)."""
+        build_generator(t)
+        for i in range(n):
+            acc_r = jnp.zeros_like(wr[i])
+            acc_i = jnp.zeros_like(wi[i])
+            for m in range(n):
+                ur = gr[i, m]
+                ui = gi[i, m]
+                acc_r += ur * wr[m] - ui * wi[m]
+                acc_i += ur * wi[m] + ui * wr[m]
+            kr[s, i] = acc_r
+            ki[s, i] = acc_i
+
+    def body(carry):
+        t, h, steps = carry
+        h = jnp.minimum(h, tf - t)
+
+        # stage 0 at (t, y)
+        for i in range(n):
+            wr[i] = yr[i]
+            wi[i] = yi[i]
+        rhs_into_stage(0, t)
+
+        # stages 1..5
+        for s in range(1, _N_STAGES):
+            for i in range(n):
+                acc_r = yr[i]
+                acc_i = yi[i]
+                for q in range(s):
+                    a = float(_A[s, q])
+                    if a != 0.0:
+                        acc_r = acc_r + (h * a) * kr[q, i]
+                        acc_i = acc_i + (h * a) * ki[q, i]
+                wr[i] = acc_r
+                wi[i] = acc_i
+            rhs_into_stage(s, t + float(_C[s]) * h)
+
+        # 5th-order solution y_new into wr/wi
+        for i in range(n):
+            acc_r = yr[i]
+            acc_i = yi[i]
+            for s in range(_N_STAGES):
+                b = float(_B[s])
+                if b != 0.0:
+                    acc_r = acc_r + (h * b) * kr[s, i]
+                    acc_i = acc_i + (h * b) * ki[s, i]
+            wr[i] = acc_r
+            wi[i] = acc_i
+        # FSAL stage: f(t+h, y_new) -> stage 6 (used only in the error estimate)
+        rhs_into_stage(6, t + h)
+
+        # error estimate and shared norm
+        err_sq_sum = jnp.zeros_like(yr[0])
+        for i in range(n):
+            er = jnp.zeros_like(yr[i])
+            ei = jnp.zeros_like(yi[i])
+            for s in range(_N_STAGES + 1):
+                e = float(_E[s])
+                if e != 0.0:
+                    er = er + (h * e) * kr[s, i]
+                    ei = ei + (h * e) * ki[s, i]
+            abs_y = jnp.sqrt(yr[i] ** 2 + yi[i] ** 2)
+            abs_w = jnp.sqrt(wr[i] ** 2 + wi[i] ** 2)
+            scale = atol + rtol * jnp.maximum(abs_y, abs_w)
+            err_sq_sum = err_sq_sum + (er**2 + ei**2) / (scale**2)
+        err_norm = jnp.sqrt(jnp.max(err_sq_sum) / n)  # rms over state, max over lanes
+
+        accept = err_norm <= 1.0
+        for i in range(n):
+            yr[i] = jnp.where(accept, wr[i], yr[i])
+            yi[i] = jnp.where(accept, wi[i], yi[i])
+        t_new = jnp.where(accept, t + h, t)
+
+        factor = jnp.clip(
+            0.9 * jax.lax.pow(jnp.maximum(err_norm, jnp.float32(1e-10)), jnp.float32(-0.2)),
+            0.2,
+            5.0,
+        )
+        return t_new, h * factor, steps + 1
+
+    def cond(carry):
+        t, h, steps = carry
+        return (t < tf) & (steps < max_steps)
+
+    for i in range(n):
+        yr[i] = y0r_ref[i]
+        yi[i] = y0i_ref[i]
+
+    t_f, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.float32(0.0), jnp.float32(h0), jnp.int32(0))
+    )
+
+    # NaN-poison if the budget ran out before reaching tf
+    poison = jnp.where(t_f >= tf, 1.0, jnp.nan).astype(jnp.float32)
+    for i in range(n):
+        outr_ref[i] = yr[i] * poison
+        outi_ref[i] = yi[i] * poison
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tf", "atol", "rtol", "max_steps", "h0", "tile_b", "interpret"),
+)
+def sweep_dopri5_lockstep(
+    static_op,
+    operators,
+    frame_omega,
+    signal_freqs,
+    signal_amps,
+    y0,
+    tf: float,
+    atol: float = 1e-8,
+    rtol: float = 1e-8,
+    max_steps: int = 4096,
+    h0: float = 1e-2,
+    tile_b: int = 512,
+    interpret: bool = False,
+):
+    r"""Lockstep-adaptive dopri5 sweep over ``[0, tf]``, one fused kernel.
+
+    Args:
+        static_op: (n, n) complex static generator (frame basis, diag removed).
+        operators: (k, n, n) complex signal operators (frame basis).
+        frame_omega: (n, n) real frame frequency-difference matrix.
+        signal_freqs: (k,) real angular carrier frequencies (``2 pi nu_j``).
+        signal_amps: (k, B) complex per-lane signal amplitudes
+            (``c_j(t,b) = Re[A_jb e^{i w_j t}]``).
+        y0: (n, B) complex initial states (frame basis).
+        tf: final time; integration starts at 0.
+        atol/rtol: tolerances (error controlled at the worst lane per tile).
+        max_steps: step budget; exhausted -> NaN output.
+        h0: initial step size.
+        tile_b: lane-tile size (B must be a multiple).
+        interpret: interpreter mode for CPU tests.
+
+    Returns:
+        (n, B) complex final states (frame basis).
+    """
+    k, n, _ = operators.shape
+    B = y0.shape[-1]
+    if B % tile_b != 0:
+        raise ValueError(f"sweep batch {B} must be a multiple of tile_b={tile_b}")
+
+    f32 = jnp.float32
+    statr = jnp.real(static_op).astype(f32)
+    stati = jnp.imag(static_op).astype(f32)
+    opsr = jnp.real(operators).astype(f32)
+    opsi = jnp.imag(operators).astype(f32)
+    omega = jnp.asarray(frame_omega).astype(f32)
+    freqs = jnp.asarray(signal_freqs).astype(f32).reshape(1, k)
+    ampr = jnp.real(signal_amps).astype(f32)
+    ampi = jnp.imag(signal_amps).astype(f32)
+    y0r = jnp.real(y0).astype(f32)
+    y0i = jnp.imag(y0).astype(f32)
+
+    grid = (B // tile_b,)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda b: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+    lane2 = lambda rows: pl.BlockSpec((rows, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _kernel, n, k, float(tf), float(atol), float(rtol), int(max_steps), float(h0)
+    )
+    mat = pltpu.VMEM((n, n, tile_b), f32)
+    stages = pltpu.VMEM((_N_STAGES + 1, n, tile_b), f32)
+    vec = pltpu.VMEM((n, tile_b), f32)
+
+    outr, outi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            full(statr), full(stati), full(opsr), full(opsi), full(omega), full(freqs),
+            lane2(k), lane2(k), lane2(n), lane2(n),
+        ],
+        out_specs=[lane2(n), lane2(n)],
+        out_shape=[jax.ShapeDtypeStruct((n, B), f32)] * 2,
+        scratch_shapes=[mat, mat, stages, stages, vec, vec, vec, vec],
+        interpret=interpret,
+    )(statr, stati, opsr, opsi, omega, freqs, ampr, ampi, y0r, y0i)
+    return outr + 1j * outi

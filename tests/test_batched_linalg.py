@@ -106,3 +106,67 @@ class TestFusedSweepSolver:
                 model, ok_fn, jnp.array([0.1]), t_span=(0.0, 1.0),
                 max_dt=0.5, y0=y0, interpret=True,
             )
+
+
+class TestLockstepAdaptiveSweep:
+    def _setup(self):
+        from qiskit_dynamics_tpu import Solver
+
+        nu, r = 5.0, 0.1
+        Xm = np.array([[0, 1], [1, 0]], dtype=complex)
+        Zm = np.diag([1, -1]).astype(complex)
+        solver = Solver(
+            static_hamiltonian=2 * np.pi * nu * Zm / 2,
+            hamiltonian_operators=[2 * np.pi * r * Xm / 2],
+            rotating_frame=2 * np.pi * nu * Zm / 2,
+        )
+        model = solver.model
+        coll = model._operator_collection
+        d = np.asarray(model.rotating_frame.frame_diag)
+        return solver, nu, (
+            np.asarray(coll.static_operator),
+            np.asarray(coll.operators),
+            np.imag(d)[None, :] - np.imag(d)[:, None],
+        )
+
+    def test_matches_generic_adaptive(self):
+        import jax
+        from qiskit_dynamics_tpu.ops.adaptive_sweep import sweep_dopri5_lockstep
+        from qiskit_dynamics_tpu import Signal
+
+        solver, nu, (static_fb, ops_fb, omega) = self._setup()
+        B, T = 8, 10.0
+        amps = np.linspace(0.2, 1.0, B)
+        y0 = np.zeros((2, B), dtype=complex)
+        y0[0] = 1.0
+        out = sweep_dopri5_lockstep(
+            jnp.asarray(static_fb), jnp.asarray(ops_fb), jnp.asarray(omega),
+            jnp.asarray([2 * np.pi * nu]), jnp.asarray(amps[None, :], dtype=complex),
+            jnp.asarray(y0), tf=T, atol=1e-8, rtol=1e-8, h0=0.01,
+            tile_b=8, interpret=True,
+        )
+        pop1 = np.abs(np.asarray(out))[1] ** 2
+
+        def ref(amp):
+            sig = Signal(lambda t: amp, carrier_freq=nu)
+            res = solver.solve(t_span=[0.0, T], y0=y0[:, 0], signals=[sig],
+                               method="tpu_dopri5", atol=1e-10, rtol=1e-10)
+            return jnp.abs(res.y[-1][1]) ** 2
+
+        expected = np.asarray(jax.vmap(ref)(jnp.asarray(amps)))
+        np.testing.assert_allclose(pop1, expected, atol=2e-5)
+
+    def test_budget_exhaustion_poisons(self):
+        from qiskit_dynamics_tpu.ops.adaptive_sweep import sweep_dopri5_lockstep
+
+        _, nu, (static_fb, ops_fb, omega) = self._setup()
+        y0 = np.zeros((2, 8), dtype=complex)
+        y0[0] = 1.0
+        out = sweep_dopri5_lockstep(
+            jnp.asarray(static_fb), jnp.asarray(ops_fb), jnp.asarray(omega),
+            jnp.asarray([2 * np.pi * nu]),
+            jnp.ones((1, 8), dtype=complex),
+            jnp.asarray(y0), tf=10.0, atol=1e-8, rtol=1e-8, h0=0.01,
+            max_steps=3, tile_b=8, interpret=True,
+        )
+        assert np.isnan(np.asarray(out)).all()
