@@ -159,11 +159,9 @@ def _kernel(
             yi[i] = jnp.where(accept, wi[i], yi[i])
         t_new = jnp.where(accept, t + h, t)
 
-        factor = jnp.clip(
-            0.9 * jax.lax.pow(jnp.maximum(err_norm, jnp.float32(1e-10)), jnp.float32(-0.2)),
-            0.2,
-            5.0,
-        )
+        # err_norm**(-1/5) via exp/log (Mosaic cannot legalize math.powf)
+        safe_err = jnp.maximum(err_norm, jnp.float32(1e-10))
+        factor = jnp.clip(0.9 * jnp.exp(-0.2 * jnp.log(safe_err)), 0.2, 5.0)
         return t_new, h * factor, steps + 1
 
     def cond(carry):

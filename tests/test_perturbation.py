@@ -346,3 +346,76 @@ class TestValidation:
                 expansion_method="born",
                 expansion_order=1,
             )
+
+
+class TestCompositePerturbationLabels:
+    """Generator power series with higher-order labels: G(t,c) = c G_a(t) + c^2 G_b(t)."""
+
+    def test_dyson_power_series_labels(self):
+        X, Y, _ = _2x2_ops()
+        Ga = -1j * X
+        Gb = -1j * Y
+        T = 0.5
+        res = solve_lmde_perturbation(
+            perturbations=[lambda t: Ga, lambda t: Gb],
+            perturbation_labels=[(0,), (0, 0)],
+            t_span=[0.0, T],
+            expansion_method="dyson",
+            expansion_order=2,
+            atol=1e-13, rtol=1e-13,
+        )
+        data = res.perturbation_data
+        # first order: D_(0) = Ga T
+        np.testing.assert_allclose(data.get_item([0])[-1], Ga * T, atol=1e-9)
+        # second order: D_(0,0) = Gb T + Ga^2 T^2/2 (direct term + nested Ga)
+        np.testing.assert_allclose(
+            data.get_item([0, 0])[-1], Gb * T + Ga @ Ga * T**2 / 2, atol=1e-9
+        )
+        # exponential consistency: U(c) ~ I + c D0 + c^2 D00 + O(c^3)
+        from qiskit_dynamics_tpu import solve_ode
+
+        c = 0.01
+        direct = solve_ode(
+            rhs=lambda t, y: (c * Ga + c**2 * Gb) @ y,
+            t_span=[0.0, T], y0=np.eye(2, dtype=complex),
+            method="DOP853", atol=1e-13, rtol=1e-13,
+        ).y[-1]
+        series = (
+            np.eye(2)
+            + c * data.get_item([0])[-1]
+            + c**2 * data.get_item([0, 0])[-1]
+        )
+        np.testing.assert_allclose(series, direct, atol=5e-6)
+
+    def test_duplicate_labels_rejected(self):
+        from qiskit_dynamics_tpu.exceptions import DynamicsError
+
+        with pytest.raises(DynamicsError):
+            solve_lmde_perturbation(
+                perturbations=[lambda t: np.eye(2), lambda t: np.eye(2)],
+                perturbation_labels=[(0,), [0]],
+                t_span=[0, 1],
+                expansion_method="dyson",
+                expansion_order=1,
+            )
+
+    def test_dyson_like_explicit_labels(self):
+        X, Y, _ = _2x2_ops()
+        A, B = -1j * X, -1j * Y
+        T = 0.4
+        res = solve_lmde_perturbation(
+            perturbations=[lambda t: A, lambda t: B],
+            t_span=[0.0, T],
+            expansion_method="dyson_like",
+            expansion_labels=[[1, 0, 1]],
+            atol=1e-13, rtol=1e-13,
+        )
+        # D_[1,0,1] = B A B T^3/6 for constants
+        np.testing.assert_allclose(
+            res.perturbation_data.get_item([1, 0, 1])[-1],
+            B @ A @ B * T**3 / 6,
+            atol=1e-9,
+        )
+        # completion includes the tail terms
+        assert [0, 1] in res.perturbation_data.labels
+        assert [1] in res.perturbation_data.labels
