@@ -28,7 +28,7 @@ from ..signals import SignalList
 from ..ops.sweep_solver import sweep_expm_magnus2, _GAUSS_C1, _GAUSS_C2
 from .fixed_step_solvers import get_fixed_step_sizes
 
-__all__ = ["fused_sweep_solve"]
+__all__ = ["fused_sweep_solve", "fused_adaptive_sweep_solve"]
 
 
 def fused_sweep_solve(
@@ -129,6 +129,117 @@ def fused_sweep_solve(
     y0_cols = jnp.broadcast_to(jnp.asarray(y0_fb)[:, None], (model.dim, B + pad))
     yf = sweep_expm_magnus2(
         static_fb, ops_fb, omega, coeffs, y0_cols, dt=dt, order=expm_order,
+        tile_b=tile_b, interpret=interpret,
+    )[:, :B]
+    yf = model.rotating_frame.state_out_of_frame_basis(yf)
+    return yf.T
+
+
+def fused_adaptive_sweep_solve(
+    model,
+    signals_fn: Callable,
+    params,
+    t_span,
+    y0,
+    atol: float = 1e-8,
+    rtol: float = 1e-8,
+    max_steps: int = 4096,
+    h0: float = 1e-2,
+    tile_b: int = 512,
+    interpret: bool = False,
+    rwa_signal_map: Optional[Callable] = None,
+):
+    r"""Lockstep-adaptive dopri5 sweep solve through the fused kernel.
+
+    Adaptive counterpart of :func:`fused_sweep_solve` built on
+    :func:`~qiskit_dynamics_tpu.ops.adaptive_sweep.sweep_dopri5_lockstep`.
+    Additional restriction: every signal produced by ``signals_fn`` (after the
+    optional ``rwa_signal_map``) must have a CONSTANT envelope — the kernel
+    evaluates ``c_j(t, b) = Re[A_jb e^{i 2 pi nu_j t}]`` in-VMEM at arbitrary
+    step times, with the per-lane complex amplitude
+    ``A_jb = envelope * e^{i phase}`` extracted from each Signal.
+
+    Returns (B, dim) final states at ``t_span[1]`` (standard basis).
+    """
+    from ..ops.adaptive_sweep import sweep_dopri5_lockstep
+
+    if isinstance(model, LindbladModel):
+        raise DynamicsError("fused_adaptive_sweep_solve supports generator models only.")
+    coll = model._operator_collection
+    if (
+        coll.operators is None
+        or getattr(coll, "_sparse", False)
+        or not isinstance(coll, OperatorCollection)
+    ):
+        raise DynamicsError("fused_adaptive_sweep_solve requires dense operators.")
+    t0, tf = float(t_span[0]), float(t_span[-1])
+    if t0 != 0.0:
+        raise DynamicsError("fused_adaptive_sweep_solve currently requires t_span[0] == 0.")
+    if tf <= t0:
+        raise DynamicsError("fused_adaptive_sweep_solve requires t_span[1] > t_span[0].")
+
+    static_fb = coll.static_operator
+    if static_fb is None:
+        static_fb = np.zeros(2 * (model.dim,), dtype=complex)
+    static_fb = np.asarray(static_fb)
+    ops_fb = np.asarray(coll.operators)
+    k = ops_fb.shape[0]
+
+    frame_diag = model.rotating_frame.frame_diag
+    if frame_diag is None:
+        omega = np.zeros(2 * (model.dim,))
+    else:
+        d = np.asarray(frame_diag)
+        omega = np.imag(d)[None, :] - np.imag(d)[:, None]
+
+    # collect constant-envelope amplitudes and (shared) carrier frequencies;
+    # a mapped signal may be a SignalSum (e.g. RWA copies) — all its terms
+    # must share one carrier, and the complex amplitudes add
+    probe = signals_fn(jax.tree_util.tree_map(lambda x: x[0], params))
+    if rwa_signal_map is not None:
+        probe = rwa_signal_map(probe)
+    probe = list(probe)
+    if len(probe) != k:
+        raise DynamicsError(
+            f"signals_fn (after any rwa_signal_map) must produce {k} signals to match "
+            f"the model's operators; got {len(probe)}."
+        )
+    freqs = []
+    for s in probe:
+        carriers = np.atleast_1d(np.asarray(s.carrier_freq, dtype=float))
+        if not np.allclose(carriers, carriers[0]):
+            raise DynamicsError(
+                "fused_adaptive_sweep_solve requires each (summed) signal to have a "
+                "single carrier frequency."
+            )
+        freqs.append(2 * np.pi * carriers[0])
+    freqs = np.asarray(freqs)
+
+    def amplitudes(p):
+        sigs = signals_fn(p)
+        if rwa_signal_map is not None:
+            sigs = rwa_signal_map(sigs)
+        amps_k = []
+        for s in sigs:
+            env = jnp.atleast_1d(jnp.asarray(s.envelope(0.0), dtype=complex))
+            ph = jnp.atleast_1d(jnp.asarray(s.phase))
+            amps_k.append(jnp.sum(env * jnp.exp(1j * ph)))
+        return jnp.stack(amps_k)
+
+    amps = jnp.moveaxis(jax.vmap(amplitudes)(params), 0, -1)  # (k, B)
+
+    B = amps.shape[-1]
+    pad = (-B) % tile_b
+    if pad:
+        filler = jnp.broadcast_to(amps[..., :1], amps.shape[:-1] + (pad,))
+        amps = jnp.concatenate([amps, filler], axis=-1)
+
+    y0_fb = np.asarray(model.rotating_frame.state_into_frame_basis(np.asarray(y0)))
+    y0_cols = jnp.broadcast_to(jnp.asarray(y0_fb)[:, None], (model.dim, B + pad))
+
+    yf = sweep_dopri5_lockstep(
+        static_fb, ops_fb, omega, freqs, amps, y0_cols, tf=tf,
+        atol=atol, rtol=rtol, max_steps=max_steps, h0=h0,
         tile_b=tile_b, interpret=interpret,
     )[:, :B]
     yf = model.rotating_frame.state_out_of_frame_basis(yf)

@@ -170,3 +170,32 @@ class TestLockstepAdaptiveSweep:
             max_steps=3, tile_b=8, interpret=True,
         )
         assert np.isnan(np.asarray(out)).all()
+
+
+class TestFusedAdaptiveSweepSolve:
+    def test_matches_dop853(self):
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu.solvers import fused_adaptive_sweep_solve
+        from qiskit_dynamics_tpu import Signal
+
+        solver, w1 = cr_solver()
+        y0 = np.zeros(16, dtype=complex)
+        y0[0] = 1.0
+        amps = jnp.array([0.3, 1.0])
+        T = 5.0
+        out = fused_adaptive_sweep_solve(
+            solver.model,
+            lambda a: [Signal(lambda t: a * 0.02, carrier_freq=w1)],
+            amps, t_span=(0.0, T), y0=y0, atol=1e-9, rtol=1e-9, h0=0.01,
+            tile_b=128, interpret=True, rwa_signal_map=solver._rwa_signal_map,
+        )
+        pops = np.abs(np.asarray(out)) ** 2
+        for i, a in enumerate([0.3, 1.0]):
+            ref = solver.solve(
+                t_span=[0.0, T], y0=y0,
+                signals=[Signal(lambda t, a=a: a * 0.02, carrier_freq=w1)],
+                method="DOP853", atol=1e-12, rtol=1e-12,
+            )
+            np.testing.assert_allclose(
+                pops[i], np.abs(np.asarray(ref.y[-1])) ** 2, atol=1e-5
+            )
