@@ -20,7 +20,7 @@ def _random_batch(rng, B, n, scale=1.0):
 class TestMatmulBol:
     def test_matches_einsum(self):
         rng = np.random.default_rng(0)
-        B, n = 256, 16
+        B, n = 128, 8
         A = _random_batch(rng, B, n)
         Bm = _random_batch(rng, B, n)
         Ar, Ai = to_bol(jnp.asarray(A))
@@ -62,11 +62,11 @@ class TestFusedSweepSolver:
         from qiskit_dynamics_tpu.benchmarks import cr_solver, fused_cr_sweep
         from qiskit_dynamics_tpu import Signal
 
-        solver, w1 = cr_solver()
-        y0 = np.zeros(16, dtype=complex)
+        solver, w1 = cr_solver(dim=2)
+        y0 = np.zeros(4, dtype=complex)
         y0[0] = 1.0
         amps = jnp.array([0.3, 0.75, 1.0])
-        T, dt = 5.0, 0.5
+        T, dt = 2.0, 0.5
         out = fused_cr_sweep(solver, w1, amps, t_final=T, dt=dt, tile_b=128, interpret=True)
 
         def ref(amp):
@@ -178,11 +178,11 @@ class TestFusedAdaptiveSweepSolve:
         from qiskit_dynamics_tpu.solvers import fused_adaptive_sweep_solve
         from qiskit_dynamics_tpu import Signal
 
-        solver, w1 = cr_solver()
-        y0 = np.zeros(16, dtype=complex)
+        solver, w1 = cr_solver(dim=2)
+        y0 = np.zeros(4, dtype=complex)
         y0[0] = 1.0
         amps = jnp.array([0.3, 1.0])
-        T = 5.0
+        T = 2.0
         out = fused_adaptive_sweep_solve(
             solver.model,
             lambda a: [Signal(lambda t: a * 0.02, carrier_freq=w1)],
