@@ -157,6 +157,77 @@ class _PerturbativeSolver(ABC):
     def _solve(self, t0, n_steps, y0, signals, jax_control_flow: bool = False) -> OdeResult:
         ...
 
+    def solve_sweep(
+        self,
+        t0: float,
+        n_steps: int,
+        y0,
+        signals_fn: Callable,
+        params,
+        tile_b: int = 512,
+        interpret: bool = False,
+    ):
+        """Batched parameter-sweep solve through the streamed chain kernel.
+
+        TPU fast path with no reference counterpart: evaluates the expansion
+        polynomial for EVERY (step, sweep member) with one tensordot (MXU),
+        then applies the per-lane propagator chains with the streamed Pallas
+        kernel (:func:`~qiskit_dynamics_tpu.ops.chain_apply.chain_apply_bol`)
+        — state resident in VMEM, propagators double-buffered from HBM.
+        Dyson only (Magnus needs a per-step expm; use the generic path).
+
+        Args:
+            t0: shared initial time.
+            n_steps: number of steps of size ``model.dt``.
+            y0: shared initial state, shape (dim,).
+            signals_fn: maps one parameter pytree -> signal list.
+            params: batched parameters (dim 0 = sweep axis).
+            tile_b: Pallas lane-tile size.
+            interpret: interpreter mode for CPU tests.
+
+        Returns:
+            (B, dim) final states (in the rotating frame of the model, like
+            ``solve``).
+        """
+        from ...ops.chain_apply import chain_apply_bol
+
+        if self.model.expansion_method != "dyson":
+            raise DynamicsError("solve_sweep currently supports the Dyson expansion only.")
+
+        model = self.model
+        poly = model.expansion_polynomial
+        dim = model.Udt.shape[0]
+
+        def coeffs_for(p):
+            return jnp.asarray(model.approximate_signals(signals_fn(p), t0, n_steps))
+
+        coeffs = jax.vmap(coeffs_for)(params)          # (B, n_vars, T)
+        coeffs = jnp.moveaxis(coeffs, 0, -1)           # (n_vars, T, B)
+
+        B = coeffs.shape[-1]
+        pad = (-B) % tile_b
+        if pad:
+            filler = jnp.broadcast_to(coeffs[..., :1], coeffs.shape[:-1] + (pad,))
+            coeffs = jnp.concatenate([coeffs, filler], axis=-1)
+
+        monomials = poly.compute_monomials(coeffs)      # (M, T, B+pad)
+        props = jnp.tensordot(
+            jnp.asarray(poly.array_coefficients), monomials, axes=(0, 0)
+        )                                               # (n, n, T, B+pad)
+        props = props + jnp.asarray(poly.constant_term)[:, :, None, None]
+        props = jnp.moveaxis(props, 2, 0)               # (T, n, n, B+pad)
+
+        U0 = model.rotating_frame.state_out_of_frame(t0, np.eye(dim, dtype=complex))
+        Uf = model.rotating_frame.state_into_frame(
+            t0 + n_steps * model.dt, np.eye(dim, dtype=complex)
+        )
+        y0_cols = jnp.broadcast_to(
+            (jnp.asarray(U0) @ jnp.asarray(y0, dtype=complex))[:, None],
+            (dim, B + pad),
+        )
+        yf = chain_apply_bol(props, y0_cols, tile_b=tile_b, interpret=interpret)[:, :B]
+        return (jnp.asarray(Uf) @ yf).T
+
 
 class DysonSolver(_PerturbativeSolver):
     r"""Fixed-step LMDE solver via a precompiled truncated Dyson series.
