@@ -119,20 +119,12 @@ def fused_sweep_solve(
 
     coeffs = jnp.moveaxis(jax.vmap(signal_values)(params), 0, -1)  # (T, 2, k, B)
 
-    B = coeffs.shape[-1]
-    pad = (-B) % tile_b
-    if pad:
-        filler = jnp.broadcast_to(coeffs[..., :1], coeffs.shape[:-1] + (pad,))
-        coeffs = jnp.concatenate([coeffs, filler], axis=-1)
-
-    y0_fb = np.asarray(model.rotating_frame.state_into_frame_basis(np.asarray(y0)))
-    y0_cols = jnp.broadcast_to(jnp.asarray(y0_fb)[:, None], (model.dim, B + pad))
+    coeffs, y0_cols, B, m = _expand_lanes(model, coeffs, y0, tile_b)
     yf = sweep_expm_magnus2(
         static_fb, ops_fb, omega, coeffs, y0_cols, dt=dt, order=expm_order,
         tile_b=tile_b, interpret=interpret,
-    )[:, :B]
-    yf = model.rotating_frame.state_out_of_frame_basis(yf)
-    return yf.T
+    )
+    return _collect_lanes(model, yf, B, m)
 
 
 def fused_adaptive_sweep_solve(
@@ -228,19 +220,48 @@ def fused_adaptive_sweep_solve(
 
     amps = jnp.moveaxis(jax.vmap(amplitudes)(params), 0, -1)  # (k, B)
 
-    B = amps.shape[-1]
-    pad = (-B) % tile_b
-    if pad:
-        filler = jnp.broadcast_to(amps[..., :1], amps.shape[:-1] + (pad,))
-        amps = jnp.concatenate([amps, filler], axis=-1)
-
-    y0_fb = np.asarray(model.rotating_frame.state_into_frame_basis(np.asarray(y0)))
-    y0_cols = jnp.broadcast_to(jnp.asarray(y0_fb)[:, None], (model.dim, B + pad))
-
+    amps, y0_cols, B, m = _expand_lanes(model, amps, y0, tile_b)
     yf = sweep_dopri5_lockstep(
         static_fb, ops_fb, omega, freqs, amps, y0_cols, tf=tf,
         atol=atol, rtol=rtol, max_steps=max_steps, h0=h0,
         tile_b=tile_b, interpret=interpret,
-    )[:, :B]
+    )
+    return _collect_lanes(model, yf, B, m)
+
+
+def _expand_lanes(model, lane_data, y0, tile_b: int):
+    """Map sweep members x y0 columns onto kernel lanes.
+
+    1d ``y0`` (dim,): one lane per sweep member. 2d ``y0`` (dim, m) — e.g. the
+    identity for unitary/gate sweeps: each member occupies ``m`` consecutive
+    lanes (per-lane data repeated, y0 columns tiled). Pads the lane axis to a
+    multiple of ``tile_b``. Returns (lane_data, y0_cols, B, m).
+    """
+    y0 = np.asarray(y0)
+    m = 1 if y0.ndim == 1 else y0.shape[1]
+    B = lane_data.shape[-1]
+    if m > 1:
+        lane_data = jnp.repeat(lane_data, m, axis=-1)
+    total = B * m
+    pad = (-total) % tile_b
+    if pad:
+        filler = jnp.broadcast_to(lane_data[..., :1], lane_data.shape[:-1] + (pad,))
+        lane_data = jnp.concatenate([lane_data, filler], axis=-1)
+
+    y0_fb = np.asarray(model.rotating_frame.state_into_frame_basis(y0))
+    if m == 1:
+        y0_cols = jnp.broadcast_to(jnp.asarray(y0_fb)[:, None], (model.dim, total + pad))
+    else:
+        cols = jnp.tile(jnp.asarray(y0_fb), (1, B))  # member-major, column-minor
+        pad_cols = jnp.broadcast_to(cols[:, :1], (model.dim, pad))
+        y0_cols = jnp.concatenate([cols, pad_cols], axis=-1)
+    return lane_data, y0_cols, B, m
+
+
+def _collect_lanes(model, yf, B: int, m: int):
+    """Inverse of :func:`_expand_lanes`: (dim, lanes) -> (B, dim) or (B, dim, m)."""
+    yf = yf[:, : B * m]
     yf = model.rotating_frame.state_out_of_frame_basis(yf)
-    return yf.T
+    if m == 1:
+        return yf.T
+    return jnp.moveaxis(yf.reshape(yf.shape[0], B, m), 1, 0)

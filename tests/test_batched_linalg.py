@@ -199,3 +199,31 @@ class TestFusedAdaptiveSweepSolve:
             np.testing.assert_allclose(
                 pops[i], np.abs(np.asarray(ref.y[-1])) ** 2, atol=1e-5
             )
+
+    def test_unitary_sweep_2d_y0(self):
+        """y0 = identity -> per-member unitaries via column-to-lane mapping."""
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+        from qiskit_dynamics_tpu import Signal
+
+        solver, w1 = cr_solver(dim=2)
+        dim = solver.model.dim
+        amps = jnp.array([0.3, 0.9])
+        T = 2.0
+        fn = lambda a: [Signal(lambda t: a * 0.02, carrier_freq=w1)]
+        U = fused_sweep_solve(
+            solver.model, fn, amps, t_span=(0.0, T), max_dt=0.5,
+            y0=np.eye(dim, dtype=complex), tile_b=8, interpret=True,
+            rwa_signal_map=solver._rwa_signal_map,
+        )
+        assert U.shape == (2, dim, dim)
+        for i, a in enumerate([0.3, 0.9]):
+            sig = Signal(lambda t, a=a: a * 0.02, carrier_freq=w1)
+            ref = solver.solve(
+                t_span=[0.0, T], y0=np.eye(dim, dtype=complex), signals=[sig],
+                method="jax_expm", max_dt=0.5, magnus_order=2,
+                expm_method="taylor", expm_order=8, expm_squarings=0,
+            )
+            np.testing.assert_allclose(
+                np.asarray(U[i]), np.asarray(ref.y[-1]), atol=1e-9
+            )
