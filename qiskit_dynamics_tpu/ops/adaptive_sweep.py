@@ -45,6 +45,8 @@ _N_STAGES = 6
 def _kernel(
     n: int,
     k: int,
+    n_env: int,
+    env_dt: float,
     tf: float,
     atol: float,
     rtol: float,
@@ -55,7 +57,7 @@ def _kernel(
     opsr_ref, opsi_ref,            # (k, n, n)
     omega_ref,                     # (n, n)
     freq_ref,                      # (1, k) signal angular frequencies (2 pi nu)
-    ampr_ref, ampi_ref,            # (k, TILE_B) per-lane complex amplitudes
+    envr_ref, envi_ref,            # (k, n_env, TILE_B) per-lane complex envelopes
     y0r_ref, y0i_ref,              # (n, TILE_B)
     outr_ref, outi_ref,            # (n, TILE_B)
     # scratch
@@ -64,10 +66,20 @@ def _kernel(
     yr, yi,                        # (n, TILE_B) current state
     wr, wi,                        # (n, TILE_B) work state (stage arg / y_new)
 ):
+    inv_env_dt = 1.0 / env_dt
+
     def signal_coeff(j, t):
-        # c_j(t, :) = Ar cos(w t) - Ai sin(w t), per lane
+        # c_j(t, :) = Re[E_j(t) e^{i w t}] with E the piecewise-constant
+        # per-lane complex envelope (n_env == 1: constant envelope)
+        if n_env == 1:
+            er = envr_ref[j, 0]
+            ei = envi_ref[j, 0]
+        else:
+            idx = jnp.clip((t * inv_env_dt).astype(jnp.int32), 0, n_env - 1)
+            er = envr_ref[j, idx]
+            ei = envi_ref[j, idx]
         w = freq_ref[0, j]
-        return ampr_ref[j] * jnp.cos(w * t) - ampi_ref[j] * jnp.sin(w * t)
+        return er * jnp.cos(w * t) - ei * jnp.sin(w * t)
 
     def build_generator(t):
         """gr/gi <- P(t) * (static + sum_j c_j(t) ops_j)."""
@@ -185,7 +197,9 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tf", "atol", "rtol", "max_steps", "h0", "tile_b", "interpret"),
+    static_argnames=(
+        "tf", "atol", "rtol", "max_steps", "h0", "tile_b", "interpret", "env_dt"
+    ),
 )
 def sweep_dopri5_lockstep(
     static_op,
@@ -201,6 +215,7 @@ def sweep_dopri5_lockstep(
     h0: float = 1e-2,
     tile_b: int = 512,
     interpret: bool = False,
+    env_dt: float = 0.0,
 ):
     r"""Lockstep-adaptive dopri5 sweep over ``[0, tf]``, one fused kernel.
 
@@ -209,8 +224,10 @@ def sweep_dopri5_lockstep(
         operators: (k, n, n) complex signal operators (frame basis).
         frame_omega: (n, n) real frame frequency-difference matrix.
         signal_freqs: (k,) real angular carrier frequencies (``2 pi nu_j``).
-        signal_amps: (k, B) complex per-lane signal amplitudes
-            (``c_j(t,b) = Re[A_jb e^{i w_j t}]``).
+        signal_amps: per-lane complex envelopes: (k, B) for constant envelopes
+            (``c_j(t,b) = Re[A_jb e^{i w_j t}]``) or (k, S, B) for
+            piecewise-constant envelopes sampled every ``env_dt``
+            (``c_j(t,b) = Re[E_j[floor(t/env_dt)]_b e^{i w_j t}]``).
         y0: (n, B) complex initial states (frame basis).
         tf: final time; integration starts at 0.
         atol/rtol: tolerances (error controlled at the worst lane per tile).
@@ -218,6 +235,7 @@ def sweep_dopri5_lockstep(
         h0: initial step size.
         tile_b: lane-tile size (B must be a multiple).
         interpret: interpreter mode for CPU tests.
+        env_dt: envelope sample width (required when signal_amps is 3d).
 
     Returns:
         (n, B) complex final states (frame basis).
@@ -226,6 +244,12 @@ def sweep_dopri5_lockstep(
     B = y0.shape[-1]
     if B % tile_b != 0:
         raise ValueError(f"sweep batch {B} must be a multiple of tile_b={tile_b}")
+    if signal_amps.ndim == 2:
+        signal_amps = signal_amps[:, None, :]
+        env_dt = float(tf)  # any positive value; index is always 0
+    elif env_dt <= 0.0:
+        raise ValueError("env_dt must be set when passing (k, S, B) envelope tables.")
+    n_env = signal_amps.shape[1]
 
     f32 = jnp.float32
     statr = jnp.real(static_op).astype(f32)
@@ -234,17 +258,19 @@ def sweep_dopri5_lockstep(
     opsi = jnp.imag(operators).astype(f32)
     omega = jnp.asarray(frame_omega).astype(f32)
     freqs = jnp.asarray(signal_freqs).astype(f32).reshape(1, k)
-    ampr = jnp.real(signal_amps).astype(f32)
-    ampi = jnp.imag(signal_amps).astype(f32)
+    envr = jnp.real(signal_amps).astype(f32)
+    envi = jnp.imag(signal_amps).astype(f32)
     y0r = jnp.real(y0).astype(f32)
     y0i = jnp.imag(y0).astype(f32)
 
     grid = (B // tile_b,)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda b: (0,) * arr.ndim, memory_space=pltpu.VMEM)
     lane2 = lambda rows: pl.BlockSpec((rows, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM)
+    env_spec = pl.BlockSpec((k, n_env, tile_b), lambda b: (0, 0, b), memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
-        _kernel, n, k, float(tf), float(atol), float(rtol), int(max_steps), float(h0)
+        _kernel, n, k, int(n_env), float(env_dt), float(tf), float(atol), float(rtol),
+        int(max_steps), float(h0),
     )
     mat = pltpu.VMEM((n, n, tile_b), f32)
     stages = pltpu.VMEM((_N_STAGES + 1, n, tile_b), f32)
@@ -255,11 +281,11 @@ def sweep_dopri5_lockstep(
         grid=grid,
         in_specs=[
             full(statr), full(stati), full(opsr), full(opsi), full(omega), full(freqs),
-            lane2(k), lane2(k), lane2(n), lane2(n),
+            env_spec, env_spec, lane2(n), lane2(n),
         ],
         out_specs=[lane2(n), lane2(n)],
         out_shape=[jax.ShapeDtypeStruct((n, B), f32)] * 2,
         scratch_shapes=[mat, mat, stages, stages, vec, vec, vec, vec],
         interpret=interpret,
-    )(statr, stati, opsr, opsi, omega, freqs, ampr, ampi, y0r, y0i)
+    )(statr, stati, opsr, opsi, omega, freqs, envr, envi, y0r, y0i)
     return outr + 1j * outi

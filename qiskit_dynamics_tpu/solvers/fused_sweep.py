@@ -140,16 +140,22 @@ def fused_adaptive_sweep_solve(
     tile_b: int = 512,
     interpret: bool = False,
     rwa_signal_map: Optional[Callable] = None,
+    envelope_resolution: Optional[int] = None,
 ):
     r"""Lockstep-adaptive dopri5 sweep solve through the fused kernel.
 
     Adaptive counterpart of :func:`fused_sweep_solve` built on
     :func:`~qiskit_dynamics_tpu.ops.adaptive_sweep.sweep_dopri5_lockstep`.
-    Additional restriction: every signal produced by ``signals_fn`` (after the
-    optional ``rwa_signal_map``) must have a CONSTANT envelope — the kernel
-    evaluates ``c_j(t, b) = Re[A_jb e^{i 2 pi nu_j t}]`` in-VMEM at arbitrary
-    step times, with the per-lane complex amplitude
-    ``A_jb = envelope * e^{i phase}`` extracted from each Signal.
+
+    Signal handling: the kernel evaluates
+    ``c_j(t, b) = Re[E_jb(t) e^{i 2 pi nu_j t}]`` in-VMEM at arbitrary step
+    times. With ``envelope_resolution=None`` every signal produced by
+    ``signals_fn`` (after the optional ``rwa_signal_map``) must have a
+    CONSTANT envelope (``E_jb = envelope * e^{i phase}``); with
+    ``envelope_resolution=S`` arbitrary envelopes are supported via a
+    piecewise-constant table of ``S`` midpoint samples over ``[0, tf]``
+    (exact for ``DiscreteSignal`` envelopes when ``S`` matches the sample
+    grid; O((tf/S)^2) approximation otherwise).
 
     Returns (B, dim) final states at ``t_span[1]`` (standard basis).
     """
@@ -207,24 +213,44 @@ def fused_adaptive_sweep_solve(
         freqs.append(2 * np.pi * carriers[0])
     freqs = np.asarray(freqs)
 
-    def amplitudes(p):
-        sigs = signals_fn(p)
-        if rwa_signal_map is not None:
-            sigs = rwa_signal_map(sigs)
-        amps_k = []
-        for s in sigs:
-            env = jnp.atleast_1d(jnp.asarray(s.envelope(0.0), dtype=complex))
-            ph = jnp.atleast_1d(jnp.asarray(s.phase))
-            amps_k.append(jnp.sum(env * jnp.exp(1j * ph)))
-        return jnp.stack(amps_k)
+    if envelope_resolution is None:
+        env_dt = 0.0
 
-    amps = jnp.moveaxis(jax.vmap(amplitudes)(params), 0, -1)  # (k, B)
+        def amplitudes(p):
+            sigs = signals_fn(p)
+            if rwa_signal_map is not None:
+                sigs = rwa_signal_map(sigs)
+            amps_k = []
+            for s in sigs:
+                env = jnp.atleast_1d(jnp.asarray(s.envelope(0.0), dtype=complex))
+                ph = jnp.atleast_1d(jnp.asarray(s.phase))
+                amps_k.append(jnp.sum(env * jnp.exp(1j * ph)))
+            return jnp.stack(amps_k)
+
+        amps = jnp.moveaxis(jax.vmap(amplitudes)(params), 0, -1)  # (k, B)
+    else:
+        n_env = int(envelope_resolution)
+        env_dt = tf / n_env
+        env_times = (np.arange(n_env) + 0.5) * env_dt
+        carrier_phase = np.exp(-1j * freqs[:, None] * env_times[None, :])  # (k, S)
+
+        def amplitudes(p):
+            sigs = signals_fn(p)
+            if rwa_signal_map is not None:
+                sigs = rwa_signal_map(sigs)
+            rows = [
+                s.complex_value(jnp.asarray(env_times)) * carrier_phase[j]
+                for j, s in enumerate(sigs)
+            ]
+            return jnp.stack(rows)  # (k, S)
+
+        amps = jnp.moveaxis(jax.vmap(amplitudes)(params), 0, -1)  # (k, S, B)
 
     amps, y0_cols, B, m = _expand_lanes(model, amps, y0, tile_b)
     yf = sweep_dopri5_lockstep(
         static_fb, ops_fb, omega, freqs, amps, y0_cols, tf=tf,
         atol=atol, rtol=rtol, max_steps=max_steps, h0=h0,
-        tile_b=tile_b, interpret=interpret,
+        tile_b=tile_b, interpret=interpret, env_dt=env_dt,
     )
     return _collect_lanes(model, yf, B, m)
 

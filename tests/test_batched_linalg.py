@@ -227,3 +227,42 @@ class TestFusedAdaptiveSweepSolve:
             np.testing.assert_allclose(
                 np.asarray(U[i]), np.asarray(ref.y[-1]), atol=1e-9
             )
+
+    def test_envelope_table_pulse_sweep(self):
+        """Piecewise-constant envelope tables: Gaussian-pulse amplitude sweep
+        matches DOP853 on the identical DiscreteSignal."""
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu.solvers import fused_adaptive_sweep_solve
+        from qiskit_dynamics_tpu import Signal, DiscreteSignal
+
+        solver, w1 = cr_solver(dim=2)
+        model = solver.model
+        dim = model.dim
+        y0 = np.zeros(dim, dtype=complex)
+        y0[0] = 1.0
+        T, S = 4.0, 80
+        env_dt = T / S
+        amps = jnp.array([0.5, 1.0])
+
+        def signals_fn(a):
+            return [Signal(
+                lambda t: a * 0.1 * jnp.exp(-((t - T / 2) ** 2) / (2 * 0.8**2)),
+                carrier_freq=w1,
+            )]
+
+        out = fused_adaptive_sweep_solve(
+            model, signals_fn, amps, t_span=(0.0, T), y0=y0, atol=1e-9, rtol=1e-9,
+            h0=0.005, tile_b=8, interpret=True,
+            rwa_signal_map=solver._rwa_signal_map, envelope_resolution=S,
+        )
+        pops = np.abs(np.asarray(out)) ** 2
+        ts = (np.arange(S) + 0.5) * env_dt
+        for i, a in enumerate([0.5, 1.0]):
+            samples = a * 0.1 * np.exp(-((ts - T / 2) ** 2) / (2 * 0.8**2))
+            dsig = DiscreteSignal(dt=env_dt, samples=samples.astype(complex),
+                                  carrier_freq=w1)
+            ref = solver.solve(t_span=[0.0, T], y0=y0, signals=[dsig],
+                               method="DOP853", atol=1e-12, rtol=1e-12)
+            np.testing.assert_allclose(
+                pops[i], np.abs(np.asarray(ref.y[-1])) ** 2, atol=1e-5
+            )
