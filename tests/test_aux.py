@@ -136,3 +136,32 @@ class TestExpansionModelCheckpoint:
         sig = Signal(lambda t: 0.3, carrier_freq=5.0)
         res = solver.solve(0.0, 5, np.eye(2, dtype=complex), [sig])
         assert np.isfinite(np.asarray(res.y[-1])).all()
+
+
+class TestCheckpointedSweep:
+    def test_resume_skips_completed_chunks(self, tmp_path):
+        from qiskit_dynamics_tpu.utils import checkpointed_sweep
+
+        calls = []
+
+        def fn(chunk):
+            calls.append(len(chunk))
+            return chunk * 2.0
+
+        params = np.arange(10.0)
+        path = str(tmp_path / "sweep.npz")
+        out = checkpointed_sweep(fn, params, path, chunk_size=4)
+        np.testing.assert_allclose(out, params * 2.0)
+        assert calls == [4, 4, 2]
+
+        # "crash" after completion -> full resume does zero work
+        calls.clear()
+        out2 = checkpointed_sweep(fn, params, path, chunk_size=4)
+        np.testing.assert_allclose(out2, params * 2.0)
+        assert calls == []
+
+        # changed params invalidate the checkpoint
+        calls.clear()
+        out3 = checkpointed_sweep(fn, params + 1.0, path, chunk_size=4)
+        np.testing.assert_allclose(out3, (params + 1.0) * 2.0)
+        assert calls == [4, 4, 2]
