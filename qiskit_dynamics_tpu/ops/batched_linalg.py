@@ -21,7 +21,6 @@ Kernels (Pallas; ``interpret=True`` supported for CPU tests):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import numpy as np
 import jax

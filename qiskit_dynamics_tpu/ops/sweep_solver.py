@@ -23,7 +23,6 @@ Used by the CR-sweep benchmark; validated against the generic solver path.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import numpy as np
 import jax
