@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..exceptions import DynamicsError
 from ..models import LindbladModel
-from ..models.operator_collections import OperatorCollection
+from ..models.operator_collections import OperatorCollection, VectorizedLindbladCollection
 from ..signals import SignalList
 from ..ops.sweep_solver import sweep_expm_magnus2, _GAUSS_C1, _GAUSS_C2
 from .fixed_step_solvers import get_fixed_step_sizes
@@ -65,33 +65,56 @@ def fused_sweep_solve(
         (B, dim) final states at ``tf`` (standard basis, in-frame values
         rotated out of the frame basis).
     """
-    if isinstance(model, LindbladModel):
-        raise DynamicsError("fused_sweep_solve supports generator models only.")
+    vectorized_lindblad = isinstance(model, LindbladModel)
+    if vectorized_lindblad and not model.vectorized:
+        raise DynamicsError(
+            "fused_sweep_solve supports LindbladModel only with vectorized=True."
+        )
     coll = model._operator_collection
-    if (
-        coll.operators is None
-        or getattr(coll, "_sparse", False)
-        or not isinstance(coll, OperatorCollection)
-    ):
-        raise DynamicsError("fused_sweep_solve requires dense operators.")
+    if vectorized_lindblad:
+        if not isinstance(coll, VectorizedLindbladCollection) or not isinstance(
+            coll._operator_collection, OperatorCollection
+        ):
+            raise DynamicsError("fused_sweep_solve requires a dense vectorized collection.")
+        inner = coll._operator_collection
+        n_dis = (
+            0
+            if coll.dissipator_operators is None
+            else coll.dissipator_operators.shape[0]
+        )
+    else:
+        if (
+            coll.operators is None
+            or getattr(coll, "_sparse", False)
+            or not isinstance(coll, OperatorCollection)
+        ):
+            raise DynamicsError("fused_sweep_solve requires dense operators.")
+        inner = coll
+        n_dis = 0
     t0, tf = float(t_span[0]), float(t_span[-1])
     if t0 != 0.0:
         raise DynamicsError("fused_sweep_solve currently requires t_span[0] == 0.")
     if tf <= t0:
         raise DynamicsError("fused_sweep_solve requires t_span[1] > t_span[0].")
 
-    static_fb = coll.static_operator
+    solve_dim = model.dim**2 if vectorized_lindblad else model.dim
+    static_fb = inner.static_operator
     if static_fb is None:
-        static_fb = np.zeros(2 * (model.dim,), dtype=complex)
+        static_fb = np.zeros(2 * (solve_dim,), dtype=complex)
     static_fb = np.asarray(static_fb)
-    ops_fb = np.asarray(coll.operators)
+    ops_fb = np.asarray(inner.operators)
 
     frame_diag = model.rotating_frame.frame_diag
     if frame_diag is None:
-        omega = np.zeros(2 * (model.dim,))
+        omega = np.zeros(2 * (solve_dim,))
     else:
         d = np.asarray(frame_diag)
-        omega = np.imag(d)[None, :] - np.imag(d)[:, None]
+        w = np.imag(d)
+        if vectorized_lindblad:
+            # column-stacking vec: index a = col*n + row; phase of vec index
+            # a is w_row - w_col (see vec_commutator conventions)
+            w = (w[None, :] - w[:, None]).ravel()
+        omega = w[None, :] - w[:, None]
 
     # same step-grid rule as the generic fixed-step solvers, so results match
     # method="jax_expm" exactly
@@ -106,8 +129,15 @@ def fused_sweep_solve(
 
     def signal_values(p):
         sigs = signals_fn(p)
-        if rwa_signal_map is not None:
-            sigs = rwa_signal_map(sigs)
+        if isinstance(sigs, tuple):
+            # Lindblad convention: (hamiltonian_signals, dissipator_signals)
+            if rwa_signal_map is not None:
+                sigs = rwa_signal_map(sigs)
+            ham_sigs, dis_sigs = sigs
+            sigs = list(ham_sigs) + list(dis_sigs or [])
+        else:
+            if rwa_signal_map is not None:
+                sigs = rwa_signal_map(sigs)
         if not isinstance(sigs, SignalList):
             sigs = SignalList(list(sigs))
         if len(sigs) != k:
@@ -119,11 +149,20 @@ def fused_sweep_solve(
 
     coeffs = jnp.moveaxis(jax.vmap(signal_values)(params), 0, -1)  # (T, 2, k, B)
 
-    coeffs, y0_cols, B, m = _expand_lanes(model, coeffs, y0, tile_b)
+    if vectorized_lindblad:
+        rho_fb = np.asarray(model.rotating_frame.operator_into_frame_basis(np.asarray(y0)))
+        y0_fb = rho_fb.ravel(order="F")  # column-stacking vec
+    else:
+        y0_fb = np.asarray(model.rotating_frame.state_into_frame_basis(np.asarray(y0)))
+    coeffs, y0_cols, B, m = _expand_lanes(coeffs, y0_fb, solve_dim, tile_b)
     yf = sweep_expm_magnus2(
         static_fb, ops_fb, omega, coeffs, y0_cols, dt=dt, order=expm_order,
         tile_b=tile_b, interpret=interpret,
     )
+    if vectorized_lindblad:
+        n = model.dim
+        rho = jnp.transpose(yf[:, :B].reshape(n, n, B), (2, 1, 0))  # (B, n, n)
+        return model.rotating_frame.operator_out_of_frame_basis(rho)
     return _collect_lanes(model, yf, B, m)
 
 
@@ -246,7 +285,8 @@ def fused_adaptive_sweep_solve(
 
         amps = jnp.moveaxis(jax.vmap(amplitudes)(params), 0, -1)  # (k, S, B)
 
-    amps, y0_cols, B, m = _expand_lanes(model, amps, y0, tile_b)
+    y0_fb = np.asarray(model.rotating_frame.state_into_frame_basis(np.asarray(y0)))
+    amps, y0_cols, B, m = _expand_lanes(amps, y0_fb, model.dim, tile_b)
     yf = sweep_dopri5_lockstep(
         static_fb, ops_fb, omega, freqs, amps, y0_cols, tf=tf,
         atol=atol, rtol=rtol, max_steps=max_steps, h0=h0,
@@ -255,16 +295,17 @@ def fused_adaptive_sweep_solve(
     return _collect_lanes(model, yf, B, m)
 
 
-def _expand_lanes(model, lane_data, y0, tile_b: int):
+def _expand_lanes(lane_data, y0_fb, dim: int, tile_b: int):
     """Map sweep members x y0 columns onto kernel lanes.
 
-    1d ``y0`` (dim,): one lane per sweep member. 2d ``y0`` (dim, m) — e.g. the
-    identity for unitary/gate sweeps: each member occupies ``m`` consecutive
-    lanes (per-lane data repeated, y0 columns tiled). Pads the lane axis to a
-    multiple of ``tile_b``. Returns (lane_data, y0_cols, B, m).
+    1d ``y0_fb`` (dim,): one lane per sweep member. 2d ``y0_fb`` (dim, m) —
+    e.g. the identity for unitary/gate sweeps: each member occupies ``m``
+    consecutive lanes (per-lane data repeated, y0 columns tiled). ``y0_fb`` is
+    already frame-basis. Pads the lane axis to a multiple of ``tile_b``.
+    Returns (lane_data, y0_cols, B, m).
     """
-    y0 = np.asarray(y0)
-    m = 1 if y0.ndim == 1 else y0.shape[1]
+    y0_fb = np.asarray(y0_fb)
+    m = 1 if y0_fb.ndim == 1 else y0_fb.shape[1]
     B = lane_data.shape[-1]
     if m > 1:
         lane_data = jnp.repeat(lane_data, m, axis=-1)
@@ -274,12 +315,11 @@ def _expand_lanes(model, lane_data, y0, tile_b: int):
         filler = jnp.broadcast_to(lane_data[..., :1], lane_data.shape[:-1] + (pad,))
         lane_data = jnp.concatenate([lane_data, filler], axis=-1)
 
-    y0_fb = np.asarray(model.rotating_frame.state_into_frame_basis(y0))
     if m == 1:
-        y0_cols = jnp.broadcast_to(jnp.asarray(y0_fb)[:, None], (model.dim, total + pad))
+        y0_cols = jnp.broadcast_to(jnp.asarray(y0_fb)[:, None], (dim, total + pad))
     else:
         cols = jnp.tile(jnp.asarray(y0_fb), (1, B))  # member-major, column-minor
-        pad_cols = jnp.broadcast_to(cols[:, :1], (model.dim, pad))
+        pad_cols = jnp.broadcast_to(cols[:, :1], (dim, pad))
         y0_cols = jnp.concatenate([cols, pad_cols], axis=-1)
     return lane_data, y0_cols, B, m
 

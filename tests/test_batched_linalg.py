@@ -266,3 +266,41 @@ class TestFusedAdaptiveSweepSolve:
             np.testing.assert_allclose(
                 pops[i], np.abs(np.asarray(ref.y[-1])) ** 2, atol=1e-5
             )
+
+    def test_lindblad_vectorized_fused_sweep(self):
+        """Vectorized Lindblad sweeps through the fused kernel match the
+        generic vectorized DOP853 solve."""
+        from qiskit_dynamics_tpu.models import LindbladModel
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+        from qiskit_dynamics_tpu import Signal, Solver
+        from qiskit_dynamics_tpu.quantum_info import DensityMatrix
+
+        nu, gamma = 5.0, 0.1
+        Xm = np.array([[0, 1], [1, 0]], dtype=complex)
+        Zm = np.diag([1, -1]).astype(complex)
+        sm = np.array([[0, 1], [0, 0]], dtype=complex)
+        kwargs = dict(
+            static_hamiltonian=2 * np.pi * nu * Zm / 2,
+            hamiltonian_operators=[2 * np.pi * 0.1 * Xm / 2],
+            static_dissipators=[np.sqrt(gamma) * sm],
+            rotating_frame=2 * np.pi * nu * Zm / 2,
+            vectorized=True,
+        )
+        model = LindbladModel(**kwargs)
+        solver = Solver(**kwargs)
+        rho0 = np.zeros((2, 2), dtype=complex)
+        rho0[1, 1] = 1.0
+        T = 3.0
+        amps = jnp.array([0.4, 1.0])
+        signals_fn = lambda a: ([Signal(lambda t: a, carrier_freq=nu)], None)
+        out = fused_sweep_solve(model, signals_fn, amps, t_span=(0.0, T),
+                                max_dt=0.02, y0=rho0, tile_b=8, interpret=True)
+        assert out.shape == (2, 2, 2)
+        for i, a in enumerate([0.4, 1.0]):
+            sig = Signal(lambda t, a=a: a, carrier_freq=nu)
+            ref = solver.solve(t_span=[0.0, T], y0=DensityMatrix(rho0),
+                               signals=[sig], method="DOP853",
+                               atol=1e-12, rtol=1e-12)
+            np.testing.assert_allclose(
+                np.asarray(out[i]), np.asarray(ref.y[-1]), atol=1e-6
+            )
