@@ -7,7 +7,10 @@ fixed-step/adaptive/perturbative solvers, a pulse-schedule front end, and a
 backend simulation layer — all designed TPU-first (jit-native hot paths,
 multi-chip sharding via ``parallel``).
 """
-__version__ = "0.1.0"
+import os as _os
+
+with open(_os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "VERSION.txt")) as _f:
+    __version__ = _f.read().strip()
 
 from .exceptions import DynamicsError
 from .dtypes import ArrayLike
