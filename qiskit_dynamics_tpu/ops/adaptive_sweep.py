@@ -16,11 +16,16 @@ Generators are frame-basis: ``G(t) = P(t) * (static + sum_j c_j(t) ops_j)``
 with ``P(t)[i,m] = exp(i omega[i,m] t)`` (same conventions as
 :func:`.sweep_solver.sweep_expm_magnus2`).
 
-Error control matches ``tpu_dopri5`` (solvers/adaptive.py): rms over state
+Error control follows ``tpu_dopri5`` (solvers/adaptive.py): rms over state
 entries of ``err/scale`` with ``scale = atol + rtol*max(|y|,|y_new|)``, max
-over lanes; step factor ``clip(0.9 err^(-1/5), 0.2, 5)``. If the step budget
-is exhausted before ``tf``, the output is NaN-poisoned (the in-graph error
-convention used across the framework).
+over lanes; step factor ``clip(0.9 err^(-1/5), 0.2, 10)`` (shrink-only on
+rejection), a small-step stall guard, and FSAL reuse of the 7th stage. If the
+step budget is exhausted before ``tf``, the output is NaN-poisoned (the
+in-graph error convention used across the framework).
+
+Precision: the kernel runs in float32 regardless of ``jax_enable_x64`` (VPU
+vector ops); tolerances below ~1e-6 are roundoff-dominated — the default
+``atol=rtol=1e-6`` is the practical floor.
 """
 from __future__ import annotations
 
@@ -115,11 +120,9 @@ def _kernel(
         t, h, steps = carry
         h = jnp.minimum(h, tf - t)
 
-        # stage 0 at (t, y)
-        for i in range(n):
-            wr[i] = yr[i]
-            wi[i] = yi[i]
-        rhs_into_stage(0, t)
+        # stage 0 = f(t, y) is already in kr/ki[0]: computed before the loop
+        # for the first step, maintained by the FSAL copy on accepted steps,
+        # and unchanged (same (t, y)) after rejected steps.
 
         # stages 1..5
         for s in range(1, _N_STAGES):
@@ -165,15 +168,23 @@ def _kernel(
             err_sq_sum = err_sq_sum + (er**2 + ei**2) / (scale**2)
         err_norm = jnp.sqrt(jnp.max(err_sq_sum) / n)  # rms over state, max over lanes
 
-        accept = err_norm <= 1.0
+        # stall guard (mirrors solvers/adaptive.py): a step below float noise
+        # cannot be refined further — accept it rather than burn the budget
+        accept = (err_norm <= 1.0) | (h <= 1e-6 * jnp.maximum(1.0, t))
         for i in range(n):
             yr[i] = jnp.where(accept, wr[i], yr[i])
             yi[i] = jnp.where(accept, wi[i], yi[i])
+            # FSAL: on accept, stage 6 = f(t+h, y_new) becomes next stage 0
+            kr[0, i] = jnp.where(accept, kr[6, i], kr[0, i])
+            ki[0, i] = jnp.where(accept, ki[6, i], ki[0, i])
         t_new = jnp.where(accept, t + h, t)
 
-        # err_norm**(-1/5) via exp/log (Mosaic cannot legalize math.powf)
+        # err_norm**(-1/5) via exp/log (Mosaic cannot legalize math.powf);
+        # growth capped at 10 on accept, shrink-only on reject (same policy
+        # as solvers/adaptive.py tpu_rk_solve)
         safe_err = jnp.maximum(err_norm, jnp.float32(1e-10))
-        factor = jnp.clip(0.9 * jnp.exp(-0.2 * jnp.log(safe_err)), 0.2, 5.0)
+        factor = jnp.clip(0.9 * jnp.exp(-0.2 * jnp.log(safe_err)), 0.2, 10.0)
+        factor = jnp.where(accept, factor, jnp.minimum(factor, 1.0))
         return t_new, h * factor, steps + 1
 
     def cond(carry):
@@ -183,6 +194,9 @@ def _kernel(
     for i in range(n):
         yr[i] = y0r_ref[i]
         yi[i] = y0i_ref[i]
+        wr[i] = y0r_ref[i]
+        wi[i] = y0i_ref[i]
+    rhs_into_stage(0, jnp.float32(0.0))  # initial FSAL stage
 
     t_f, _, _ = jax.lax.while_loop(
         cond, body, (jnp.float32(0.0), jnp.float32(h0), jnp.int32(0))
@@ -209,8 +223,8 @@ def sweep_dopri5_lockstep(
     signal_amps,
     y0,
     tf: float,
-    atol: float = 1e-8,
-    rtol: float = 1e-8,
+    atol: float = 1e-6,
+    rtol: float = 1e-6,
     max_steps: int = 4096,
     h0: float = 1e-2,
     tile_b: int = 512,

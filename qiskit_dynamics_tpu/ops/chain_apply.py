@@ -66,6 +66,8 @@ def chain_apply_bol(props, y0, tile_b: int = 512, interpret: bool = False):
         (n, B) complex final states.
     """
     T, n, _, B = props.shape
+    if T == 0:
+        raise ValueError("chain_apply_bol requires at least one propagator (T >= 1).")
     if B % tile_b != 0:
         raise ValueError(f"batch {B} must be a multiple of tile_b={tile_b}")
     f32 = jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64

@@ -31,6 +31,57 @@ from .fixed_step_solvers import get_fixed_step_sizes
 __all__ = ["fused_sweep_solve", "fused_adaptive_sweep_solve"]
 
 
+def _extract_generator_data(model, t_span, fn_name: str):
+    """Shared validation + frame-basis data extraction for the fused solvers.
+
+    Returns ``(vectorized_lindblad, solve_dim, static_fb, ops_fb, omega, t0, tf)``.
+    """
+    vectorized_lindblad = isinstance(model, LindbladModel)
+    if vectorized_lindblad and not model.vectorized:
+        raise DynamicsError(f"{fn_name} supports LindbladModel only with vectorized=True.")
+    coll = model._operator_collection
+    if vectorized_lindblad:
+        if not isinstance(coll, VectorizedLindbladCollection) or not isinstance(
+            coll._operator_collection, OperatorCollection
+        ):
+            raise DynamicsError(f"{fn_name} requires a dense vectorized collection.")
+        inner = coll._operator_collection
+    else:
+        if (
+            coll.operators is None
+            or getattr(coll, "_sparse", False)
+            or not isinstance(coll, OperatorCollection)
+        ):
+            raise DynamicsError(f"{fn_name} requires dense operators.")
+        inner = coll
+
+    t0, tf = float(t_span[0]), float(t_span[-1])
+    if t0 != 0.0:
+        raise DynamicsError(f"{fn_name} currently requires t_span[0] == 0.")
+    if tf <= t0:
+        raise DynamicsError(f"{fn_name} requires t_span[1] > t_span[0].")
+
+    solve_dim = model.dim**2 if vectorized_lindblad else model.dim
+    static_fb = inner.static_operator
+    if static_fb is None:
+        static_fb = np.zeros(2 * (solve_dim,), dtype=complex)
+    static_fb = np.asarray(static_fb)
+    ops_fb = np.asarray(inner.operators)
+
+    frame_diag = model.rotating_frame.frame_diag
+    if frame_diag is None:
+        omega = np.zeros(2 * (solve_dim,))
+    else:
+        w = np.imag(np.asarray(frame_diag))
+        if vectorized_lindblad:
+            # column-stacking vec: index a = col*n + row; phase of vec index
+            # a is w_row - w_col (see vec_commutator conventions)
+            w = (w[None, :] - w[:, None]).ravel()
+        omega = w[None, :] - w[:, None]
+
+    return vectorized_lindblad, solve_dim, static_fb, ops_fb, omega, t0, tf
+
+
 def fused_sweep_solve(
     model,
     signals_fn: Callable,
@@ -46,8 +97,10 @@ def fused_sweep_solve(
     r"""Solve ``y' = G_b(t) y`` for a parameter sweep with the fused kernel.
 
     Args:
-        model: a ``GeneratorModel``/``HamiltonianModel`` (dense; Lindblad not
-            supported).
+        model: a dense ``GeneratorModel``/``HamiltonianModel``, or a
+            ``LindbladModel`` with ``vectorized=True`` (then ``y0`` is a
+            density matrix and ``signals_fn`` returns a
+            ``(hamiltonian_signals, dissipator_signals)`` tuple).
         signals_fn: maps one parameter pytree -> signal list for the model's
             operators (jax-traceable in the parameters).
         params: batched parameters (dim 0 = sweep axis).
@@ -59,62 +112,23 @@ def fused_sweep_solve(
         interpret: interpreter mode (CPU tests).
         rwa_signal_map: optional signal map (as returned by
             ``rotating_wave_approximation``) applied to ``signals_fn``'s
-            output — the ``Solver`` class passes its cached map automatically.
+            output. If the model was RWA'd (e.g. built through ``Solver`` with
+            ``rwa_cutoff_freq``), this MUST be passed explicitly (e.g.
+            ``solver._rwa_signal_map``) — there is no automatic wiring.
 
     Returns:
         (B, dim) final states at ``tf`` (standard basis, in-frame values
         rotated out of the frame basis).
     """
-    vectorized_lindblad = isinstance(model, LindbladModel)
-    if vectorized_lindblad and not model.vectorized:
-        raise DynamicsError(
-            "fused_sweep_solve supports LindbladModel only with vectorized=True."
-        )
-    coll = model._operator_collection
-    if vectorized_lindblad:
-        if not isinstance(coll, VectorizedLindbladCollection) or not isinstance(
-            coll._operator_collection, OperatorCollection
-        ):
-            raise DynamicsError("fused_sweep_solve requires a dense vectorized collection.")
-        inner = coll._operator_collection
-        n_dis = (
-            0
-            if coll.dissipator_operators is None
-            else coll.dissipator_operators.shape[0]
-        )
-    else:
-        if (
-            coll.operators is None
-            or getattr(coll, "_sparse", False)
-            or not isinstance(coll, OperatorCollection)
-        ):
-            raise DynamicsError("fused_sweep_solve requires dense operators.")
-        inner = coll
-        n_dis = 0
-    t0, tf = float(t_span[0]), float(t_span[-1])
-    if t0 != 0.0:
-        raise DynamicsError("fused_sweep_solve currently requires t_span[0] == 0.")
-    if tf <= t0:
-        raise DynamicsError("fused_sweep_solve requires t_span[1] > t_span[0].")
-
-    solve_dim = model.dim**2 if vectorized_lindblad else model.dim
-    static_fb = inner.static_operator
-    if static_fb is None:
-        static_fb = np.zeros(2 * (solve_dim,), dtype=complex)
-    static_fb = np.asarray(static_fb)
-    ops_fb = np.asarray(inner.operators)
-
-    frame_diag = model.rotating_frame.frame_diag
-    if frame_diag is None:
-        omega = np.zeros(2 * (solve_dim,))
-    else:
-        d = np.asarray(frame_diag)
-        w = np.imag(d)
-        if vectorized_lindblad:
-            # column-stacking vec: index a = col*n + row; phase of vec index
-            # a is w_row - w_col (see vec_commutator conventions)
-            w = (w[None, :] - w[:, None]).ravel()
-        omega = w[None, :] - w[:, None]
+    (
+        vectorized_lindblad,
+        solve_dim,
+        static_fb,
+        ops_fb,
+        omega,
+        t0,
+        tf,
+    ) = _extract_generator_data(model, t_span, "fused_sweep_solve")
 
     # same step-grid rule as the generic fixed-step solvers, so results match
     # method="jax_expm" exactly
@@ -200,60 +214,77 @@ def fused_adaptive_sweep_solve(
     """
     from ..ops.adaptive_sweep import sweep_dopri5_lockstep
 
-    if isinstance(model, LindbladModel):
+    (
+        vectorized_lindblad,
+        _,
+        static_fb,
+        ops_fb,
+        omega,
+        t0,
+        tf,
+    ) = _extract_generator_data(model, t_span, "fused_adaptive_sweep_solve")
+    if vectorized_lindblad:
         raise DynamicsError("fused_adaptive_sweep_solve supports generator models only.")
-    coll = model._operator_collection
-    if (
-        coll.operators is None
-        or getattr(coll, "_sparse", False)
-        or not isinstance(coll, OperatorCollection)
-    ):
-        raise DynamicsError("fused_adaptive_sweep_solve requires dense operators.")
-    t0, tf = float(t_span[0]), float(t_span[-1])
-    if t0 != 0.0:
-        raise DynamicsError("fused_adaptive_sweep_solve currently requires t_span[0] == 0.")
-    if tf <= t0:
-        raise DynamicsError("fused_adaptive_sweep_solve requires t_span[1] > t_span[0].")
-
-    static_fb = coll.static_operator
-    if static_fb is None:
-        static_fb = np.zeros(2 * (model.dim,), dtype=complex)
-    static_fb = np.asarray(static_fb)
-    ops_fb = np.asarray(coll.operators)
     k = ops_fb.shape[0]
 
-    frame_diag = model.rotating_frame.frame_diag
-    if frame_diag is None:
-        omega = np.zeros(2 * (model.dim,))
-    else:
-        d = np.asarray(frame_diag)
-        omega = np.imag(d)[None, :] - np.imag(d)[:, None]
-
-    # collect constant-envelope amplitudes and (shared) carrier frequencies;
-    # a mapped signal may be a SignalSum (e.g. RWA copies) — all its terms
-    # must share one carrier, and the complex amplitudes add
-    probe = signals_fn(jax.tree_util.tree_map(lambda x: x[0], params))
-    if rwa_signal_map is not None:
-        probe = rwa_signal_map(probe)
-    probe = list(probe)
-    if len(probe) != k:
-        raise DynamicsError(
-            f"signals_fn (after any rwa_signal_map) must produce {k} signals to match "
-            f"the model's operators; got {len(probe)}."
-        )
-    freqs = []
-    for s in probe:
-        carriers = np.atleast_1d(np.asarray(s.carrier_freq, dtype=float))
-        if not np.allclose(carriers, carriers[0]):
+    # collect the (shared) carrier frequencies from member-0 and member-(-1)
+    # probes; a mapped signal may be a SignalSum (e.g. RWA copies) — all its
+    # terms must share one carrier, and the complex amplitudes add. Carrier
+    # SWEEPS are not supported (the kernel uses one frequency per signal).
+    def probe_carriers(member_params):
+        sigs = signals_fn(member_params)
+        if rwa_signal_map is not None:
+            sigs = rwa_signal_map(sigs)
+        sigs = list(sigs)
+        if len(sigs) != k:
             raise DynamicsError(
-                "fused_adaptive_sweep_solve requires each (summed) signal to have a "
-                "single carrier frequency."
+                f"signals_fn (after any rwa_signal_map) must produce {k} signals to "
+                f"match the model's operators; got {len(sigs)}."
             )
-        freqs.append(2 * np.pi * carriers[0])
-    freqs = np.asarray(freqs)
+        out = []
+        for s in sigs:
+            carrier = s.carrier_freq
+            if isinstance(carrier, jax.core.Tracer):
+                raise DynamicsError(
+                    "fused_adaptive_sweep_solve does not support sweeping the carrier "
+                    "frequency — carriers must be the same for every sweep member."
+                )
+            carriers = np.atleast_1d(np.asarray(carrier, dtype=float))
+            if not np.allclose(carriers, carriers[0]):
+                raise DynamicsError(
+                    "fused_adaptive_sweep_solve requires each (summed) signal to have "
+                    "a single carrier frequency."
+                )
+            out.append(2 * np.pi * carriers[0])
+        return np.asarray(out), sigs
+
+    freqs, probe_sigs = probe_carriers(jax.tree_util.tree_map(lambda x: x[0], params))
+    freqs_last, _ = probe_carriers(jax.tree_util.tree_map(lambda x: x[-1], params))
+    if not np.allclose(freqs, freqs_last):
+        raise DynamicsError(
+            "fused_adaptive_sweep_solve does not support sweeping the carrier "
+            "frequency — carriers must be the same for every sweep member."
+        )
 
     if envelope_resolution is None:
         env_dt = 0.0
+        # reject non-constant envelopes (silently wrong otherwise): probe the
+        # member-0 envelopes at a few interior times. Under a trace (params
+        # traced through jit) the values cannot be inspected — skipped then.
+        probe_ts = np.array([0.0, 0.37, 0.71]) * tf
+        for s in probe_sigs:
+            vals = [s.envelope(t) for t in probe_ts]
+            if any(isinstance(v, jax.core.Tracer) for v in vals):
+                continue
+            vals = np.asarray(
+                [np.sum(np.atleast_1d(np.asarray(v, dtype=complex))) for v in vals]
+            )
+            if not np.allclose(vals, vals[0], rtol=1e-12, atol=1e-12):
+                raise DynamicsError(
+                    "fused_adaptive_sweep_solve with envelope_resolution=None requires "
+                    "constant-envelope signals; pass envelope_resolution=S for "
+                    "time-dependent pulse shapes."
+                )
 
         def amplitudes(p):
             sigs = signals_fn(p)

@@ -304,3 +304,26 @@ class TestFusedAdaptiveSweepSolve:
             np.testing.assert_allclose(
                 np.asarray(out[i]), np.asarray(ref.y[-1]), atol=1e-6
             )
+
+    def test_adaptive_glue_rejects_carrier_sweep_and_nonconstant_envelope(self):
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu.solvers import fused_adaptive_sweep_solve
+        from qiskit_dynamics_tpu import Signal
+        from qiskit_dynamics_tpu.exceptions import DynamicsError
+        import pytest
+
+        solver, w1 = cr_solver(dim=2)
+        y0 = np.zeros(4, dtype=complex)
+        y0[0] = 1.0
+        with pytest.raises(DynamicsError, match="carrier"):
+            fused_adaptive_sweep_solve(
+                solver.model, lambda f: [Signal(lambda t: 0.02, carrier_freq=f)],
+                jnp.array([5.0, 5.2]), t_span=(0.0, 1.0), y0=y0,
+                tile_b=8, interpret=True, rwa_signal_map=solver._rwa_signal_map,
+            )
+        with pytest.raises(DynamicsError, match="constant-envelope"):
+            fused_adaptive_sweep_solve(
+                solver.model, lambda a: [Signal(lambda t: a * np.exp(-t), carrier_freq=w1)],
+                jnp.array([0.5, 1.0]), t_span=(0.0, 1.0), y0=y0,
+                tile_b=8, interpret=True, rwa_signal_map=solver._rwa_signal_map,
+            )
