@@ -170,11 +170,12 @@ class _PerturbativeSolver(ABC):
         """Batched parameter-sweep solve through the streamed chain kernel.
 
         TPU fast path with no reference counterpart: evaluates the expansion
-        polynomial for EVERY (step, sweep member) with one tensordot (MXU),
-        then applies the per-lane propagator chains with the streamed Pallas
-        kernel (:func:`~qiskit_dynamics_tpu.ops.chain_apply.chain_apply_bol`)
-        — state resident in VMEM, propagators double-buffered from HBM.
-        Dyson only (Magnus needs a per-step expm; use the generic path).
+        polynomial for EVERY (step, sweep member) with one tensordot (MXU) —
+        for Magnus additionally exponentiating every step with the
+        batch-on-lanes Taylor ``expm`` kernel — then applies the per-lane
+        propagator chains with the streamed Pallas kernel
+        (:func:`~qiskit_dynamics_tpu.ops.chain_apply.chain_apply_bol`): state
+        resident in VMEM, propagators double-buffered from HBM.
 
         Args:
             t0: shared initial time.
@@ -190,9 +191,6 @@ class _PerturbativeSolver(ABC):
             ``solve``).
         """
         from ...ops.chain_apply import chain_apply_bol
-
-        if self.model.expansion_method != "dyson":
-            raise DynamicsError("solve_sweep currently supports the Dyson expansion only.")
 
         model = self.model
         poly = model.expansion_polynomial
@@ -214,7 +212,27 @@ class _PerturbativeSolver(ABC):
         props = jnp.tensordot(
             jnp.asarray(poly.array_coefficients), monomials, axes=(0, 0)
         )                                               # (n, n, T, B+pad)
-        props = props + jnp.asarray(poly.constant_term)[:, :, None, None]
+        if poly.constant_term is not None:
+            props = props + jnp.asarray(poly.constant_term)[:, :, None, None]
+
+        if model.expansion_method == "magnus":
+            # per-step propagator = Udt @ expm(polynomial), exponentiated with
+            # the batch-on-lanes Taylor kernel over the flattened (T*B) lanes
+            from ...ops.batched_linalg import expm_taylor_bol
+
+            T_steps = props.shape[2]
+            lanes = props.reshape(dim, dim, T_steps * props.shape[3])
+            exp_r, exp_i = expm_taylor_bol(
+                jnp.real(lanes).astype(jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64),
+                jnp.imag(lanes).astype(jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64),
+                order=12,
+                squarings=2,
+                tile_b=tile_b,
+                interpret=interpret,
+            )
+            expd = (exp_r + 1j * exp_i).reshape(dim, dim, T_steps, props.shape[3])
+            props = jnp.einsum("im,mntb->intb", jnp.asarray(model.Udt), expd)
+
         props = jnp.moveaxis(props, 2, 0)               # (T, n, n, B+pad)
 
         U0 = model.rotating_frame.state_out_of_frame(t0, np.eye(dim, dtype=complex))

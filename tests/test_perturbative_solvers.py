@@ -173,11 +173,20 @@ def test_solve_sweep_matches_per_member(dyson_solver):
         )
 
 
-def test_solve_sweep_magnus_rejected(magnus_solver):
-    from qiskit_dynamics_tpu.exceptions import DynamicsError
-
-    with pytest.raises(DynamicsError):
-        magnus_solver.solve_sweep(
-            0.0, 5, np.array([1.0, 0.0], dtype=complex),
-            lambda a: [Signal(lambda t: a, carrier_freq=NU)], jnp.array([0.1]),
+def test_solve_sweep_magnus_matches_per_member(magnus_solver):
+    """Magnus batched sweep (bol expm + chain kernel) == per-member solves."""
+    y0 = np.array([1.0, 0.0], dtype=complex)
+    amps = jnp.array([0.2, 0.4])
+    n_steps = 10
+    signals_fn = lambda a: [
+        Signal(lambda t: a * jnp.exp(-((t - 0.125) ** 2) / 0.02), carrier_freq=NU)
+    ]
+    out = magnus_solver.solve_sweep(0.0, n_steps, y0, signals_fn, amps,
+                                    tile_b=4, interpret=True)
+    for i, a in enumerate([0.2, 0.4]):
+        sig = Signal(lambda t, a=a: a * np.exp(-((t - 0.125) ** 2) / 0.02),
+                     carrier_freq=NU)
+        ref = magnus_solver.solve(0.0, n_steps, y0, [sig], jax_control_flow=False)
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(ref.y[-1]), atol=1e-9
         )
