@@ -117,7 +117,7 @@ def _kernel(
             ki[s, i] = acc_i
 
     def body(carry):
-        t, h, steps = carry
+        t, h, steps, bad = carry
         h = jnp.minimum(h, tf - t)
 
         # stage 0 = f(t, y) is already in kr/ki[0]: computed before the loop
@@ -168,9 +168,14 @@ def _kernel(
             err_sq_sum = err_sq_sum + (er**2 + ei**2) / (scale**2)
         err_norm = jnp.sqrt(jnp.max(err_sq_sum) / n)  # rms over state, max over lanes
 
-        # stall guard (mirrors solvers/adaptive.py): a step below float noise
-        # cannot be refined further — accept it rather than burn the budget
-        accept = (err_norm <= 1.0) | (h <= 1e-6 * jnp.maximum(1.0, t))
+        # stall guard: a step within a few ulps of t cannot be refined
+        # further (t + h would round to t) — accept it rather than burn the
+        # budget. Threshold = 4 ulps of t (f32 eps scaling). If such a forced
+        # step is wildly out of tolerance the result is untrustworthy: flag
+        # it and NaN-poison the output (in-graph error convention).
+        stalled = h <= (4.0 * 1.1920929e-7) * jnp.maximum(1.0, t)
+        accept = (err_norm <= 1.0) | stalled
+        bad = bad | (stalled & (err_norm > 1.0) & (err_norm > 100.0))
         for i in range(n):
             yr[i] = jnp.where(accept, wr[i], yr[i])
             yi[i] = jnp.where(accept, wi[i], yi[i])
@@ -185,10 +190,10 @@ def _kernel(
         safe_err = jnp.maximum(err_norm, jnp.float32(1e-10))
         factor = jnp.clip(0.9 * jnp.exp(-0.2 * jnp.log(safe_err)), 0.2, 10.0)
         factor = jnp.where(accept, factor, jnp.minimum(factor, 1.0))
-        return t_new, h * factor, steps + 1
+        return t_new, h * factor, steps + 1, bad
 
     def cond(carry):
-        t, h, steps = carry
+        t, h, steps, _ = carry
         return (t < tf) & (steps < max_steps)
 
     for i in range(n):
@@ -198,12 +203,13 @@ def _kernel(
         wi[i] = y0i_ref[i]
     rhs_into_stage(0, jnp.float32(0.0))  # initial FSAL stage
 
-    t_f, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.float32(0.0), jnp.float32(h0), jnp.int32(0))
+    t_f, _, _, bad_f = jax.lax.while_loop(
+        cond, body, (jnp.float32(0.0), jnp.float32(h0), jnp.int32(0), False)
     )
 
-    # NaN-poison if the budget ran out before reaching tf
-    poison = jnp.where(t_f >= tf, 1.0, jnp.nan).astype(jnp.float32)
+    # NaN-poison if the budget ran out before reaching tf, or a stalled step
+    # was force-accepted with err >> tolerance
+    poison = jnp.where((t_f >= tf) & jnp.logical_not(bad_f), 1.0, jnp.nan).astype(jnp.float32)
     for i in range(n):
         outr_ref[i] = yr[i] * poison
         outi_ref[i] = yi[i] * poison

@@ -334,8 +334,9 @@ def _poly_add(
         ap2.array_coefficients, jax.Array
     )
     xp = jnp if use_jax else np
+    # each polynomial pads with its OWN shape; the final add broadcasts
     zero1 = xp.zeros((1,) + ap1.shape, dtype=complex)
-    zero2 = xp.zeros((1,) + ap1.shape, dtype=complex)
+    zero2 = xp.zeros((1,) + ap2.shape, dtype=complex)
     coeffs1 = (
         xp.concatenate([xp.asarray(ap1.array_coefficients), zero1], axis=0)
         if ap1.array_coefficients is not None

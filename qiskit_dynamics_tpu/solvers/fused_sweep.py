@@ -186,8 +186,8 @@ def fused_adaptive_sweep_solve(
     params,
     t_span,
     y0,
-    atol: float = 1e-8,
-    rtol: float = 1e-8,
+    atol: float = 1e-6,
+    rtol: float = 1e-6,
     max_steps: int = 4096,
     h0: float = 1e-2,
     tile_b: int = 512,
@@ -199,6 +199,12 @@ def fused_adaptive_sweep_solve(
 
     Adaptive counterpart of :func:`fused_sweep_solve` built on
     :func:`~qiskit_dynamics_tpu.ops.adaptive_sweep.sweep_dopri5_lockstep`.
+
+    Precision: the kernel arithmetic is hard-float32, with an accuracy floor
+    of ~1e-6 relative to an f64 reference — the default ``atol=rtol=1e-6``
+    matches that floor. Requesting tighter tolerances only spends steps on
+    roundoff-dominated error estimates (a warning is emitted); for 1e-8-class
+    accuracy use :func:`fused_sweep_solve` with ``precision="df32"``.
 
     Signal handling: the kernel evaluates
     ``c_j(t, b) = Re[E_jb(t) e^{i 2 pi nu_j t}]`` in-VMEM at arbitrary step
@@ -213,6 +219,16 @@ def fused_adaptive_sweep_solve(
     Returns (B, dim) final states at ``t_span[1]`` (standard basis).
     """
     from ..ops.adaptive_sweep import sweep_dopri5_lockstep
+
+    if min(atol, rtol) < 1e-6:
+        import warnings
+
+        warnings.warn(
+            "fused_adaptive_sweep_solve runs hard-float32 with an accuracy floor of "
+            f"~1e-6; atol/rtol=({atol}, {rtol}) below the floor will not be met. "
+            'For ~1e-8 accuracy use fused_sweep_solve(..., precision="df32").',
+            stacklevel=2,
+        )
 
     (
         vectorized_lindblad,

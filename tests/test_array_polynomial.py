@@ -120,6 +120,15 @@ class TestAlgebra:
         A = np.ones((3, 3))
         np.testing.assert_allclose((self.ap1 + A)(self.c), self.ap1(self.c) + A, atol=1e-12)
 
+    def test_add_broadcast_shapes(self):
+        # different-but-broadcastable coefficient shapes: (3, 3) + (1, 3)
+        rng = np.random.default_rng(11)
+        row = _random_poly(rng, shape=(1, 3), labels=((0,), (1, 1)))
+        out = self.ap1 + row
+        np.testing.assert_allclose(out(self.c), self.ap1(self.c) + row(self.c), atol=1e-12)
+        out2 = row + self.ap1
+        np.testing.assert_allclose(out2(self.c), self.ap1(self.c) + row(self.c), atol=1e-12)
+
     def test_sub(self):
         out = self.ap1 - self.ap2
         np.testing.assert_allclose(out(self.c), self.ap1(self.c) - self.ap2(self.c), atol=1e-12)
