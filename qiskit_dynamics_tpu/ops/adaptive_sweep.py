@@ -52,6 +52,7 @@ def _kernel(
     k: int,
     n_env: int,
     env_dt: float,
+    t0: float,
     tf: float,
     atol: float,
     rtol: float,
@@ -72,23 +73,29 @@ def _kernel(
     wr, wi,                        # (n, TILE_B) work state (stage arg / y_new)
 ):
     inv_env_dt = 1.0 / env_dt
+    # the loop variable s runs over [0, tf - t0]; absolute time = t0 + s
+    # (signals and frame phases use absolute time, envelope tables are
+    # indexed by elapsed time)
+    duration = tf - t0
 
-    def signal_coeff(j, t):
+    def signal_coeff(j, s):
         # c_j(t, :) = Re[E_j(t) e^{i w t}] with E the piecewise-constant
         # per-lane complex envelope (n_env == 1: constant envelope)
         if n_env == 1:
             er = envr_ref[j, 0]
             ei = envi_ref[j, 0]
         else:
-            idx = jnp.clip((t * inv_env_dt).astype(jnp.int32), 0, n_env - 1)
+            idx = jnp.clip((s * inv_env_dt).astype(jnp.int32), 0, n_env - 1)
             er = envr_ref[j, idx]
             ei = envi_ref[j, idx]
         w = freq_ref[0, j]
+        t = t0 + s
         return er * jnp.cos(w * t) - ei * jnp.sin(w * t)
 
-    def build_generator(t):
-        """gr/gi <- P(t) * (static + sum_j c_j(t) ops_j)."""
-        coeffs = [signal_coeff(j, t) for j in range(k)]
+    def build_generator(s):
+        """gr/gi <- P(t) * (static + sum_j c_j(t) ops_j); t = t0 + s."""
+        t = t0 + s
+        coeffs = [signal_coeff(j, s) for j in range(k)]
         for i in range(n):
             acc_r = jnp.broadcast_to(statr_ref[i][:, None], gr[i].shape).astype(jnp.float32)
             acc_i = jnp.broadcast_to(stati_ref[i][:, None], gi[i].shape).astype(jnp.float32)
@@ -117,8 +124,8 @@ def _kernel(
             ki[s, i] = acc_i
 
     def body(carry):
-        t, h, steps, bad = carry
-        h = jnp.minimum(h, tf - t)
+        t, h, steps, bad = carry  # t = elapsed time s
+        h = jnp.minimum(h, duration - t)
 
         # stage 0 = f(t, y) is already in kr/ki[0]: computed before the loop
         # for the first step, maintained by the FSAL copy on accepted steps,
@@ -194,7 +201,7 @@ def _kernel(
 
     def cond(carry):
         t, h, steps, _ = carry
-        return (t < tf) & (steps < max_steps)
+        return (t < duration) & (steps < max_steps)
 
     for i in range(n):
         yr[i] = y0r_ref[i]
@@ -209,7 +216,7 @@ def _kernel(
 
     # NaN-poison if the budget ran out before reaching tf, or a stalled step
     # was force-accepted with err >> tolerance
-    poison = jnp.where((t_f >= tf) & jnp.logical_not(bad_f), 1.0, jnp.nan).astype(jnp.float32)
+    poison = jnp.where((t_f >= duration) & jnp.logical_not(bad_f), 1.0, jnp.nan).astype(jnp.float32)
     for i in range(n):
         outr_ref[i] = yr[i] * poison
         outi_ref[i] = yi[i] * poison
@@ -218,7 +225,7 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "tf", "atol", "rtol", "max_steps", "h0", "tile_b", "interpret", "env_dt"
+        "t0", "tf", "atol", "rtol", "max_steps", "h0", "tile_b", "interpret", "env_dt"
     ),
 )
 def sweep_dopri5_lockstep(
@@ -229,6 +236,7 @@ def sweep_dopri5_lockstep(
     signal_amps,
     y0,
     tf: float,
+    t0: float = 0.0,
     atol: float = 1e-6,
     rtol: float = 1e-6,
     max_steps: int = 4096,
@@ -237,7 +245,7 @@ def sweep_dopri5_lockstep(
     interpret: bool = False,
     env_dt: float = 0.0,
 ):
-    r"""Lockstep-adaptive dopri5 sweep over ``[0, tf]``, one fused kernel.
+    r"""Lockstep-adaptive dopri5 sweep over ``[t0, tf]``, one fused kernel.
 
     Args:
         static_op: (n, n) complex static generator (frame basis, diag removed).
@@ -249,7 +257,8 @@ def sweep_dopri5_lockstep(
             piecewise-constant envelopes sampled every ``env_dt``
             (``c_j(t,b) = Re[E_j[floor(t/env_dt)]_b e^{i w_j t}]``).
         y0: (n, B) complex initial states (frame basis).
-        tf: final time; integration starts at 0.
+        tf: final time; integration runs over [t0, tf]. Envelope tables
+            cover [t0, tf] and are indexed by elapsed time.
         atol/rtol: tolerances (error controlled at the worst lane per tile).
         max_steps: step budget; exhausted -> NaN output.
         h0: initial step size.
@@ -266,7 +275,7 @@ def sweep_dopri5_lockstep(
         raise ValueError(f"sweep batch {B} must be a multiple of tile_b={tile_b}")
     if signal_amps.ndim == 2:
         signal_amps = signal_amps[:, None, :]
-        env_dt = float(tf)  # any positive value; index is always 0
+        env_dt = float(tf - t0)  # any positive value; index is always 0
     elif env_dt <= 0.0:
         raise ValueError("env_dt must be set when passing (k, S, B) envelope tables.")
     n_env = signal_amps.shape[1]
@@ -289,8 +298,8 @@ def sweep_dopri5_lockstep(
     env_spec = pl.BlockSpec((k, n_env, tile_b), lambda b: (0, 0, b), memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
-        _kernel, n, k, int(n_env), float(env_dt), float(tf), float(atol), float(rtol),
-        int(max_steps), float(h0),
+        _kernel, n, k, int(n_env), float(env_dt), float(t0), float(tf), float(atol),
+        float(rtol), int(max_steps), float(h0),
     )
     mat = pltpu.VMEM((n, n, tile_b), f32)
     stages = pltpu.VMEM((_N_STAGES + 1, n, tile_b), f32)

@@ -1,0 +1,302 @@
+r"""Double-float32 fixed-step Magnus sweep: 1e-8-class accuracy on TPU.
+
+High-precision counterpart of :func:`.sweep_solver.sweep_expm_magnus2` for
+hardware with no float64 (TPU). Same math — per step, assemble the
+frame-basis generator at the Gauss-Legendre nodes, combine with the Magnus
+order-4 (two-node) or order-6 (three-node) commutator rule (same rules as
+``solvers/fixed_step_solvers.py``), exponentiate, apply to the state — but every device
+operation runs in compensated double-float32 (:mod:`.df32`, unit roundoff
+~2^-48), so a few-hundred-step propagator chain keeps ~1e-12 arithmetic
+accuracy instead of the plain kernel's ~1e-6 f32 floor.
+
+The design exploits that fixed-step grids make every evaluation time known
+at trace time: ALL transcendental values (frame phases ``exp(i omega tau)``)
+are computed on host in float64 and shipped as df tables, so device code
+needs only +,-,* — exactly the operations df32 makes accurate. Signal
+coefficients are likewise evaluated on host in float64 (the glue in
+``solvers/fused_sweep.py`` does this; it requires concrete sweep
+parameters).
+
+Layout is batch-on-lanes ``(n, n, B)`` like the Pallas kernels, but as
+straight-line jnp code (XLA fuses the elementwise df chains); the expm is
+applied as Horner mat-VEC Taylor — the propagator itself is never formed,
+saving an O(n) factor.
+
+Cost model: ~25x the f32 Pallas kernel per step (df mul = 24 flops) plus
+the smaller dt needed to push Magnus truncation error below 1e-8 — still
+hundreds of times above the BASELINE 50x bar (see BENCHMARKS.md). The
+order-6 rule (magnus_order=3, default) costs ~2.5x per step but takes
+~10x larger steps at equal accuracy.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import df32
+from .sweep_solver import _GAUSS_C1, _GAUSS_C2, _P2
+
+__all__ = ["sweep_expm_magnus_df", "MAGNUS_NODES"]
+
+
+def _dfi(x, idx):
+    """Index a df pair."""
+    return x[0][idx], x[1][idx]
+
+
+def _ci(z, idx):
+    """Index a complex df value."""
+    return _dfi(z[0], idx), _dfi(z[1], idx)
+
+
+def _ctree_sum(z, axis: int):
+    """Sum a complex df array over ``axis`` by pairwise (tree) reduction.
+
+    Pairwise compensated adds keep the error O(log n * eps^2) AND keep the
+    traced graph log-depth — an unrolled sequential loop made XLA compile
+    times explode (the whole point of this formulation)."""
+
+    def take(x, sl):
+        idx = (slice(None),) * axis + (sl,)
+        return x[idx]
+
+    size = z[0][0].shape[axis]
+    while size > 1:
+        half = size // 2
+        a = jax.tree_util.tree_map(lambda x: take(x, slice(0, half)), z)
+        b = jax.tree_util.tree_map(lambda x: take(x, slice(half, 2 * half)), z)
+        s = df32.cadd(a, b)
+        if size % 2:
+            rest = jax.tree_util.tree_map(lambda x: take(x, slice(2 * half, size)), z)
+            s = jax.tree_util.tree_map(
+                lambda u, v: jnp.concatenate([u, v], axis=axis), s, rest
+            )
+        z = s
+        size = half + size % 2
+    return jax.tree_util.tree_map(lambda x: jnp.squeeze(x, axis=axis), z)
+
+
+def _cmatmul(a, b, n: int):
+    """(n, n, B) @ (n, n, B) complex df, batch on lanes.
+
+    One broadcast df multiply into (n, m, n, B) + a tree-sum over m —
+    O(n^3 B) flops but only ~tens of traced ops."""
+    term = df32.cmul(_ci(a, (slice(None), slice(None), None)), _ci(b, (None,)))
+    return _ctree_sum(term, axis=1)
+
+
+def _cmatvec(a, v, n: int):
+    """(n, n, B) @ (n, B) complex df."""
+    term = df32.cmul(a, _ci(v, (None,)))
+    return _ctree_sum(term, axis=1)
+
+
+def _flatten_c(z):
+    return (z[0][0], z[0][1], z[1][0], z[1][1])
+
+
+def _unflatten_c(t):
+    return ((t[0], t[1]), (t[2], t[3]))
+
+
+def _ccomm(a, b, n):
+    """Commutator [a, b] of (n, n, B) complex df matrices."""
+    return df32.csub(_cmatmul(a, b, n), _cmatmul(b, a, n))
+
+
+@functools.partial(jax.jit, static_argnames=("n", "k", "order", "magnus_order"))
+def _df_scan(n, k, order, magnus_order, stat, ops, phases, coefs, y0, consts):
+    """The jitted df32 time loop.
+
+    Args:
+        stat: complex df (n, n) static generator.
+        ops: complex df (k, n, n) operators.
+        phases: (cos, sin) df pair tables, each (T, n_nodes, n, n).
+        coefs: real df (T, n_nodes, k, B) signal values at the Gauss points.
+        y0: complex df (n, B).
+        consts: magnus-rule df scalars (see ``_magnus_consts``); the last
+            entry is ``inv_j`` of shape (order,) for the expm Horner.
+    """
+    inv_j = consts[-1]
+
+    def build_generator(c_g, cos_g, sin_g):
+        # static + sum_j c_j ops_j, then Hadamard frame rotation; shapes
+        # broadcast (n, n, 1) x (1, 1, B) -> (n, n, B)
+        acc_re = _dfi(stat[0], (Ellipsis, None))
+        acc_im = _dfi(stat[1], (Ellipsis, None))
+        for j in range(k):
+            c = _dfi(c_g, (j, None, None))  # (1, 1, B)
+            op_re = _dfi(ops[0], (j, Ellipsis, None))
+            op_im = _dfi(ops[1], (j, Ellipsis, None))
+            acc_re = df32.add(acc_re, df32.mul(op_re, c))
+            acc_im = df32.add(acc_im, df32.mul(op_im, c))
+        cos_b = _dfi(cos_g, (Ellipsis, None))
+        sin_b = _dfi(sin_g, (Ellipsis, None))
+        g_re = df32.sub(df32.mul(acc_re, cos_b), df32.mul(acc_im, sin_b))
+        g_im = df32.add(df32.mul(acc_re, sin_b), df32.mul(acc_im, cos_b))
+        return g_re, g_im
+
+    def step(carry, xs):
+        y = _unflatten_c(carry)
+        c_hi, c_lo, cos_hi, cos_lo, sin_hi, sin_lo = xs
+        g = [
+            build_generator(
+                (c_hi[i], c_lo[i]), (cos_hi[i], cos_lo[i]), (sin_hi[i], sin_lo[i])
+            )
+            for i in range(c_hi.shape[0])
+        ]
+
+        if magnus_order == 2:
+            # M = (dt/2)(G1 + G2) + p2 dt^2 [G2, G1]
+            half_dt, p2_dt2 = consts[:2]
+            m_op = df32.cadd(
+                df32.cmul_real(df32.cadd(g[0], g[1]), half_dt),
+                df32.cmul_real(_ccomm(g[1], g[0], n), p2_dt2),
+            )
+        else:
+            # order-6 rule (Blanes et al. 2009; same combination as
+            # solvers/fixed_step_solvers.py get_exponential_take_step order 3)
+            dt_c, c0dt, c1dt, two, twenty, inv12, inv60, inv240 = consts[:8]
+            a1 = df32.cmul_real(g[1], dt_c)
+            a2 = df32.cmul_real(df32.csub(g[2], g[0]), c0dt)
+            a3 = df32.cmul_real(
+                df32.cadd(df32.csub(g[2], g[1]), df32.csub(g[0], g[1])), c1dt
+            )
+            comm1 = _ccomm(a1, a2, n)
+            comm2 = df32.cmul_real(
+                _ccomm(df32.cadd(df32.cmul_real(a3, two), comm1), a1, n), inv60
+            )
+            left = df32.csub(comm1, df32.cadd(df32.cmul_real(a1, twenty), a3))
+            right = df32.cadd(a2, comm2)
+            m_op = df32.cadd(
+                df32.cadd(a1, df32.cmul_real(a3, inv12)),
+                df32.cmul_real(_ccomm(left, right, n), inv240),
+            )
+
+        # y <- expm(M) y, Horner mat-vec Taylor:
+        # v = y; for j = order..1: v = y + (M v) / j
+        # (fori_loop keeps the traced graph small — compile time, not math)
+        def horner(i, v_flat):
+            v = _unflatten_c(v_flat)
+            mv = _cmatvec(m_op, v, n)
+            inv = _dfi(inv_j, order - 1 - i)
+            return _flatten_c(df32.cadd(y, df32.cmul_real(mv, inv)))
+
+        v = _unflatten_c(jax.lax.fori_loop(0, order, horner, _flatten_c(y)))
+        return _flatten_c(v), None
+
+    xs = (coefs[0], coefs[1], phases[0][0], phases[0][1], phases[1][0], phases[1][1])
+    out, _ = jax.lax.scan(step, _flatten_c(y0), xs)
+    return out
+
+
+#: Gauss-Legendre nodes used per magnus_order
+MAGNUS_NODES = {
+    2: np.array([_GAUSS_C1, _GAUSS_C2]),
+    3: np.array([0.5 - np.sqrt(15) / 10, 0.5, 0.5 + np.sqrt(15) / 10]),
+}
+
+
+def _magnus_consts(magnus_order: int, dt: float, order: int):
+    """df scalar tables for the step rule + expm Horner."""
+    dt = np.float64(dt)
+    inv_j = df32.from_f64(1.0 / np.arange(1, order + 1, dtype=np.float64))
+    if magnus_order == 2:
+        return (df32.from_f64(dt / 2), df32.from_f64(_P2 * dt**2), inv_j)
+    return (
+        df32.from_f64(dt),
+        df32.from_f64(np.sqrt(15.0) / 3 * dt),
+        df32.from_f64(10.0 / 3 * dt),
+        df32.from_f64(2.0),
+        df32.from_f64(20.0),
+        df32.from_f64(1.0 / 12),
+        df32.from_f64(1.0 / 60),
+        df32.from_f64(1.0 / 240),
+        inv_j,
+    )
+
+
+def sweep_expm_magnus_df(
+    static_op,
+    operators,
+    frame_omega,
+    coefficients,
+    y0,
+    dt: float,
+    t0: float = 0.0,
+    magnus_order: int = 3,
+    order: int = 12,
+    chunk_b: int = 2048,
+):
+    r"""Fixed-step Magnus sweep (order 2 or 3 rule) in double-float32.
+
+    Host-facing: all array arguments are host float64/complex128 numpy; the
+    result is complex128 on host (the df pair is recombined in f64 — a
+    complex64 return would clip the answer back to f32 at the boundary).
+
+    Args:
+        static_op: (n, n) complex static generator (frame basis, diag
+            removed).
+        operators: (k, n, n) complex signal operators (frame basis).
+        frame_omega: (n, n) real frame frequency-difference matrix.
+        coefficients: (T, n_nodes, k, B) float64 real signal values at the
+            Gauss-Legendre nodes of every step (absolute times
+            ``t0 + (step + MAGNUS_NODES[magnus_order]) dt``).
+        y0: (n, B) complex initial states (frame basis).
+        dt: step size.
+        t0: initial time (frame phases use absolute time).
+        magnus_order: 2 (two-node, 4th-order rule) or 3 (three-node,
+            6th-order rule — ~2.5x the per-step cost, vastly fewer steps at
+            1e-8 accuracy; the default).
+        order: Taylor order of the expm mat-vec (12 gives ~1e-13 for
+            ``|M| <~ 0.5``).
+        chunk_b: sweep members per device dispatch (bounds the (n, n, B)
+            df temporaries and the on-device table size).
+
+    Returns:
+        (n, B) complex128 final states (frame basis) at ``t0 + T dt``.
+    """
+    if magnus_order not in MAGNUS_NODES:
+        raise ValueError(f"magnus_order must be one of {sorted(MAGNUS_NODES)}.")
+    static_op = np.asarray(static_op, dtype=np.complex128)
+    operators = np.asarray(operators, dtype=np.complex128)
+    frame_omega = np.asarray(frame_omega, dtype=np.float64)
+    coefficients = np.asarray(coefficients, dtype=np.float64)
+    y0 = np.asarray(y0, dtype=np.complex128)
+    T, n_nodes, k, B = coefficients.shape
+    n = y0.shape[0]
+    nodes = MAGNUS_NODES[magnus_order]
+    if n_nodes != len(nodes):
+        raise ValueError(
+            f"coefficients have {n_nodes} node samples; magnus_order="
+            f"{magnus_order} needs {len(nodes)}."
+        )
+
+    # host f64 precompute: frame phase tables at the Gauss times
+    tau = t0 + dt * (np.arange(T)[:, None] + nodes[None, :])
+    ph = frame_omega[None, None] * tau[:, :, None, None]  # (T, n_nodes, n, n)
+    phases = (df32.from_f64(np.cos(ph)), df32.from_f64(np.sin(ph)))
+
+    stat = df32.cfrom_f64(static_op)
+    ops = df32.cfrom_f64(operators)
+    consts = _magnus_consts(magnus_order, dt, order)
+
+    out = np.empty((n, B), dtype=np.complex128)
+    for lo_b in range(0, B, chunk_b):
+        hi_b = min(lo_b + chunk_b, B)
+        pad = chunk_b - (hi_b - lo_b) if B >= chunk_b else 0
+        sl = coefficients[..., lo_b:hi_b]
+        y_sl = y0[:, lo_b:hi_b]
+        if pad:
+            sl = np.concatenate([sl, np.repeat(sl[..., :1], pad, axis=-1)], axis=-1)
+            y_sl = np.concatenate([y_sl, np.repeat(y_sl[:, :1], pad, axis=-1)], axis=-1)
+        res = _df_scan(
+            n, k, order, magnus_order, stat, ops, phases,
+            df32.from_f64(sl), df32.cfrom_f64(y_sl), consts,
+        )
+        chunk = df32.cto_f64(_unflatten_c(res))
+        out[:, lo_b:hi_b] = chunk[:, : hi_b - lo_b]
+    return out

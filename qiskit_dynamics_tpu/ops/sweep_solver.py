@@ -42,6 +42,7 @@ def _kernel(
     k: int,
     T: int,
     dt: float,
+    t0: float,
     order: int,
     # refs:
     statr_ref, stati_ref,       # (n, n) static op (frame basis, diag-subtracted)
@@ -56,8 +57,8 @@ def _kernel(
     """One B-tile: full T-step Magnus-2 propagation in VMEM."""
 
     def build_generator(step, gauss_idx, gauss_c, out_r, out_i):
-        """out <- P(tau) * (static + sum_j c_j ops_j); tau = (step+c) dt."""
-        tau = (step.astype(jnp.float32) + gauss_c) * dt
+        """out <- P(tau) * (static + sum_j c_j ops_j); tau = t0 + (step+c) dt."""
+        tau = t0 + (step.astype(jnp.float32) + gauss_c) * dt
         for i in range(n):
             # combo over operators; coefficients vary along lanes
             acc_r = jnp.broadcast_to(statr_ref[i][:, None], out_r[i].shape).astype(jnp.float32)
@@ -143,7 +144,7 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dt", "order", "tile_b", "interpret")
+    jax.jit, static_argnames=("dt", "t0", "order", "tile_b", "interpret")
 )
 def sweep_expm_magnus2(
     static_op,
@@ -152,6 +153,7 @@ def sweep_expm_magnus2(
     coefficients,
     y0,
     dt: float,
+    t0: float = 0.0,
     order: int = 8,
     tile_b: int = 512,
     interpret: bool = False,
@@ -172,6 +174,8 @@ def sweep_expm_magnus2(
             of every step.
         y0: (n, B) complex initial states in the frame basis.
         dt: step size; ``T`` steps are taken.
+        t0: initial time (frame phases use absolute time; the signal
+            coefficient tables must be sampled at ``t0 + (step + c_g) dt``).
         order: Taylor order of the in-kernel expm.
         tile_b: lane-tile size (B must be a multiple).
         interpret: run in interpreter mode (CPU tests).
@@ -201,7 +205,7 @@ def sweep_expm_magnus2(
     coef_spec = pl.BlockSpec((T, 2, k, tile_b), lambda b: (0, 0, 0, b), memory_space=pltpu.VMEM)
     y_spec = pl.BlockSpec((n, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_kernel, n, k, T, float(dt), order)
+    kernel = functools.partial(_kernel, n, k, T, float(dt), float(t0), order)
     scratch_mat = pltpu.VMEM((n, n, tile_b), f32)
     scratch_vec = pltpu.VMEM((n, tile_b), f32)
 

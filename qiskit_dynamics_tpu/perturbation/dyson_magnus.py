@@ -281,8 +281,8 @@ def magnus_from_dyson(complete_multisets: List[Multiset], dyson_terms, use_jax: 
     (arXiv:2210.11595), executed as sequential compiled-rule updates — a
     ``lax.scan`` over stacked rule tables in the jax path."""
     complete_multisets = [tuple(ms) for ms in complete_multisets]
-    q_terms = _get_q_term_list(complete_multisets)
-    start_idx, magnus_indices, stacked_rules = _q_recursive_compiled_rules(q_terms)
+    q_terms = _magnus_q_ladder(complete_multisets)
+    start_idx, magnus_indices, stacked_rules = _stack_q_ladder_rules(q_terms)
 
     if start_idx == len(dyson_terms):
         return dyson_terms  # all first order: Magnus == Dyson
@@ -320,14 +320,14 @@ def magnus_from_dyson(complete_multisets: List[Multiset], dyson_terms, use_jax: 
     return q_mat[magnus_indices]
 
 
-def _get_q_term_list(complete_multisets: List[Multiset]) -> List[Tuple[Multiset, int]]:
+def _magnus_q_ladder(complete_multisets: List[Multiset]) -> List[Tuple[Multiset, int]]:
     """Q-matrix specs ``(multiset, product_order)``, orders descending per term."""
     return [
         (term, order) for term in complete_multisets for order in range(len(term), 0, -1)
     ]
 
 
-def _q_product_rule(q_term: Tuple[Multiset, int], oc_q_term_list: List) -> List:
+def _q_ladder_product_rule(q_term: Tuple[Multiset, int], oc_q_term_list: List) -> List:
     """Sparse rule computing one Q matrix from earlier ones.
 
     ``Q_(I,1) = D_I - sum_{q=2..|I|} Q_(I,q)/q!`` (D_I pre-loaded at the
@@ -358,13 +358,13 @@ def _q_product_rule(q_term: Tuple[Multiset, int], oc_q_term_list: List) -> List:
     return [(np.ones(len(products)), np.array(products, dtype=int))]
 
 
-def _q_recursive_compiled_rules(q_terms: List) -> Tuple[int, np.ndarray, Tuple]:
+def _stack_q_ladder_rules(q_terms: List) -> Tuple[int, np.ndarray, Tuple]:
     """Compile every Q-update rule, padded to a common shape for stacking
     (enables executing the whole recursion as one ``lax.scan``)."""
     start_idx = sum(1 for ms, _ in q_terms if len(ms) == 1)
     magnus_indices = np.array([i for i, (_, order) in enumerate(q_terms) if order == 1])
 
-    rules = [_q_product_rule(q_term, q_terms) for q_term in q_terms[start_idx:]]
+    rules = [_q_ladder_product_rule(q_term, q_terms) for q_term in q_terms[start_idx:]]
     compiled = [compile_rule(rule) for rule in rules]
     max_pairs = max(len(c.pairs) for c in compiled)
     max_combo = max(c.coeffs.shape[1] for c in compiled)

@@ -9,9 +9,14 @@ trajectory of each lane-tile fused into one Pallas kernel (see
 
 Restrictions (by construction of the kernel):
 - fixed-step Magnus-2 on a ``GeneratorModel``/``HamiltonianModel`` (dense);
-- all sweep members share ``y0`` and the time grid, and ``t_span[0] == 0``
-  (the kernel's frame phases are referenced to t = 0);
+- all sweep members share ``y0`` and the time grid;
 - signal values must be real (standard ``Re[f e^{i 2 pi nu t}]`` signals).
+
+Precision: ``precision="f32"`` (default) runs the Pallas kernel hard-float32
+(~1e-6 accuracy floor); ``precision="df32"`` runs the compensated
+double-float32 engine (``ops/df_sweep.py``) for 1e-8-class agreement with
+float64 references on hardware with no f64 (see BENCHMARKS.md for the
+speed/accuracy frontier).
 """
 from __future__ import annotations
 
@@ -56,8 +61,6 @@ def _extract_generator_data(model, t_span, fn_name: str):
         inner = coll
 
     t0, tf = float(t_span[0]), float(t_span[-1])
-    if t0 != 0.0:
-        raise DynamicsError(f"{fn_name} currently requires t_span[0] == 0.")
     if tf <= t0:
         raise DynamicsError(f"{fn_name} requires t_span[1] > t_span[0].")
 
@@ -93,6 +96,9 @@ def fused_sweep_solve(
     tile_b: int = 512,
     interpret: bool = False,
     rwa_signal_map: Optional[Callable] = None,
+    precision: str = "f32",
+    df_chunk_b: int = 2048,
+    df_magnus_order: int = 3,
 ):
     r"""Solve ``y' = G_b(t) y`` for a parameter sweep with the fused kernel.
 
@@ -115,11 +121,22 @@ def fused_sweep_solve(
             output. If the model was RWA'd (e.g. built through ``Solver`` with
             ``rwa_cutoff_freq``), this MUST be passed explicitly (e.g.
             ``solver._rwa_signal_map``) — there is no automatic wiring.
+        precision: ``"f32"`` (fused Pallas kernel, ~1e-6 floor) or ``"df32"``
+            (compensated double-float32 engine, ~1e-8-class accuracy; see
+            ``ops/df_sweep.py``). The df32 path is host-facing: ``params``
+            must be concrete (not traced) — signals are sampled in float64 on
+            host — and the result is a host complex128 array.
+        df_chunk_b: (df32 only) sweep members per device dispatch.
+        df_magnus_order: (df32 only) 2 (4th-order step rule) or 3 (6th-order,
+            default — much larger steps at 1e-8 accuracy).
 
     Returns:
         (B, dim) final states at ``tf`` (standard basis, in-frame values
-        rotated out of the frame basis).
+        rotated out of the frame basis). complex64-class device array for
+        ``"f32"``; complex128 host array for ``"df32"``.
     """
+    if precision not in ("f32", "df32"):
+        raise DynamicsError(f"unknown precision {precision!r}; use 'f32' or 'df32'.")
     (
         vectorized_lindblad,
         solve_dim,
@@ -141,7 +158,7 @@ def fused_sweep_solve(
 
     k = ops_fb.shape[0]
 
-    def signal_values(p):
+    def signals_as_list(p) -> SignalList:
         sigs = signals_fn(p)
         if isinstance(sigs, tuple):
             # Lindblad convention: (hamiltonian_signals, dissipator_signals)
@@ -159,18 +176,27 @@ def fused_sweep_solve(
                 f"signals_fn (after any rwa_signal_map) must produce {k} signals to "
                 f"match the model's operators; got {len(sigs)}."
             )
-        return sigs(jnp.asarray(gauss_times))  # (T, 2, k)
-
-    coeffs = jnp.moveaxis(jax.vmap(signal_values)(params), 0, -1)  # (T, 2, k, B)
+        return sigs
 
     if vectorized_lindblad:
         rho_fb = np.asarray(model.rotating_frame.operator_into_frame_basis(np.asarray(y0)))
         y0_fb = rho_fb.ravel(order="F")  # column-stacking vec
     else:
         y0_fb = np.asarray(model.rotating_frame.state_into_frame_basis(np.asarray(y0)))
+
+    if precision == "df32":
+        return _fused_sweep_solve_df(
+            model, signals_as_list, params, n_steps, static_fb, ops_fb, omega,
+            y0_fb, vectorized_lindblad, dt, t0, expm_order, df_chunk_b,
+            df_magnus_order,
+        )
+
+    coeffs = jnp.moveaxis(
+        jax.vmap(lambda p: signals_as_list(p)(jnp.asarray(gauss_times)))(params), 0, -1
+    )  # (T, 2, k, B)
     coeffs, y0_cols, B, m = _expand_lanes(coeffs, y0_fb, solve_dim, tile_b)
     yf = sweep_expm_magnus2(
-        static_fb, ops_fb, omega, coeffs, y0_cols, dt=dt, order=expm_order,
+        static_fb, ops_fb, omega, coeffs, y0_cols, dt=dt, t0=t0, order=expm_order,
         tile_b=tile_b, interpret=interpret,
     )
     if vectorized_lindblad:
@@ -178,6 +204,124 @@ def fused_sweep_solve(
         rho = jnp.transpose(yf[:, :B].reshape(n, n, B), (2, 1, 0))  # (B, n, n)
         return model.rotating_frame.operator_out_of_frame_basis(rho)
     return _collect_lanes(model, yf, B, m)
+
+
+def _sample_coefficients_f64(signals_as_list, params, gauss_times, k, B):
+    """Sample per-member signal values at the Gauss times, in host float64.
+
+    Fast path: when the envelopes are constant (probed on the first and last
+    member), each signal factorizes as ``c_j(t, b) = Re[sum_r A_jbr
+    e^{i 2 pi nu_jr t}]`` with member-independent carriers — the time tables
+    are then one vectorized matmul instead of a full per-member sweep of
+    the signal machinery (~10x less host time on large sweeps). Falls back
+    to the general per-member evaluation otherwise.
+    """
+    shape = gauss_times.shape
+    flat_ts = gauss_times.ravel()
+    probe_ts = flat_ts[[0, len(flat_ts) // 3, -1]]
+
+    def member_params(b):
+        return jax.tree_util.tree_map(lambda x: np.asarray(x)[b], params)
+
+    def probe(b):
+        """(carriers, amplitudes) per signal if constant-envelope, else None."""
+        sigs = list(signals_as_list(member_params(b)))
+        out = []
+        for s in sigs:
+            envs = [np.atleast_1d(np.asarray(s.envelope(t), dtype=complex)) for t in probe_ts]
+            if not all(np.allclose(e, envs[0], rtol=1e-14, atol=1e-14) for e in envs[1:]):
+                return None
+            carriers = np.atleast_1d(np.asarray(s.carrier_freq, dtype=float))
+            phases = np.atleast_1d(np.asarray(s.phase, dtype=float))
+            out.append((carriers, envs[0] * np.exp(1j * phases)))
+        return out
+
+    first = probe(0)
+    last = probe(B - 1) if (first is not None and B > 1) else first
+    constant = (
+        first is not None
+        and last is not None
+        and all(np.array_equal(f[0], l[0]) for f, l in zip(first, last))
+    )
+
+    coefs = np.empty(shape + (k, B), dtype=np.float64)
+    if constant:
+        for j in range(k):
+            carriers = first[j][0]
+            amps = np.empty((B, carriers.shape[0]), dtype=complex)
+            amps[0] = first[j][1]
+            amps[B - 1] = last[j][1]
+            for b in range(1, B - 1):
+                s = list(signals_as_list(member_params(b)))[j]
+                env = np.atleast_1d(np.asarray(s.envelope(probe_ts[0]), dtype=complex))
+                ph = np.atleast_1d(np.asarray(s.phase, dtype=float))
+                amps[b] = env * np.exp(1j * ph)
+            waves = np.exp(2j * np.pi * carriers[:, None] * flat_ts[None, :])
+            coefs[..., j, :] = np.moveaxis(
+                np.real(amps @ waves).reshape((B,) + shape), 0, -1
+            )
+    else:
+        for b in range(B):
+            coefs[..., b] = np.asarray(signals_as_list(member_params(b))(gauss_times))
+    return coefs
+
+
+def _fused_sweep_solve_df(
+    model, signals_as_list, params, n_steps, static_fb, ops_fb, omega,
+    y0_fb, vectorized_lindblad, dt, t0, expm_order, chunk_b, magnus_order,
+):
+    """df32 branch of :func:`fused_sweep_solve` (host-facing, float64 I/O).
+
+    Signals are sampled on host in float64 (the numpy path of the signal
+    machinery), then the whole sweep runs through
+    :func:`~qiskit_dynamics_tpu.ops.df_sweep.sweep_expm_magnus_df`.
+    """
+    import warnings
+
+    from ..ops.df_sweep import MAGNUS_NODES, sweep_expm_magnus_df
+
+    leaves = jax.tree_util.tree_leaves(params)
+    if any(isinstance(leaf, jax.core.Tracer) for leaf in leaves):
+        raise DynamicsError(
+            'fused_sweep_solve(precision="df32") is host-facing: params must be '
+            "concrete (signals are sampled in float64 on host), not traced."
+        )
+    for arr, name in ((static_fb, "operators"), (np.asarray(y0_fb), "y0")):
+        if arr.dtype not in (np.complex128, np.float64):
+            warnings.warn(
+                f"df32 precision requested but the model's {name} are stored in "
+                f"{arr.dtype}; accuracy is limited by that representation. Build "
+                "the model from float64/complex128 host arrays.",
+                stacklevel=3,
+            )
+    B = int(np.asarray(leaves[0]).shape[0]) if leaves else 1
+    k = ops_fb.shape[0]
+    gauss_times = t0 + dt * (
+        np.arange(n_steps)[:, None] + MAGNUS_NODES[magnus_order][None, :]
+    )
+    coefs = _sample_coefficients_f64(signals_as_list, params, gauss_times, k, B)
+
+    y0_fb = np.asarray(y0_fb, dtype=np.complex128)
+    m = 1 if y0_fb.ndim == 1 else y0_fb.shape[1]
+    if m > 1:
+        coefs = np.repeat(coefs, m, axis=-1)
+        y0_cols = np.tile(y0_fb, (1, B))  # member-major, column-minor
+    else:
+        y0_cols = np.broadcast_to(y0_fb[:, None], (y0_fb.shape[0], B))
+
+    yf = sweep_expm_magnus_df(
+        static_fb, ops_fb, omega, coefs, y0_cols, dt=dt, t0=t0,
+        magnus_order=magnus_order, order=max(expm_order, 12), chunk_b=chunk_b,
+    )
+
+    if vectorized_lindblad:
+        n = model.dim
+        rho = np.transpose(yf.reshape(n, n, B), (2, 1, 0))  # (B, n, n)
+        return np.asarray(model.rotating_frame.operator_out_of_frame_basis(rho))
+    yf = np.asarray(model.rotating_frame.state_out_of_frame_basis(yf))
+    if m == 1:
+        return yf.T
+    return np.moveaxis(yf.reshape(yf.shape[0], B, m), 1, 0)
 
 
 def fused_adaptive_sweep_solve(
@@ -212,7 +356,7 @@ def fused_adaptive_sweep_solve(
     ``signals_fn`` (after the optional ``rwa_signal_map``) must have a
     CONSTANT envelope (``E_jb = envelope * e^{i phase}``); with
     ``envelope_resolution=S`` arbitrary envelopes are supported via a
-    piecewise-constant table of ``S`` midpoint samples over ``[0, tf]``
+    piecewise-constant table of ``S`` midpoint samples over ``[t0, tf]``
     (exact for ``DiscreteSignal`` envelopes when ``S`` matches the sample
     grid; O((tf/S)^2) approximation otherwise).
 
@@ -287,7 +431,7 @@ def fused_adaptive_sweep_solve(
         # reject non-constant envelopes (silently wrong otherwise): probe the
         # member-0 envelopes at a few interior times. Under a trace (params
         # traced through jit) the values cannot be inspected — skipped then.
-        probe_ts = np.array([0.0, 0.37, 0.71]) * tf
+        probe_ts = t0 + np.array([0.0, 0.37, 0.71]) * (tf - t0)
         for s in probe_sigs:
             vals = [s.envelope(t) for t in probe_ts]
             if any(isinstance(v, jax.core.Tracer) for v in vals):
@@ -316,8 +460,8 @@ def fused_adaptive_sweep_solve(
         amps = jnp.moveaxis(jax.vmap(amplitudes)(params), 0, -1)  # (k, B)
     else:
         n_env = int(envelope_resolution)
-        env_dt = tf / n_env
-        env_times = (np.arange(n_env) + 0.5) * env_dt
+        env_dt = (tf - t0) / n_env
+        env_times = t0 + (np.arange(n_env) + 0.5) * env_dt
         carrier_phase = np.exp(-1j * freqs[:, None] * env_times[None, :])  # (k, S)
 
         def amplitudes(p):
@@ -335,7 +479,7 @@ def fused_adaptive_sweep_solve(
     y0_fb = np.asarray(model.rotating_frame.state_into_frame_basis(np.asarray(y0)))
     amps, y0_cols, B, m = _expand_lanes(amps, y0_fb, model.dim, tile_b)
     yf = sweep_dopri5_lockstep(
-        static_fb, ops_fb, omega, freqs, amps, y0_cols, tf=tf,
+        static_fb, ops_fb, omega, freqs, amps, y0_cols, tf=tf, t0=t0,
         atol=atol, rtol=rtol, max_steps=max_steps, h0=h0,
         tile_b=tile_b, interpret=interpret, env_dt=env_dt,
     )

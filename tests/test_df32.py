@@ -1,0 +1,265 @@
+"""df32 compensated arithmetic + high-precision sweep path.
+
+The contract tests exist to fail loudly if a backend/compiler change breaks
+the error-free transformations (e.g. FMA contraction or algebraic
+simplification of EFT patterns — both observed on XLA CPU; see
+ops/df32.py). Accuracy bar: the reference's cross-method agreement is
+rtol=atol=1e-8 (/root/reference/test/dynamics/common.py:65); df32 must
+deliver that WITHOUT float64 device support.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qiskit_dynamics_tpu.ops import df32
+
+
+class TestDf32Contract:
+    def test_two_sum_exact(self):
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal(256).astype(np.float32)
+        b = (rng.standard_normal(256) * 1e-5).astype(np.float32)
+        s, e = jax.jit(df32.two_sum)(a, b)
+        ref = a.astype(np.float64) + b.astype(np.float64)
+        np.testing.assert_array_equal(
+            np.asarray(s, np.float64) + np.asarray(e, np.float64), ref
+        )
+
+    def test_two_prod_near_exact(self):
+        rng = np.random.default_rng(1)
+        a = rng.standard_normal(256).astype(np.float32)
+        b = rng.standard_normal(256).astype(np.float32)
+        p, e = jax.jit(df32.two_prod)(a, b)
+        ref = a.astype(np.float64) * b.astype(np.float64)
+        got = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+        # p + e == a*b up to O(eps^2 * |ab|)
+        assert np.max(np.abs(got - ref) / np.abs(ref)) < 1e-13
+
+    def test_mul_broadcast_under_jit(self):
+        # regression: XLA CPU FMA-contracts inexact fmuls into fadds inside
+        # broadcast fusions; the bitmask-split two_prod must be immune
+        rng = np.random.default_rng(3)
+        a64 = rng.standard_normal((4, 4)) * 0.1
+        b64 = rng.standard_normal((8,))
+        adf = df32.from_f64(a64)
+        bdf = df32.from_f64(b64)
+        out = jax.jit(
+            lambda x, y: df32.mul(
+                (x[0][:, :, None], x[1][:, :, None]),
+                (y[0][None, None, :], y[1][None, None, :]),
+            )
+        )(adf, bdf)
+        ref = a64[:, :, None] * b64[None, None, :]
+        assert np.max(np.abs(df32.to_f64(out) - ref)) < 1e-14
+
+    def test_dependent_chain_in_scan(self):
+        # loops compile through different emitters than straightline code;
+        # the EFT contract must hold there too
+        rng = np.random.default_rng(4)
+        a64 = rng.standard_normal(64) * 0.5
+        b64 = rng.standard_normal(64) * 0.5
+        x = df32.from_f64(a64)
+        y = df32.from_f64(b64)
+
+        @jax.jit
+        def chain(x, y):
+            def body(carry, _):
+                z = df32.mul(carry, y)
+                z = df32.add(z, x)
+                return z, None
+
+            out, _ = jax.lax.scan(body, x, None, length=40)
+            return out
+
+        got = df32.to_f64(chain(x, y))
+        ref = a64.copy()
+        for _ in range(40):
+            ref = ref * b64 + a64
+        assert np.max(np.abs(got - ref) / np.maximum(np.abs(ref), 1e-30)) < 1e-12
+
+    def test_cancellation_accuracy(self):
+        # accurate dd-add must survive near-total cancellation
+        a = df32.from_f64(np.array([1.0 + 1e-9]))
+        b = df32.from_f64(np.array([-1.0 + 1e-9]))
+        out = df32.to_f64(jax.jit(df32.add)(a, b))
+        expected = df32.to_f64(a) + df32.to_f64(b)  # ~2e-9 after cancellation
+        np.testing.assert_allclose(out, expected, rtol=1e-10)
+
+    def test_complex_mul(self):
+        rng = np.random.default_rng(5)
+        a = rng.standard_normal(32) + 1j * rng.standard_normal(32)
+        b = rng.standard_normal(32) + 1j * rng.standard_normal(32)
+        out = jax.jit(df32.cmul)(df32.cfrom_f64(a), df32.cfrom_f64(b))
+        assert np.max(np.abs(df32.cto_f64(out) - a * b)) < 1e-13
+
+
+class TestDfSweep:
+    def _problem(self):
+        rng = np.random.default_rng(3)
+        n, k, B = 4, 2, 8
+        H0 = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        static = -1j * (H0 + H0.conj().T) / 2 * 0.3
+        ops = np.array(
+            [
+                -1j * ((A + A.conj().T) / 2) * 0.1
+                for A in (
+                    rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+                    for _ in range(k)
+                )
+            ]
+        )
+        omega = rng.standard_normal((n, n)) * 0.5
+        omega = omega - omega.T
+        amps = rng.standard_normal((k, B))
+        freqs = np.array([1.3, 0.7])
+        y0 = np.zeros((n, B), dtype=complex)
+        y0[0] = 1.0
+        y0[1, :] = 0.3j
+        y0 /= np.linalg.norm(y0, axis=0)
+        return n, k, B, static, ops, omega, amps, freqs, y0
+
+    def test_matches_dop853_to_1e_9(self):
+        from scipy.integrate import solve_ivp
+
+        from qiskit_dynamics_tpu.ops.df_sweep import MAGNUS_NODES, sweep_expm_magnus_df
+
+        n, k, B, static, ops, omega, amps, freqs, y0 = self._problem()
+        t0, tf, dt = 0.5, 4.5, 0.0125
+        T = int(round((tf - t0) / dt))
+        tau = t0 + dt * (np.arange(T)[:, None] + MAGNUS_NODES[2][None, :])
+        coefs = amps[None, None] * np.cos(
+            freqs[None, None, :, None] * tau[:, :, None, None]
+        )
+        out = sweep_expm_magnus_df(
+            static, ops, omega, coefs, y0, dt=dt, t0=t0, magnus_order=2, chunk_b=8
+        )
+
+        def rhs_factory(b):
+            def rhs(t, y):
+                G = static + np.tensordot(amps[:, b] * np.cos(freqs * t), ops, axes=1)
+                return (G * np.exp(1j * omega * t)) @ y
+
+            return rhs
+
+        ref = np.stack(
+            [
+                solve_ivp(
+                    rhs_factory(b), (t0, tf), y0[:, b], method="DOP853",
+                    rtol=1e-13, atol=1e-13,
+                ).y[:, -1]
+                for b in range(B)
+            ],
+            axis=1,
+        )
+        assert out.dtype == np.complex128
+        assert np.max(np.abs(out - ref)) < 1e-9
+
+
+class TestFusedSweepDf32:
+    def test_cr_sweep_1e_8_agreement(self):
+        """BASELINE.md bar: fused sweep agrees with DOP853 to 1e-8."""
+        from qiskit_dynamics_tpu import Signal
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+
+        solver, w1 = cr_solver(dim=2)
+        y0 = np.zeros(4, dtype=complex)
+        y0[0] = 1.0
+        amps = np.array([0.3, 0.7, 1.0])
+        T = 5.0
+        out = fused_sweep_solve(
+            solver.model,
+            lambda a: [Signal(lambda t: a * 0.02, carrier_freq=w1)],
+            amps, t_span=(0.0, T), max_dt=0.025, y0=y0,
+            rwa_signal_map=solver._rwa_signal_map, precision="df32", df_chunk_b=8,
+        )
+        assert out.dtype == np.complex128
+        for i, a in enumerate(amps):
+            ref = solver.solve(
+                t_span=[0.0, T], y0=y0,
+                signals=[Signal(lambda t, a=a: a * 0.02, carrier_freq=w1)],
+                method="DOP853", atol=1e-13, rtol=1e-13,
+            )
+            np.testing.assert_allclose(
+                out[i], np.asarray(ref.y[-1]), rtol=1e-8, atol=1e-8
+            )
+
+    def test_t0_nonzero_matches_dop853(self):
+        """t_span[0] != 0 (restriction lifted) for both precisions."""
+        from qiskit_dynamics_tpu import Signal
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+
+        solver, w1 = cr_solver(dim=2)
+        y0 = np.zeros(4, dtype=complex)
+        y0[0] = 0.6
+        y0[1] = 0.8
+        amps = np.array([0.5, 1.0])
+        t_span = (1.25, 4.75)
+        sig_fn = lambda a: [Signal(lambda t: a * 0.02, carrier_freq=w1)]
+        refs = [
+            np.asarray(
+                solver.solve(
+                    t_span=list(t_span), y0=y0, signals=sig_fn(float(a)),
+                    method="DOP853", atol=1e-13, rtol=1e-13,
+                ).y[-1]
+            )
+            for a in amps
+        ]
+        out_df = fused_sweep_solve(
+            solver.model, sig_fn, amps, t_span=t_span, max_dt=0.025, y0=y0,
+            rwa_signal_map=solver._rwa_signal_map, precision="df32", df_chunk_b=8,
+        )
+        np.testing.assert_allclose(out_df, np.stack(refs), rtol=1e-8, atol=1e-8)
+
+        out_f32 = fused_sweep_solve(
+            solver.model, sig_fn, jnp.asarray(amps), t_span=t_span, max_dt=0.05,
+            y0=y0, rwa_signal_map=solver._rwa_signal_map, tile_b=8, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(out_f32), np.stack(refs), atol=2e-5)
+
+    def test_t0_nonzero_adaptive(self):
+        from qiskit_dynamics_tpu import Signal
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu.solvers import fused_adaptive_sweep_solve
+
+        solver, w1 = cr_solver(dim=2)
+        y0 = np.zeros(4, dtype=complex)
+        y0[0] = 1.0
+        amps = jnp.array([0.4, 0.9])
+        t_span = (0.75, 3.25)
+        sig_fn = lambda a: [Signal(lambda t: a * 0.02, carrier_freq=w1)]
+        out = fused_adaptive_sweep_solve(
+            solver.model, sig_fn, amps, t_span=t_span, y0=y0, tile_b=8,
+            interpret=True, rwa_signal_map=solver._rwa_signal_map,
+        )
+        for i, a in enumerate([0.4, 0.9]):
+            ref = solver.solve(
+                t_span=list(t_span), y0=y0, signals=sig_fn(a),
+                method="DOP853", atol=1e-12, rtol=1e-12,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[i]), np.asarray(ref.y[-1]), atol=2e-5
+            )
+
+    def test_df32_rejects_traced_params(self):
+        from qiskit_dynamics_tpu import Signal
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu.exceptions import DynamicsError
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+
+        solver, w1 = cr_solver(dim=2)
+        y0 = np.zeros(4, dtype=complex)
+        y0[0] = 1.0
+
+        def run(amps):
+            return fused_sweep_solve(
+                solver.model,
+                lambda a: [Signal(lambda t: a * 0.02, carrier_freq=w1)],
+                amps, t_span=(0.0, 1.0), max_dt=0.1, y0=y0, precision="df32",
+                rwa_signal_map=solver._rwa_signal_map,
+            )
+
+        with pytest.raises(DynamicsError, match="concrete"):
+            jax.jit(run)(jnp.array([0.5, 1.0]))
