@@ -98,6 +98,43 @@ def main():
     max_err = float(np.max(np.abs(out[check_idx] - np.asarray(base_results))))
     log(f"max |device - DOP853(1e-8)| over {n_baseline} probe points: {max_err:.2e}")
 
+    # --- high-precision row: df32 sweep at the BASELINE 1e-8 agreement bar ---
+    # (compensated double-float32, Magnus order-6; ops/df_sweep.py)
+    df_metrics = {}
+    if os.environ.get("BENCH_DF32", "1") == "1":
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+
+        df_sweep_size = int(os.environ.get("BENCH_DF32_SWEEP_SIZE", str(sweep_size)))
+        df_amps = np.linspace(0.25, 1.0, df_sweep_size)
+        df_kwargs = dict(
+            t_span=(0.0, T), max_dt=0.2, y0=y0,
+            rwa_signal_map=solver._rwa_signal_map, precision="df32",
+        )
+        t0 = time.time()
+        df_out = fused_sweep_solve(solver.model, signals_fn, df_amps, **df_kwargs)
+        log(f"df32 compile+first run: {time.time() - t0:.1f}s")
+        t0 = time.time()
+        df_out = fused_sweep_solve(solver.model, signals_fn, df_amps, **df_kwargs)
+        df_time = time.time() - t0
+        df_throughput = df_sweep_size / df_time
+        log(f"df32 device: {df_time:.2f}s for {df_sweep_size} sims -> {df_throughput:.1f} sims/sec")
+
+        df_idx = np.linspace(0, df_sweep_size - 1, n_baseline).astype(int)
+        df_err = 0.0
+        for i in df_idx:
+            r = solver.solve(
+                t_span=[0.0, T], y0=y0,
+                signals=[Signal(lambda t, a=df_amps[i]: a * amp_scale, carrier_freq=w1)],
+                method="DOP853", atol=1e-12, rtol=1e-12,
+            )
+            df_err = max(df_err, float(np.max(np.abs(df_out[i] - np.asarray(r.y[-1])))))
+        log(f"df32 max |state - DOP853(1e-12)| over {n_baseline} probes: {df_err:.2e}")
+        df_metrics = {
+            "df32_throughput": round(df_throughput, 2),
+            "df32_vs_baseline": round(df_throughput / numpy_throughput, 2),
+            "df32_max_err": float(f"{df_err:.3g}"),
+        }
+
     print(
         json.dumps(
             {
@@ -105,6 +142,7 @@ def main():
                 "value": round(device_throughput, 2),
                 "unit": "sims/sec",
                 "vs_baseline": round(device_throughput / numpy_throughput, 2),
+                **df_metrics,
             }
         )
     )

@@ -25,6 +25,7 @@ import numpy as np
 from ..exceptions import DynamicsError
 from ..quantum_info import Statevector, DensityMatrix
 from ..pulse import Schedule, Acquire, block_to_schedule
+from ..pulse.schedule import AcquireChannel, MemorySlot
 from ..solvers import Solver, OdeResult
 from .backend_utils import (
     _get_dressed_state_decomposition,
@@ -50,7 +51,7 @@ class _Options(SimpleNamespace):
 
 
 def _is_native_or_qiskit_schedule(x) -> bool:
-    if isinstance(x, Schedule):
+    if isinstance(x, Schedule) or _is_circuit_like(x):
         return True
     try:
         from qiskit import pulse as qiskit_pulse
@@ -68,6 +69,109 @@ def _validate_run_input(run_input, accept_list: bool = True):
         raise DynamicsError(f"Input type {type(run_input)} not supported by DynamicsBackend.")
 
 
+def _is_circuit_like(obj) -> bool:
+    """QuantumCircuit shape: instruction list + calibrations + cregs."""
+    return (
+        hasattr(obj, "data") and hasattr(obj, "calibrations") and hasattr(obj, "cregs")
+    )
+
+
+def _qubit_index(circuit, qubit) -> int:
+    """Resolve a circuit qubit reference to an integer index."""
+    if isinstance(qubit, (int, np.integer)):
+        return int(qubit)
+    find_bit = getattr(circuit, "find_bit", None)
+    if callable(find_bit):
+        return int(find_bit(qubit).index)
+    idx = getattr(qubit, "index", None)
+    if idx is not None:
+        return int(idx)
+    raise DynamicsError(f"Cannot resolve qubit index for {qubit!r}.")
+
+
+def _lookup_calibration(circuit, name: str, qubits: Tuple[int, ...], params):
+    """Fetch a calibration schedule for (gate, qubits, params) if present."""
+    table = circuit.calibrations.get(name)
+    if not table:
+        return None
+    key = (tuple(qubits), tuple(params))
+    if key in table:
+        return table[key]
+    # parameter-free lookup fallback (calibration registered without params)
+    for (cal_qubits, _), sched in table.items():
+        if tuple(cal_qubits) == tuple(qubits):
+            return sched
+    return None
+
+
+def _circuit_to_schedule(circuit, backend=None) -> Schedule:
+    """Lower a circuit to a native Schedule via its calibration table.
+
+    The reference delegates to qiskit's transpile/``build_schedule``
+    (``dynamics_backend.py:429, 1022-1044``); when qiskit is importable and
+    the input is a real ``QuantumCircuit`` that path is used. The native
+    lowering here is a minimal ASAP scheduler: per-qubit clocks advance
+    through the circuit in order; each gate must have an entry in
+    ``circuit.calibrations`` (a native Schedule); ``measure`` uses its
+    calibration when present and otherwise synthesizes a one-sample
+    ``Acquire`` on the qubit's acquire channel; ``barrier`` synchronizes the
+    involved qubits' clocks.
+    """
+    try:  # real qiskit circuit -> use qiskit's scheduler (full semantics)
+        from qiskit import QuantumCircuit
+        from qiskit.pulse import build_schedule
+
+        if isinstance(circuit, QuantumCircuit):
+            dt = backend.options.solver._dt if backend is not None else None
+            return build_schedule(circuit, backend, dt=dt)
+    except ImportError:
+        pass
+
+    num_qubits = int(getattr(circuit, "num_qubits", 0))
+    clocks = [0] * max(num_qubits, 1)
+    sched = Schedule(name=getattr(circuit, "name", None))
+    for item in circuit.data:
+        op = getattr(item, "operation", item)
+        name = op.name
+        qubits = [_qubit_index(circuit, q) for q in item.qubits]
+        while max(qubits, default=0) >= len(clocks):
+            clocks.append(0)
+        start = max((clocks[q] for q in qubits), default=0)
+        if name == "barrier":
+            for q in qubits or range(len(clocks)):
+                clocks[q] = start
+            continue
+        if name == "measure":
+            cal = _lookup_calibration(circuit, "measure", tuple(qubits), ())
+            clbits = [_qubit_index(circuit, c) for c in getattr(item, "clbits", [])]
+            if cal is not None:
+                for t, inst in cal.instructions:
+                    sched.insert(start + t, inst, inplace=True)
+                dur = cal.duration
+            else:
+                dur = 1
+                for q, c in zip(qubits, clbits or qubits):
+                    sched.insert(
+                        start,
+                        Acquire(dur, AcquireChannel(q), mem_slot=MemorySlot(c)),
+                        inplace=True,
+                    )
+            for q in qubits:
+                clocks[q] = start + dur
+            continue
+        cal = _lookup_calibration(circuit, name, tuple(qubits), getattr(op, "params", ()))
+        if cal is None:
+            raise DynamicsError(
+                f"Circuit instruction '{name}' on qubits {qubits} has no calibration; "
+                "native circuit lowering requires a calibration schedule per gate."
+            )
+        for t, inst in cal.instructions:
+            sched.insert(start + t, inst, inplace=True)
+        for q in qubits:
+            clocks[q] = start + cal.duration
+    return sched
+
+
 def _to_schedule_list(run_input, backend=None) -> Tuple[List[Schedule], List[Optional[int]]]:
     """Normalize inputs to native/qiskit Schedules; track circuit memslot counts."""
     if not isinstance(run_input, list):
@@ -77,6 +181,10 @@ def _to_schedule_list(run_input, backend=None) -> Tuple[List[Schedule], List[Opt
         num_memslots.append(None)
         if isinstance(sched, Schedule):
             schedules.append(sched)
+            continue
+        if _is_circuit_like(sched):
+            num_memslots[-1] = sum(creg.size for creg in sched.cregs) or None
+            schedules.append(_circuit_to_schedule(sched, backend))
             continue
         try:
             from qiskit import pulse as qiskit_pulse
@@ -508,32 +616,128 @@ class DynamicsBackend:
 
     @classmethod
     def from_backend(cls, backend, subsystem_list=None, **kwargs) -> "DynamicsBackend":
-        """Build from a qiskit backend instance (requires qiskit installed)."""
-        config = getattr(backend, "configuration", lambda: None)()
-        if config is None or not hasattr(config, "hamiltonian"):
+        """Build from a qiskit backend instance (BackendV1 or BackendV2 shaped).
+
+        Channel carrier frequencies are resolved with the same precedence as
+        the reference (``dynamics_backend.py:593-802, 1047-1135``): drive
+        frequencies from ``backend.target.qubit_properties`` when present,
+        falling back to ``defaults().qubit_freq_est``; measure frequencies
+        from ``defaults().meas_freq_est``; control-channel LOs composed from
+        ``configuration().u_channel_lo``. Only the channels actually
+        appearing in the (``subsystem_list``-restricted) parsed Hamiltonian
+        need frequencies.
+        """
+        config = _call_if_exists(backend, "configuration")
+        if config is None or getattr(config, "hamiltonian", None) is None:
             raise DynamicsError(
                 "DynamicsBackend.from_backend requires a backend exposing a pulse "
                 "configuration with a Hamiltonian dict; alternatively use from_config."
             )
-        defaults = getattr(backend, "defaults", lambda: None)()
-        drive_freqs = getattr(defaults, "qubit_freq_est", None)
-        if drive_freqs is None:
-            raise DynamicsError("Backend defaults with qubit_freq_est required.")
-        channel_carrier_freqs = {f"d{idx}": freq for idx, freq in enumerate(drive_freqs)}
-        # control channel LOs from the configuration's u_channel_lo
-        u_channel_lo = getattr(config, "u_channel_lo", [])
-        for u_idx, lo_list in enumerate(u_channel_lo):
-            freq = 0.0
-            for lo in lo_list:
-                freq += drive_freqs[lo.q] * np.real(lo.scale)
-            channel_carrier_freqs[f"u{u_idx}"] = freq
+        target = getattr(backend, "target", None)
+        defaults = _call_if_exists(backend, "defaults")
+
+        dt = getattr(config, "dt", None)
+        if dt is None and target is not None:
+            dt = getattr(target, "dt", None)
+        if dt is None:
+            raise DynamicsError("Backend does not expose a sample width dt.")
+
+        # parse first so only the channels actually present (after the
+        # subsystem restriction) need frequency resolution
+        _, _, channels, _ = parse_backend_hamiltonian_dict(
+            config.hamiltonian, subsystem_list
+        )
+        channel_carrier_freqs = _resolve_backend_channel_freqs(
+            target=target, config=config, defaults=defaults, channels=channels
+        )
         return cls.from_config(
             hamiltonian_dict=config.hamiltonian,
-            dt=config.dt,
+            dt=dt,
             channel_carrier_freqs=channel_carrier_freqs,
             subsystem_list=subsystem_list,
             **kwargs,
         )
+
+
+def _call_if_exists(obj, name: str):
+    """Call ``obj.name()`` if present, tolerating backends that raise
+    AttributeError/NotImplementedError for unsupported legacy accessors."""
+    fn = getattr(obj, name, None)
+    if not callable(fn):
+        return None
+    try:
+        return fn()
+    except (AttributeError, NotImplementedError):
+        return None
+
+
+def _resolve_backend_channel_freqs(target, config, defaults, channels) -> Dict[str, float]:
+    """Resolve carrier frequencies for ``channels`` from backend metadata.
+
+    Mirrors the reference's precedence rules
+    (``/root/reference/qiskit_dynamics/backend/dynamics_backend.py:1047-1135``):
+    drive (``d<j>``) from ``target.qubit_properties`` else
+    ``defaults.qubit_freq_est``; measure (``m<j>``) from
+    ``defaults.meas_freq_est``; control (``u<j>``) as the LO combination
+    ``sum_q drive[q] * scale`` over ``config.u_channel_lo[j]``.
+    """
+    drive_chs = [ch for ch in channels if ch[0] == "d"]
+    meas_chs = [ch for ch in channels if ch[0] == "m"]
+    u_chs = [ch for ch in channels if ch[0] == "u"]
+    unknown = set(channels) - set(drive_chs) - set(meas_chs) - set(u_chs)
+    if unknown:
+        raise DynamicsError(f"Unrecognized channel type(s) requested: {sorted(unknown)}")
+
+    drive_freqs = []
+    if drive_chs or u_chs:
+        if target is not None and getattr(target, "qubit_properties", None) is not None:
+            drive_freqs = [q.frequency for q in target.qubit_properties]
+        elif defaults is not None and getattr(defaults, "qubit_freq_est", None) is not None:
+            drive_freqs = list(defaults.qubit_freq_est)
+        else:
+            raise DynamicsError(
+                "DriveChannels in model but frequencies not available in target "
+                "or defaults."
+            )
+
+    freqs: Dict[str, float] = {}
+    for ch in drive_chs:
+        idx = int(ch[1:])
+        if idx >= len(drive_freqs):
+            raise DynamicsError(f"DriveChannel index {idx} is out of bounds.")
+        freqs[ch] = drive_freqs[idx]
+
+    if meas_chs:
+        meas_freqs = getattr(defaults, "meas_freq_est", None) if defaults else None
+        if meas_freqs is None:
+            raise DynamicsError(
+                "MeasureChannels in model but defaults does not have meas_freq_est."
+            )
+        for ch in meas_chs:
+            idx = int(ch[1:])
+            if idx >= len(meas_freqs):
+                raise DynamicsError(f"MeasureChannel index {idx} is out of bounds.")
+            freqs[ch] = meas_freqs[idx]
+
+    u_channel_lo = getattr(config, "u_channel_lo", []) or []
+    for ch in u_chs:
+        idx = int(ch[1:])
+        if idx >= len(u_channel_lo):
+            raise DynamicsError(f"ControlChannel index {idx} is out of bounds.")
+        freq = 0.0
+        for lo in u_channel_lo[idx]:
+            if lo.q >= len(drive_freqs):
+                raise DynamicsError(
+                    f"u_channel_lo[{idx}] references qubit {lo.q} with no drive "
+                    "frequency."
+                )
+            freq += drive_freqs[lo.q] * np.real(lo.scale)
+        freqs[ch] = freq
+
+    missing = [ch for ch in channels if ch not in freqs]
+    if missing:
+        raise DynamicsError(f"No carrier frequency found for channel(s) {missing}.")
+    return freqs
 
 
 def default_experiment_result_function(

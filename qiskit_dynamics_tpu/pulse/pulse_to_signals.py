@@ -13,6 +13,7 @@ Works with both native Schedules and qiskit Schedules (duck-typed: both expose
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional
 from warnings import warn
 
@@ -27,13 +28,81 @@ __all__ = ["InstructionToSignals", "get_samples"]
 
 
 def get_samples(pulse):
-    """Samples of a parametric pulse at interval midpoints."""
+    """Samples of a parametric pulse at interval midpoints.
+
+    Resolution order:
+
+    1. ``Waveform`` (native or qiskit-shaped): raw samples.
+    2. Symbolic pulses (anything exposing a sympy ``envelope`` expression and
+       a ``parameters`` dict — qiskit ``SymbolicPulse`` included): the
+       envelope is lambdified ONCE per (expression, backend) pair and
+       evaluated at the sample midpoints. When any parameter is a JAX tracer
+       the jax lambdify backend is used, so schedules containing parametric
+       pulses stay jit- and grad-transformable (reference:
+       ``pulse_to_signals.py:329-391``).
+    3. ``get_waveform()`` fallback (host-side sampling; breaks under trace).
+    """
     if isinstance(pulse, Waveform):
         return pulse.samples
+    envelope = getattr(pulse, "envelope", None)
+    parameters = getattr(pulse, "parameters", None)
+    # qiskit-style symbolic pulses carry a sympy EXPRESSION (native pulses
+    # have a callable envelope method and sample via get_waveform below)
+    if envelope is not None and not callable(envelope) and isinstance(parameters, dict):
+        return _sample_symbolic_pulse(pulse, envelope, parameters)
     if hasattr(pulse, "get_waveform"):
         wf = pulse.get_waveform()
         return np.asarray(wf.samples) if not _is_traced(wf.samples) else wf.samples
     raise DynamicsError(f"Cannot extract samples from pulse of type {type(pulse)}.")
+
+
+def _sample_symbolic_pulse(pulse, envelope, parameters: dict):
+    """Evaluate a symbolic-envelope pulse at sample midpoints, trace-aware."""
+    if callable(getattr(pulse, "is_parameterized", None)) and pulse.is_parameterized():
+        raise DynamicsError(
+            "Cannot sample a symbolic pulse with unassigned parameters."
+        )
+    backend = "jax" if any(_is_traced(v) for v in parameters.values()) else "numpy"
+    fn, names = _lambdified_envelope(_as_sympy(envelope), backend)
+    args = []
+    for name in names:
+        if name == "t":
+            args.append(np.arange(0, int(parameters["duration"])) + 0.5)
+            continue
+        if name not in parameters:
+            raise DynamicsError(
+                f"Symbolic pulse parameter '{name}' has no assigned value."
+            )
+        args.append(parameters[name])
+    return fn(*args)
+
+
+def _as_sympy(expr):
+    """Coerce symengine expressions (qiskit may use them) to sympy."""
+    import sympy
+
+    if isinstance(expr, sympy.Expr):
+        return expr
+    return sympy.sympify(str(expr))
+
+
+@functools.lru_cache(maxsize=None)
+def _lambdified_envelope(expr, backend: str):
+    """lru-cached lambdify of a pulse envelope; returns (fn, arg names).
+
+    ``t`` is always the first argument; remaining free symbols follow in
+    name-sorted order. Caching matters: parametric sweeps re-sample the same
+    expression thousands of times with different values.
+    """
+    import sympy
+
+    symbols = sorted(expr.free_symbols, key=lambda s: s.name)
+    ordered = [s for s in symbols if s.name == "t"] + [
+        s for s in symbols if s.name != "t"
+    ]
+    modules = "jax" if backend == "jax" else "numpy"
+    fn = sympy.lambdify(ordered, expr, modules=modules)
+    return fn, tuple(s.name for s in ordered)
 
 
 def _is_traced(x):

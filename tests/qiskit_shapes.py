@@ -1,0 +1,208 @@
+"""Structural test doubles for the qiskit interop surface.
+
+qiskit cannot be installed in this environment (zero-egress container), so
+every duck-typed interop branch is exercised against these fakes instead.
+Each fake reproduces exactly the attribute/method contract the production
+code consumes (mirroring the reference objects, cited per class); if the
+duck-typing in qiskit_dynamics_tpu drifts from that contract, these tests
+break — which is the point.
+
+These are TEST doubles: nothing in the package imports this module.
+"""
+from __future__ import annotations
+
+from types import SimpleNamespace
+from typing import Dict, List, Optional
+
+import numpy as np
+import sympy
+
+
+# ---------------------------------------------------------------------------
+# qiskit.pulse.SymbolicPulse shape: sympy ``envelope`` expression +
+# ``parameters`` dict (reference consumption: pulse_to_signals.py:329-391)
+
+
+class FakeSymbolicPulse:
+    """Shape of ``qiskit.pulse.SymbolicPulse`` after parameter assignment."""
+
+    def __init__(self, envelope: sympy.Expr, parameters: Dict, name: str = "pulse"):
+        self.envelope = envelope
+        self.parameters = parameters
+        self.duration = parameters["duration"]
+        self.name = name
+
+    def is_parameterized(self) -> bool:
+        return False
+
+
+def fake_gaussian_pulse(duration: int, amp, sigma) -> FakeSymbolicPulse:
+    """A lifted-Gaussian with the same formula as qiskit's ``Gaussian``."""
+    t, a, s, d = sympy.symbols("t amp sigma duration")
+    center = d / 2
+    gauss = sympy.exp(-(((t - center) / s) ** 2) / 2)
+    zero = sympy.exp(-((((-1) - center) / s) ** 2) / 2)
+    envelope = a * (gauss - zero) / (1 - zero)
+    return FakeSymbolicPulse(
+        envelope, {"duration": duration, "amp": amp, "sigma": sigma}, name="Gaussian"
+    )
+
+
+# ---------------------------------------------------------------------------
+# qiskit.providers backend shapes (reference consumption:
+# dynamics_backend.py:593-802, 1047-1135)
+
+
+class FakeUChannelLO:
+    """Shape of ``qiskit.providers.models.UchannelLO``."""
+
+    def __init__(self, q: int, scale: complex):
+        self.q = q
+        self.scale = scale
+
+
+class FakePulseBackendConfiguration:
+    """Shape of ``PulseBackendConfiguration`` (hamiltonian/dt/u_channel_lo)."""
+
+    def __init__(
+        self,
+        hamiltonian: Dict,
+        dt: float,
+        u_channel_lo: Optional[List[List[FakeUChannelLO]]] = None,
+        num_qubits: Optional[int] = None,
+    ):
+        self.hamiltonian = hamiltonian
+        self.dt = dt
+        self.u_channel_lo = u_channel_lo or []
+        self.num_qubits = num_qubits
+
+
+class FakeDefaults:
+    """Shape of ``PulseDefaults`` (qubit_freq_est/meas_freq_est)."""
+
+    def __init__(self, qubit_freq_est: List[float], meas_freq_est: Optional[List[float]] = None):
+        self.qubit_freq_est = qubit_freq_est
+        self.meas_freq_est = meas_freq_est if meas_freq_est is not None else []
+
+
+class FakeTarget:
+    """Shape of ``qiskit.transpiler.Target`` (qubit_properties only)."""
+
+    def __init__(self, qubit_frequencies: Optional[List[float]] = None, dt: Optional[float] = None):
+        if qubit_frequencies is None:
+            self.qubit_properties = None
+        else:
+            self.qubit_properties = [
+                SimpleNamespace(frequency=f) for f in qubit_frequencies
+            ]
+        self.dt = dt
+
+
+class FakeBackendV1:
+    """Legacy BackendV1 shape: configuration() + defaults() methods."""
+
+    def __init__(self, configuration, defaults):
+        self._configuration = configuration
+        self._defaults = defaults
+
+    def configuration(self):
+        return self._configuration
+
+    def defaults(self):
+        return self._defaults
+
+
+class FakeBackendV2:
+    """BackendV2 shape: ``target`` attribute; configuration/defaults optional."""
+
+    version = 2
+
+    def __init__(self, target, configuration=None, defaults=None):
+        self.target = target
+        self._configuration = configuration
+        self._defaults = defaults
+
+    def configuration(self):
+        if self._configuration is None:
+            raise AttributeError("no configuration")
+        return self._configuration
+
+    def defaults(self):
+        if self._defaults is None:
+            raise AttributeError("no defaults")
+        return self._defaults
+
+
+def two_transmon_hamiltonian_dict() -> Dict:
+    """A 2-transmon backend hamiltonian string dict (reference grammar)."""
+    return {
+        "h_str": [
+            "2*np.pi*v0*0.5*Z0",
+            "2*np.pi*v1*0.5*Z1",
+            "2*np.pi*j*0.5*(Sp0*Sm1+Sm0*Sp1)",
+            "X0||D0",
+            "X1||D1",
+            "X0||U0",
+            "X1||U1",
+        ],
+        "qub": {"0": 2, "1": 2},
+        "vars": {"v0": 5.0e9, "v1": 5.1e9, "j": 0.01e9},
+    }
+
+
+# ---------------------------------------------------------------------------
+# qiskit.QuantumCircuit shape (reference consumption:
+# dynamics_backend.py:1022-1044 — cregs sizes + calibration lowering)
+
+
+class FakeCreg:
+    def __init__(self, size: int):
+        self.size = size
+
+
+class FakeInstruction:
+    def __init__(self, name: str, params=()):
+        self.name = name
+        self.params = list(params)
+
+
+class FakeCircuitInstruction:
+    """Shape of qiskit's CircuitInstruction (operation/qubits/clbits)."""
+
+    def __init__(self, operation: FakeInstruction, qubits, clbits=()):
+        self.operation = operation
+        self.qubits = list(qubits)
+        self.clbits = list(clbits)
+
+
+class FakeQuantumCircuit:
+    """Shape of ``qiskit.QuantumCircuit`` as DynamicsBackend consumes it.
+
+    ``data`` is a list of FakeCircuitInstruction with integer qubit indices;
+    ``calibrations`` maps ``gate name -> {(qubits, params): schedule}`` with
+    native Schedules as values (matching qiskit's calibration table layout).
+    """
+
+    def __init__(self, num_qubits: int, num_clbits: int = 0):
+        self.num_qubits = num_qubits
+        self.num_clbits = num_clbits
+        self.cregs = [FakeCreg(num_clbits)] if num_clbits else []
+        self.data: List[FakeCircuitInstruction] = []
+        self.calibrations: Dict = {}
+
+    # -- circuit-building helpers mirroring qiskit's API -------------------
+    def append_gate(self, name: str, qubits, params=()):
+        self.data.append(FakeCircuitInstruction(FakeInstruction(name, params), qubits))
+
+    def x(self, qubit: int):
+        self.append_gate("x", [qubit])
+
+    def measure(self, qubit: int, clbit: int):
+        self.data.append(
+            FakeCircuitInstruction(FakeInstruction("measure"), [qubit], [clbit])
+        )
+
+    def add_calibration(self, gate: str, qubits, schedule, params=()):
+        self.calibrations.setdefault(gate, {})[
+            (tuple(qubits), tuple(np.atleast_1d(params)))
+        ] = schedule
