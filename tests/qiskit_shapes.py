@@ -49,6 +49,95 @@ def fake_gaussian_pulse(duration: int, amp, sigma) -> FakeSymbolicPulse:
 
 
 # ---------------------------------------------------------------------------
+# qiskit.quantum_info shapes (reference consumption:
+# solver_classes.py:708-816 — .data / .dims() / constructor contracts)
+
+
+class FakeQuantumState:
+    """Shape of ``qiskit.quantum_info.states.quantum_state.QuantumState``."""
+
+    def __init__(self, data, dims=None):
+        self.data = np.asarray(data)
+        self._dims = tuple(dims) if dims is not None else (self.data.shape[0],)
+
+    def dims(self):
+        return self._dims
+
+
+class FakeStatevector(FakeQuantumState):
+    pass
+
+
+class FakeDensityMatrix(FakeQuantumState):
+    def __init__(self, data, dims=None):
+        if isinstance(data, FakeStatevector):
+            psi = data.data
+            if dims is None:
+                dims = data.dims()
+            data = np.outer(psi, psi.conj())
+        super().__init__(data, dims)
+
+
+class FakeOperator:
+    """Shape of ``qiskit.quantum_info.Operator``."""
+
+    def __init__(self, data, input_dims=None, output_dims=None):
+        self.data = np.asarray(data)
+        self._input_dims = tuple(input_dims) if input_dims else (self.data.shape[1],)
+        self._output_dims = tuple(output_dims) if output_dims else (self.data.shape[0],)
+
+    def input_dims(self):
+        return self._input_dims
+
+    def output_dims(self):
+        return self._output_dims
+
+
+class FakeQuantumChannel(FakeOperator):
+    pass
+
+
+class FakeSuperOp(FakeQuantumChannel):
+    """Shape of ``qiskit.quantum_info.SuperOp`` (column-stacking).
+
+    Constructible from another channel (Kraus -> superop conversion), as
+    ``initial_state_converter`` does with ``SuperOp(obj)``.
+    """
+
+    def __init__(self, data, input_dims=None, output_dims=None):
+        if isinstance(data, FakeKraus):
+            dim = data.kraus_ops[0].shape[0]
+            sup = np.zeros((dim * dim, dim * dim), dtype=complex)
+            for K in data.kraus_ops:
+                sup += np.kron(K.conj(), K)
+            super().__init__(sup, input_dims or (dim,), output_dims or (dim,))
+            return
+        if isinstance(data, FakeSuperOp):
+            super().__init__(data.data, data.input_dims(), data.output_dims())
+            return
+        super().__init__(data, input_dims, output_dims)
+
+
+class FakeKraus(FakeQuantumChannel):
+    """Kraus-form channel convertible to FakeSuperOp."""
+
+    def __init__(self, kraus_ops):
+        self.kraus_ops = [np.asarray(K) for K in kraus_ops]
+        dim = self.kraus_ops[0].shape[0]
+        super().__init__(np.eye(dim), (dim,), (dim,))
+
+
+FAKE_QISKIT_TYPES = {
+    "QuantumState": FakeQuantumState,
+    "Statevector": FakeStatevector,
+    "DensityMatrix": FakeDensityMatrix,
+    "Operator": FakeOperator,
+    "SuperOp": FakeSuperOp,
+    "QuantumChannel": FakeQuantumChannel,
+}
+
+
+# ---------------------------------------------------------------------------
 # qiskit.providers backend shapes (reference consumption:
 # dynamics_backend.py:593-802, 1047-1135)
 

@@ -25,11 +25,16 @@ from qiskit_dynamics_tpu.pulse.schedule import (
 )
 
 from qiskit_shapes import (
+    FAKE_QISKIT_TYPES,
     FakeBackendV1,
     FakeBackendV2,
     FakeDefaults,
+    FakeDensityMatrix,
+    FakeOperator,
     FakePulseBackendConfiguration,
     FakeQuantumCircuit,
+    FakeStatevector,
+    FakeSuperOp,
     FakeTarget,
     FakeUChannelLO,
     fake_gaussian_pulse,
@@ -171,6 +176,106 @@ def _rabi_backend(**options):
         rotating_frame=2 * np.pi * nu * Z / 2,
     )
     return DynamicsBackend(solver=solver, subsystem_dims=[2], **options), r
+
+
+@pytest.fixture
+def qiskit_types_patched(monkeypatch):
+    """Resolve the solver's optional-qiskit type table to the fakes.
+
+    ``solver_classes._QISKIT`` is None when qiskit is absent; patching it
+    exercises the exact dispatch paths real qiskit objects would take."""
+    from qiskit_dynamics_tpu.solvers import solver_classes
+
+    monkeypatch.setattr(solver_classes, "_QISKIT", FAKE_QISKIT_TYPES)
+    yield
+
+
+class TestQiskitQuantumInfoDispatch:
+    """quantum_info-typed initial states through Solver.solve — reference
+    type table: solver_classes.py:430-470, 741-816."""
+
+    def _solver(self):
+        X = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex)
+        Z = np.array([[1.0, 0.0], [0.0, -1.0]], dtype=complex)
+        from qiskit_dynamics_tpu import Signal
+
+        solver = Solver(
+            static_hamiltonian=np.pi * Z,
+            hamiltonian_operators=[np.pi * X / 2],
+        )
+        signals = [Signal(0.1, carrier_freq=1.0)]
+        return solver, signals
+
+    def test_fake_statevector_roundtrip(self, qiskit_types_patched):
+        solver, signals = self._solver()
+        y0 = FakeStatevector(np.array([1.0, 0.0], dtype=complex))
+        res = solver.solve(
+            t_span=[0.0, 1.0], y0=y0, signals=signals, method="DOP853",
+            atol=1e-12, rtol=1e-12,
+        )
+        assert isinstance(res.y[-1], FakeStatevector)
+        ref = solver.solve(
+            t_span=[0.0, 1.0], y0=np.array([1.0, 0.0], dtype=complex),
+            signals=signals, method="DOP853", atol=1e-12, rtol=1e-12,
+        )
+        np.testing.assert_allclose(res.y[-1].data, np.asarray(ref.y[-1]), atol=1e-10)
+
+    def test_fake_statevector_on_lindblad_becomes_density_matrix(
+        self, qiskit_types_patched
+    ):
+        X = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex)
+        Z = np.array([[1.0, 0.0], [0.0, -1.0]], dtype=complex)
+        from qiskit_dynamics_tpu import Signal
+
+        solver = Solver(
+            static_hamiltonian=np.pi * Z,
+            hamiltonian_operators=[np.pi * X / 2],
+            static_dissipators=[0.1 * np.array([[0, 1], [0, 0]], dtype=complex)],
+        )
+        y0 = FakeStatevector(np.array([0.0, 1.0], dtype=complex))
+        res = solver.solve(
+            t_span=[0.0, 1.0], y0=y0, signals=[Signal(0.1, carrier_freq=1.0)],
+            method="DOP853", atol=1e-10, rtol=1e-10,
+        )
+        assert isinstance(res.y[-1], FakeDensityMatrix)
+        # amplitude damping from |1>: trace preserved, ground pop grows
+        rho = res.y[-1].data
+        np.testing.assert_allclose(np.trace(rho), 1.0, atol=1e-8)
+        # decay rate |0.1|^2 = 0.01 over t=1 -> ground pop ~1% (+ drive)
+        assert np.real(rho[0, 0]) > 0.005
+
+    def test_fake_operator_propagator(self, qiskit_types_patched):
+        solver, signals = self._solver()
+        y0 = FakeOperator(np.eye(2, dtype=complex))
+        res = solver.solve(
+            t_span=[0.0, 1.0], y0=y0, signals=signals, method="DOP853",
+            atol=1e-12, rtol=1e-12,
+        )
+        assert isinstance(res.y[-1], FakeOperator)
+        U = res.y[-1].data
+        np.testing.assert_allclose(U @ U.conj().T, np.eye(2), atol=1e-8)
+
+    def test_fake_superop_vectorized_lindblad(self, qiskit_types_patched):
+        X = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex)
+        Z = np.array([[1.0, 0.0], [0.0, -1.0]], dtype=complex)
+        from qiskit_dynamics_tpu import Signal
+
+        solver = Solver(
+            static_hamiltonian=np.pi * Z,
+            hamiltonian_operators=[np.pi * X / 2],
+            static_dissipators=[0.1 * np.array([[0, 1], [0, 0]], dtype=complex)],
+            vectorized=True,
+        )
+        y0 = FakeSuperOp(np.eye(4, dtype=complex))
+        res = solver.solve(
+            t_span=[0.0, 1.0], y0=y0, signals=[Signal(0.1, carrier_freq=1.0)],
+            method="DOP853", atol=1e-10, rtol=1e-10,
+        )
+        assert isinstance(res.y[-1], FakeSuperOp)
+        # trace preservation: vec(I)^dag . S . vec(rho) == tr(rho)
+        S = res.y[-1].data
+        vec_id = np.eye(2).ravel(order="F")
+        np.testing.assert_allclose(vec_id @ S, vec_id, atol=1e-6)
 
 
 class TestCircuitExecution:
