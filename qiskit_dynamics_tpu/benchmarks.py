@@ -12,6 +12,8 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 
 from .solvers import Solver
 from .signals import Signal
@@ -133,3 +135,28 @@ def fused_cr_sweep(
         rwa_signal_map=solver._rwa_signal_map,
     )
     return jnp.abs(yf) ** 2
+
+
+def expm_chain(generators, dt: float, y0, order: int = 12, squarings: int = 2):
+    """Sustained expm-propagator chain: ``y <- expm(G_t dt) @ y`` over steps.
+
+    North-star metric 2 (BASELINE.md): the single-matrix dim-256 expm time is
+    dispatch-latency bound (~30 ms); production propagation is a CHAIN of
+    steps under one jit, where the MXU stays busy — this helper measures that
+    sustained regime.
+
+    Args:
+        generators: (T, ..., n, n) per-step (optionally batched) generators.
+        dt: step size.
+        y0: (..., n, m) states/propagators to which the chain is applied.
+
+    Returns:
+        (..., n, m) final states.
+    """
+    from .ops.expm import expm_taylor
+
+    def step(y, g):
+        return expm_taylor(g * dt, order=order, squarings=squarings) @ y, None
+
+    yf, _ = jax.lax.scan(step, jnp.asarray(y0), jnp.asarray(generators))
+    return yf

@@ -338,8 +338,15 @@ def fused_adaptive_sweep_solve(
     interpret: bool = False,
     rwa_signal_map: Optional[Callable] = None,
     envelope_resolution: Optional[int] = None,
+    bucket_lanes: bool = True,
 ):
     r"""Lockstep-adaptive dopri5 sweep solve through the fused kernel.
+
+    Heterogeneous sweeps: each lane-tile shares a single lockstep step
+    control, so by default (``bucket_lanes=True``) sweep members are sorted
+    by total drive magnitude before tiling — similar stiffness lands in the
+    same tile — and results are un-permuted on return. Disable to preserve
+    the raw tile assignment (e.g. for deterministic tile debugging).
 
     Adaptive counterpart of :func:`fused_sweep_solve` built on
     :func:`~qiskit_dynamics_tpu.ops.adaptive_sweep.sweep_dopri5_lockstep`.
@@ -476,6 +483,18 @@ def fused_adaptive_sweep_solve(
 
         amps = jnp.moveaxis(jax.vmap(amplitudes)(params), 0, -1)  # (k, S, B)
 
+    # stiffness bucketing: each lane-tile shares one adaptive step control
+    # (lockstep at the worst lane), so one stiff member stalls its whole
+    # tile. Sorting members by total drive magnitude groups similar
+    # stiffness into the same tile — a pure permutation (exact), applied
+    # here and inverted on the outputs. Works under trace (argsort/gather).
+    order = inv_order = None
+    if bucket_lanes:
+        key = jnp.sum(jnp.abs(amps), axis=tuple(range(amps.ndim - 1)))  # (B,)
+        order = jnp.argsort(key)
+        inv_order = jnp.argsort(order)
+        amps = amps[..., order]
+
     y0_fb = np.asarray(model.rotating_frame.state_into_frame_basis(np.asarray(y0)))
     amps, y0_cols, B, m = _expand_lanes(amps, y0_fb, model.dim, tile_b)
     yf = sweep_dopri5_lockstep(
@@ -483,7 +502,10 @@ def fused_adaptive_sweep_solve(
         atol=atol, rtol=rtol, max_steps=max_steps, h0=h0,
         tile_b=tile_b, interpret=interpret, env_dt=env_dt,
     )
-    return _collect_lanes(model, yf, B, m)
+    out = _collect_lanes(model, yf, B, m)
+    if bucket_lanes:
+        out = out[inv_order]
+    return out
 
 
 def _expand_lanes(lane_data, y0_fb, dim: int, tile_b: int):

@@ -153,6 +153,40 @@ class TestLockstepAdaptiveSweep:
         expected = np.asarray(jax.vmap(ref)(jnp.asarray(amps)))
         np.testing.assert_allclose(pop1, expected, atol=2e-5)
 
+    def test_bucket_lanes_permutation_roundtrip(self):
+        """Stiffness bucketing must be a pure permutation: identical results
+        (up to step-control differences) and correct member order."""
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu.solvers import fused_adaptive_sweep_solve
+        from qiskit_dynamics_tpu import Signal
+
+        solver, w1 = cr_solver(dim=2)
+        y0 = np.zeros(4, dtype=complex)
+        y0[0] = 1.0
+        # deliberately shuffled heterogeneous amplitudes
+        amps = jnp.array([1.0, 0.05, 0.6, 0.2, 0.9, 0.1, 0.4, 0.75])
+        sig_fn = lambda a: [Signal(lambda t: a * 0.02, carrier_freq=w1)]
+        kwargs = dict(
+            t_span=(0.0, 2.0), y0=y0, tile_b=4, interpret=True,
+            rwa_signal_map=solver._rwa_signal_map,
+        )
+        out_b = fused_adaptive_sweep_solve(solver.model, sig_fn, amps, **kwargs)
+        out_nb = fused_adaptive_sweep_solve(
+            solver.model, sig_fn, amps, bucket_lanes=False, **kwargs
+        )
+        # member identity preserved: both match DOP853 per member
+        for i, a in enumerate(np.asarray(amps)):
+            ref = solver.solve(
+                t_span=[0.0, 2.0], y0=y0, signals=sig_fn(float(a)),
+                method="DOP853", atol=1e-12, rtol=1e-12,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out_b[i]), np.asarray(ref.y[-1]), atol=2e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(out_nb[i]), np.asarray(ref.y[-1]), atol=2e-5
+            )
+
     def test_budget_exhaustion_poisons(self):
         from qiskit_dynamics_tpu.ops.adaptive_sweep import sweep_dopri5_lockstep
 
