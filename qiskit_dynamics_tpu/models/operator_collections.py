@@ -167,6 +167,13 @@ class ScipySparseOperatorCollection:
         )
 
     @property
+    def dim(self) -> int:
+        """Hilbert-space dimension."""
+        if self._static_operator is not None:
+            return self._static_operator.shape[-1]
+        return self._operators[0].shape[-1]
+
+    @property
     def static_operator(self):
         """The static operator."""
         return self._static_operator

@@ -31,6 +31,26 @@ from jax.tree_util import register_pytree_node
 from ..dtypes import ArrayLike
 from ..exceptions import DynamicsError
 
+
+def _is_bcoo(x) -> bool:
+    from jax.experimental import sparse as jsparse
+
+    return isinstance(x, jsparse.BCOO)
+
+
+def _is_scipy_sparse(x) -> bool:
+    from scipy.sparse import issparse
+
+    return issparse(x)
+
+
+def _is_sparse(x) -> bool:
+    return _is_bcoo(x) or _is_scipy_sparse(x)
+
+
+def _sparse_to_dense(x):
+    return x.todense() if _is_bcoo(x) else np.asarray(x.toarray())
+
 __all__ = ["RotatingFrame"]
 
 
@@ -163,11 +183,18 @@ class RotatingFrame:
         return self._frame_basis @ y
 
     def operator_into_frame_basis(self, op, convert_type: bool = True):
-        """``frame_basis_adjoint @ op @ frame_basis`` (broadcasts over stacked ops)."""
+        """``frame_basis_adjoint @ op @ frame_basis`` (broadcasts over stacked ops).
+
+        Sparse operators pass through unchanged for diagonal frames; a full
+        frame densifies them (the conjugated result is dense anyway)."""
         if isinstance(op, (list, tuple)):
             return [self.operator_into_frame_basis(x) for x in op]
         if op is None:
             return None
+        if _is_sparse(op):
+            if self._frame_basis is None:
+                return op
+            op = _sparse_to_dense(op)
         op = unp.asarray(op)
         if self._frame_basis is None:
             return op
@@ -179,6 +206,10 @@ class RotatingFrame:
             return [self.operator_out_of_frame_basis(x) for x in op]
         if op is None:
             return None
+        if _is_sparse(op):
+            if self._frame_basis is None:
+                return op
+            op = _sparse_to_dense(op)
         op = unp.asarray(op)
         if self._frame_basis is None:
             return op
@@ -227,8 +258,15 @@ class RotatingFrame:
 
         Stacked operators: ``(k, dim, dim)`` arrays broadcast; with
         ``vectorized_operators=True``, operators are ``(dim^2,)`` /
-        ``(dim^2, k)`` column-stacked vectors.
+        ``(dim^2, k)`` column-stacked vectors. Sparse operators (scipy CSR or
+        BCOO) stay sparse: the rank-1 phase conjugation is an elementwise
+        multiply, which preserves the sparsity pattern.
         """
+        if _is_sparse(operator) and not vectorized_operators:
+            return self._conjugate_and_add_sparse(
+                t, operator, op_to_add_in_fb, operator_in_frame_basis,
+                return_in_frame_basis,
+            )
         operator = unp.asarray(operator)
         if vectorized_operators:
             if self._frame_operator is None:
@@ -263,6 +301,58 @@ class RotatingFrame:
             out = _reshape_f(out, out.shape[:-2] + (self.dim**2,))
             if out.ndim == 2:
                 out = out.T
+        return out
+
+    def _conjugate_and_add_sparse(
+        self, t, operator, op_to_add_in_fb, operator_in_frame_basis, return_in_frame_basis
+    ):
+        """Sparse branch of :meth:`_conjugate_and_add` (2d CSR or BCOO).
+
+        Only meaningful for diagonal frames (full-frame basis changes
+        densify via ``operator_into_frame_basis``); the phase conjugation
+        scales the stored entries in place, keeping the pattern."""
+        if self._frame_operator is None:
+            if op_to_add_in_fb is None:
+                return operator
+            return operator + op_to_add_in_fb
+        if not operator_in_frame_basis and self._frame_basis is not None:
+            # full frame: result is dense — fall through to the dense path
+            out = self.operator_into_frame_basis(operator)
+            return self._conjugate_and_add(
+                t, out, op_to_add_in_fb=op_to_add_in_fb,
+                operator_in_frame_basis=True, return_in_frame_basis=return_in_frame_basis,
+            )
+
+        exp_freq = unp.exp(t * self._frame_diag)
+        if _is_bcoo(operator):
+            from jax.experimental import sparse as jsparse
+
+            rows = operator.indices[:, 0]
+            cols = operator.indices[:, 1]
+            phase = jnp.conj(exp_freq)[rows] * exp_freq[cols]
+            out = jsparse.BCOO(
+                (operator.data * phase, operator.indices),
+                shape=operator.shape,
+                indices_sorted=operator.indices_sorted,
+                unique_indices=operator.unique_indices,
+            )
+            if op_to_add_in_fb is not None:
+                add = op_to_add_in_fb
+                if not _is_bcoo(add):
+                    add = jsparse.BCOO.fromdense(unp.asarray(add))
+                out = out + add
+        else:  # scipy sparse
+            frame_mat = np.outer(np.conj(exp_freq), exp_freq)
+            out = operator.multiply(frame_mat).tocsr()
+            if op_to_add_in_fb is not None:
+                from scipy.sparse import csr_matrix, issparse
+
+                add = op_to_add_in_fb if issparse(op_to_add_in_fb) else csr_matrix(
+                    np.asarray(op_to_add_in_fb)
+                )
+                out = (out + add).tocsr()
+        if not return_in_frame_basis:
+            out = self.operator_out_of_frame_basis(out)
         return out
 
     def operator_into_frame(

@@ -24,12 +24,19 @@ __all__ = ["unp", "contains_tracer", "asarray"]
 
 
 def contains_tracer(*args) -> bool:
-    """Whether any (nested) argument is a JAX tracer."""
+    """Whether any (nested) argument is a JAX tracer.
+
+    Recurses through lists, tuples, and dict values — a tracer hiding in a
+    kwarg or nested container must flip dispatch to jnp, or the call lands
+    in numpy and fails with a confusing conversion error."""
     for arg in args:
         if isinstance(arg, jax.core.Tracer):
             return True
         if isinstance(arg, (list, tuple)):
             if contains_tracer(*arg):
+                return True
+        elif isinstance(arg, dict):
+            if contains_tracer(*arg.values()):
                 return True
     return False
 
@@ -44,7 +51,8 @@ def asarray(x, dtype=None):
 class _Linalg:
     def __getattr__(self, name):
         def fn(*args, **kwargs):
-            mod = jnp.linalg if contains_tracer(*args) else np.linalg
+            traced = contains_tracer(*args) or contains_tracer(kwargs)
+            mod = jnp.linalg if traced else np.linalg
             return getattr(mod, name)(*args, **kwargs)
 
         return fn
@@ -65,7 +73,7 @@ class _Unified:
             return getattr(np, name)
 
         def fn(*args, **kwargs):
-            mod = jnp if contains_tracer(*args) or contains_tracer(*kwargs.values()) else np
+            mod = jnp if contains_tracer(*args) or contains_tracer(kwargs) else np
             return getattr(mod, name)(*args, **kwargs)
 
         fn.__name__ = name

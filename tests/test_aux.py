@@ -30,6 +30,31 @@ class TestArrayliasCompat:
 
         np.testing.assert_allclose(np.asarray(f(jnp.array(np.pi / 2))), 1.0, atol=1e-7)
 
+    def test_unp_kwarg_tracer_dispatch(self):
+        """A tracer arriving only via a kwarg (or nested in one) must flip
+        dispatch to jnp — regression for the kwargs-blind dispatch."""
+
+        @jax.jit
+        def f(x):
+            # tracer only in a kwarg
+            return unp.full(3, fill_value=x)
+
+        np.testing.assert_allclose(np.asarray(f(jnp.asarray(2.0))), [2.0] * 3)
+
+        @jax.jit
+        def g(x):
+            # tracer nested inside a list kwarg
+            return unp.concatenate([unp.zeros(1)], axis=0) + unp.stack(arrays=[x, x])
+
+        np.testing.assert_allclose(np.asarray(g(jnp.asarray(1.5))), [1.5, 1.5])
+
+        @jax.jit
+        def h(x):
+            # linalg with the operand in a kwarg-free position but traced
+            return unp.linalg.norm(unp.stack(arrays=[x, x]))
+
+        np.testing.assert_allclose(np.asarray(h(jnp.asarray(3.0))), np.sqrt(18.0), rtol=1e-6)
+
     def test_alias_asarray(self):
         x = [[1.0, 0.0], [0.0, 1.0]]
         assert isinstance(numpy_alias(like="numpy").asarray(x), np.ndarray)

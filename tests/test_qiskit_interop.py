@@ -278,6 +278,73 @@ class TestQiskitQuantumInfoDispatch:
         np.testing.assert_allclose(vec_id @ S, vec_id, atol=1e-6)
 
 
+class TestDiffraxBridge:
+    """The optional diffrax bridge, driven with a behavior-faithful fake
+    module (tests/diffrax_shape.py) — exercises complex<->real conversion,
+    t_eval -> SaveAt mapping, and the module-name method detection."""
+
+    def test_solve_via_fake_diffrax(self):
+        import diffrax_shape
+
+        uninstall = diffrax_shape.install()
+        try:
+            import diffrax
+
+            from qiskit_dynamics_tpu.solvers import solve_ode
+
+            G = -1j * np.pi * np.array([[0.0, 1.0], [1.0, 0.0]])
+            y0 = np.array([1.0, 0.0], dtype=complex)
+            t_eval = [0.4, 1.0]
+            res = solve_ode(
+                lambda t, y: G @ y, t_span=[0.0, 1.3], y0=y0,
+                method=diffrax.Dopri5(), t_eval=t_eval,
+            )
+            import scipy.linalg
+
+            assert len(res.y) == 2
+            for t, y in zip(t_eval, res.y):
+                np.testing.assert_allclose(
+                    np.asarray(y), scipy.linalg.expm(t * G) @ y0, atol=1e-7
+                )
+        finally:
+            uninstall()
+
+    def test_saveat_and_t_eval_conflict(self):
+        import diffrax_shape
+
+        uninstall = diffrax_shape.install()
+        try:
+            import diffrax
+
+            from qiskit_dynamics_tpu.solvers import solve_ode
+
+            G = -1j * np.pi * np.array([[0.0, 1.0], [1.0, 0.0]])
+            with pytest.raises(DynamicsError, match="saveat"):
+                solve_ode(
+                    lambda t, y: G @ y, t_span=[0.0, 1.0],
+                    y0=np.array([1.0, 0.0], dtype=complex),
+                    method=diffrax.Dopri5(), t_eval=[0.5],
+                    saveat=diffrax.SaveAt(ts=[0.5]),
+                )
+        finally:
+            uninstall()
+
+    def test_missing_diffrax_clean_error(self):
+        """Without diffrax installed, a diffrax-shaped method raises a clear
+        DynamicsError (not an opaque ImportError deep in a trace)."""
+        from qiskit_dynamics_tpu.solvers.diffrax_solver import diffrax_solver
+
+        class NotReallyDiffrax:
+            pass
+
+        NotReallyDiffrax.__module__ = "diffrax"
+        with pytest.raises(DynamicsError, match="optional diffrax package"):
+            diffrax_solver(
+                lambda t, y: y, t_span=[0.0, 1.0],
+                y0=np.array([1.0, 0.0], dtype=complex), method=NotReallyDiffrax(),
+            )
+
+
 class TestCircuitExecution:
     """QuantumCircuit-shaped inputs to DynamicsBackend.run — reference:
     dynamics_backend.py:429, 1022-1044 and test_dynamics_backend.py:287+."""
