@@ -84,6 +84,77 @@ class TestSymbolicPulseSampling:
             get_samples(pulse)
 
 
+class TestQiskitShapedSchedule:
+    """InstructionToSignals consumes qiskit Schedules duck-typed:
+    ``(start, inst)`` pairs with ``inst.channel.name`` and class NAMES
+    matching the qiskit instruction set. Build a foreign schedule out of
+    locally-defined classes with those names and check it converts exactly
+    like the equivalent native schedule."""
+
+    def _foreign_schedule(self, pulse):
+        class _Chan:
+            def __init__(self, name):
+                self.name = name
+
+        class Play:
+            def __init__(self, pulse, channel):
+                self.pulse = pulse
+                self.channel = channel
+                self.duration = pulse.duration
+
+        class ShiftPhase:
+            def __init__(self, phase, channel):
+                self.phase = phase
+                self.channel = channel
+                self.duration = 0
+
+        class SetFrequency:
+            def __init__(self, frequency, channel):
+                self.frequency = frequency
+                self.channel = channel
+                self.duration = 0
+
+        d0 = _Chan("d0")
+
+        class _Sched:
+            channels = [d0]
+            instructions = [
+                (0, ShiftPhase(np.pi / 3, d0)),
+                (0, Play(pulse, d0)),
+                (pulse.duration, SetFrequency(5.05, d0)),
+                (pulse.duration, Play(pulse, d0)),
+            ]
+
+        return _Sched()
+
+    def test_matches_native_conversion(self):
+        from qiskit_dynamics_tpu.pulse.library import Gaussian
+        from qiskit_dynamics_tpu.pulse.schedule import (
+            Play as NativePlay,
+            SetFrequency as NativeSetFrequency,
+            ShiftPhase as NativeShiftPhase,
+        )
+
+        dur, amp, sigma = 32, 0.4, 8.0
+        converter = InstructionToSignals(dt=0.1, carriers={"d0": 5.0})
+
+        foreign = self._foreign_schedule(fake_gaussian_pulse(dur, amp, sigma))
+        sig_f = converter.get_signals(foreign)[0]
+
+        native = Schedule()
+        g = Gaussian(duration=dur, amp=amp, sigma=sigma)
+        native.append(NativeShiftPhase(np.pi / 3, DriveChannel(0)))
+        native.append(NativePlay(g, DriveChannel(0)))
+        native.insert(dur, NativeSetFrequency(5.05, DriveChannel(0)))
+        native.insert(dur, NativePlay(g, DriveChannel(0)))
+        sig_n = converter.get_signals(native)[0]
+
+        np.testing.assert_allclose(
+            np.asarray(sig_f.samples), np.asarray(sig_n.samples), atol=1e-12
+        )
+        assert float(sig_f.carrier_freq) == float(sig_n.carrier_freq)
+
+
 def _fake_v2_backend(with_target_freqs=True, with_defaults=True, meas=False):
     ham = two_transmon_hamiltonian_dict()
     if meas:
