@@ -99,6 +99,7 @@ def fused_sweep_solve(
     precision: str = "f32",
     df_chunk_b: int = 2048,
     df_magnus_order: int = 3,
+    df_engine: str = "auto",
 ):
     r"""Solve ``y' = G_b(t) y`` for a parameter sweep with the fused kernel.
 
@@ -129,6 +130,10 @@ def fused_sweep_solve(
         df_chunk_b: (df32 only) sweep members per device dispatch.
         df_magnus_order: (df32 only) 2 (4th-order step rule) or 3 (6th-order,
             default — much larger steps at 1e-8 accuracy).
+        df_engine: (df32 only) ``"xla"`` (fused elementwise engine — the
+            default; measured ~2.3x faster than the Pallas variant on TPU,
+            XLA's fusion of the df chains is excellent) or ``"pallas"``
+            (bit-identical fused-kernel alternative).
 
     Returns:
         (B, dim) final states at ``tf`` (standard basis, in-frame values
@@ -188,7 +193,7 @@ def fused_sweep_solve(
         return _fused_sweep_solve_df(
             model, signals_as_list, params, n_steps, static_fb, ops_fb, omega,
             y0_fb, vectorized_lindblad, dt, t0, expm_order, df_chunk_b,
-            df_magnus_order,
+            df_magnus_order, df_engine,
         )
 
     coeffs = jnp.moveaxis(
@@ -246,19 +251,26 @@ def _sample_coefficients_f64(signals_as_list, params, gauss_times, k, B):
 
     coefs = np.empty(shape + (k, B), dtype=np.float64)
     if constant:
+        # one signal construction per member; extract every signal's complex
+        # amplitude from it (reconstructing per (member, signal) pair costs
+        # k extra Signal/RWA-map builds per member — measured dominant)
+        all_amps = [
+            np.empty((B, first[j][0].shape[0]), dtype=complex) for j in range(k)
+        ]
         for j in range(k):
-            carriers = first[j][0]
-            amps = np.empty((B, carriers.shape[0]), dtype=complex)
-            amps[0] = first[j][1]
-            amps[B - 1] = last[j][1]
-            for b in range(1, B - 1):
-                s = list(signals_as_list(member_params(b)))[j]
+            all_amps[j][0] = first[j][1]
+            all_amps[j][B - 1] = last[j][1]
+        for b in range(1, B - 1):
+            sigs = list(signals_as_list(member_params(b)))
+            for j, s in enumerate(sigs):
                 env = np.atleast_1d(np.asarray(s.envelope(probe_ts[0]), dtype=complex))
                 ph = np.atleast_1d(np.asarray(s.phase, dtype=float))
-                amps[b] = env * np.exp(1j * ph)
+                all_amps[j][b] = env * np.exp(1j * ph)
+        for j in range(k):
+            carriers = first[j][0]
             waves = np.exp(2j * np.pi * carriers[:, None] * flat_ts[None, :])
             coefs[..., j, :] = np.moveaxis(
-                np.real(amps @ waves).reshape((B,) + shape), 0, -1
+                np.real(all_amps[j] @ waves).reshape((B,) + shape), 0, -1
             )
     else:
         for b in range(B):
@@ -269,6 +281,7 @@ def _sample_coefficients_f64(signals_as_list, params, gauss_times, k, B):
 def _fused_sweep_solve_df(
     model, signals_as_list, params, n_steps, static_fb, ops_fb, omega,
     y0_fb, vectorized_lindblad, dt, t0, expm_order, chunk_b, magnus_order,
+    engine="auto",
 ):
     """df32 branch of :func:`fused_sweep_solve` (host-facing, float64 I/O).
 
@@ -309,10 +322,24 @@ def _fused_sweep_solve_df(
     else:
         y0_cols = np.broadcast_to(y0_fb[:, None], (y0_fb.shape[0], B))
 
-    yf = sweep_expm_magnus_df(
-        static_fb, ops_fb, omega, coefs, y0_cols, dt=dt, t0=t0,
-        magnus_order=magnus_order, order=max(expm_order, 12), chunk_b=chunk_b,
-    )
+    if engine == "auto":
+        # measured on-chip: the XLA engine beats the Pallas kernel ~2.3x for
+        # this workload (see BENCHMARKS.md) — Mosaic's codegen of the long
+        # EFT chains trails XLA's fusion
+        engine = "xla"
+    if engine == "pallas":
+        from ..ops.df_sweep_pallas import sweep_expm_magnus_df_pallas
+
+        yf = sweep_expm_magnus_df_pallas(
+            static_fb, ops_fb, omega, coefs, y0_cols, dt=dt, t0=t0,
+            magnus_order=magnus_order, order=max(expm_order, 12),
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        yf = sweep_expm_magnus_df(
+            static_fb, ops_fb, omega, coefs, y0_cols, dt=dt, t0=t0,
+            magnus_order=magnus_order, order=max(expm_order, 12), chunk_b=chunk_b,
+        )
 
     if vectorized_lindblad:
         n = model.dim
