@@ -239,3 +239,141 @@ def test_schedule_batch_vmapped_matches_serial():
         np.testing.assert_allclose(
             np.asarray(batch_res.y[-1]), np.asarray(single.y[-1]), atol=1e-8
         )
+
+
+class TestSolverValidation:
+    """Constructor/solve validation errors (reference analog:
+    test_solver_classes.py validation battery)."""
+
+    def test_no_operators_raises(self):
+        with pytest.raises(DynamicsError):
+            Solver()
+
+    def test_signal_count_mismatch(self):
+        solver = make_solver()
+        with pytest.raises(Exception):
+            solver.solve(
+                t_span=[0, 1], y0=np.array([1.0, 0.0], dtype=complex),
+                signals=[Signal(1.0, carrier_freq=NU), Signal(1.0, carrier_freq=NU)],
+            )
+
+    def test_y0_shape_mismatch(self):
+        solver = make_solver()
+        with pytest.raises(DynamicsError, match="[Ss]hape"):
+            solver.solve(
+                t_span=[0, 1], y0=np.zeros(3, dtype=complex), signals=rabi_signals()
+            )
+
+    def test_pulse_mode_requires_dt(self):
+        with pytest.raises(Exception):
+            Solver(
+                static_hamiltonian=H0,
+                hamiltonian_operators=[R * HD],
+                hamiltonian_channels=["d0"],
+                channel_carrier_freqs={"d0": NU},
+            )
+
+    def test_schedule_without_pulse_config_raises(self):
+        solver = make_solver()
+        sched = Schedule()
+        sched.append(Play(Constant(duration=8, amp=0.1), __import__(
+            "qiskit_dynamics_tpu.pulse.schedule", fromlist=["DriveChannel"]
+        ).DriveChannel(0)))
+        with pytest.raises(Exception):
+            solver.solve(t_span=[0, 1], y0=np.array([1.0, 0.0], dtype=complex),
+                         signals=sched)
+
+    def test_missing_channel_freq_raises(self):
+        with pytest.raises(Exception):
+            Solver(
+                static_hamiltonian=H0,
+                hamiltonian_operators=[R * HD],
+                hamiltonian_channels=["d0"],
+                channel_carrier_freqs={"d1": NU},
+                dt=0.1,
+            )
+
+
+class TestSolverJaxTransforms:
+    """jit/grad through Solver.solve (reference: test_solver_classes.py:701-781)."""
+
+    def test_jit_solve_signal_amp(self):
+        solver = make_solver()
+        y0 = np.array([1.0, 0.0], dtype=complex)
+
+        @jax.jit
+        def pop1(amp):
+            res = solver.solve(
+                t_span=[0, 1 / R], y0=y0,
+                signals=[Signal(amp, carrier_freq=NU)],
+                method="tpu_dopri5", atol=1e-10, rtol=1e-10,
+            )
+            return jnp.abs(res.y[-1][1]) ** 2
+
+        np.testing.assert_allclose(float(pop1(1.0)), 1.0, atol=1e-4)
+
+    def test_grad_solve_signal_amp(self):
+        solver = make_solver()
+        y0 = np.array([1.0, 0.0], dtype=complex)
+
+        def pop1(amp):
+            res = solver.solve(
+                t_span=[0, 1 / (2 * R)], y0=y0,
+                signals=[Signal(amp, carrier_freq=NU)],
+                method="tpu_dopri5", atol=1e-10, rtol=1e-10,
+            )
+            return jnp.abs(res.y[-1][1]) ** 2
+
+        # p1(amp) = sin^2(pi amp / 4) at T = 1/(2R): dp/damp = pi/4 sin(pi amp/2)
+        g = jax.grad(pop1)(1.0)
+        np.testing.assert_allclose(float(g), np.pi / 4, atol=1e-3)
+
+    def test_vmap_solve(self):
+        solver = make_solver()
+        y0 = np.array([1.0, 0.0], dtype=complex)
+
+        def pop1(amp):
+            res = solver.solve(
+                t_span=[0, 1 / R], y0=y0,
+                signals=[Signal(amp, carrier_freq=NU)],
+                method="tpu_dopri5", atol=1e-10, rtol=1e-10,
+            )
+            return jnp.abs(res.y[-1][1]) ** 2
+
+        amps = jnp.array([0.25, 0.5, 1.0])
+        pops = jax.vmap(pop1)(amps)
+        expected = np.sin(np.pi * np.asarray(amps) / 2) ** 2
+        np.testing.assert_allclose(np.asarray(pops), expected, atol=1e-4)
+
+
+class TestSolverTEval:
+    def test_t_eval_through_solver(self):
+        solver = make_solver()
+        y0 = np.array([1.0, 0.0], dtype=complex)
+        t_eval = [0.0, 2.5, 5.0]
+        res = solver.solve(
+            t_span=[0, 5.0], y0=y0, signals=rabi_signals(),
+            t_eval=t_eval, method="DOP853", atol=1e-12, rtol=1e-12,
+        )
+        assert len(res.y) == 3
+        # p1(t) = sin^2(pi R t / 2)
+        for t, y in zip(t_eval, res.y):
+            np.testing.assert_allclose(
+                np.abs(np.asarray(y)[1]) ** 2,
+                np.sin(np.pi * R * t / 2) ** 2, atol=5e-3,
+            )
+
+    def test_t_eval_jax_method(self):
+        solver = make_solver()
+        y0 = np.array([1.0, 0.0], dtype=complex)
+        t_eval = [1.0, 3.0]
+        res = solver.solve(
+            t_span=[0, 5.0], y0=y0, signals=rabi_signals(),
+            t_eval=t_eval, method="tpu_dopri5", atol=1e-10, rtol=1e-10,
+        )
+        assert len(res.y) == 2
+        for t, y in zip(t_eval, res.y):
+            np.testing.assert_allclose(
+                np.abs(np.asarray(y)[1]) ** 2,
+                np.sin(np.pi * R * t / 2) ** 2, atol=5e-3,
+            )
