@@ -65,8 +65,15 @@ class Result:
                 return res
         raise DynamicsError(f'Experiment "{experiment}" not found in result.')
 
-    def get_counts(self, experiment: Union[None, int, str] = None) -> Dict[str, int]:
-        """Counts dict of an experiment."""
+    def get_counts(
+        self, experiment: Union[None, int, str] = None
+    ) -> Union[Dict[str, int], List[Dict[str, int]]]:
+        """Counts of an experiment.
+
+        With no ``experiment`` and multiple experiments present, returns the
+        list of counts dicts (qiskit ``Result.get_counts`` behavior)."""
+        if experiment is None and len(self.results) > 1:
+            return [self.get_counts(i) for i in range(len(self.results))]
         counts = self._resolve(experiment).data.counts
         if counts is None:
             raise DynamicsError("No counts available in this experiment result.")

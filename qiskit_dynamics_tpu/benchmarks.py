@@ -160,3 +160,69 @@ def expm_chain(generators, dt: float, y0, order: int = 12, squarings: int = 2):
 
     yf, _ = jax.lax.scan(step, jnp.asarray(y0), jnp.asarray(generators))
     return yf
+
+
+def three_transmon_backend(
+    dim: int = 3,
+    dt: float = 0.1,
+    rwa_cutoff_freq: Optional[float] = None,
+):
+    """BASELINE config 5: a 3-transmon chain DynamicsBackend.
+
+    Built through ``from_config`` (exercising the Hamiltonian string parser)
+    with nearest-neighbor exchange couplings and a drive channel per
+    transmon. Frequencies are in the same arbitrary units as the reference
+    demos (GHz-scale numbers scaled down by 1e9 with dt in ns-scale units).
+    """
+    from .backend import DynamicsBackend
+
+    v = [5.0, 5.1, 5.2]
+    alpha = [-0.33, -0.33, -0.33]
+    j = 0.002
+    h_str = []
+    for q in range(3):
+        h_str.append(f"2*np.pi*v{q}*N{q}")
+        h_str.append(f"np.pi*alpha{q}*(N{q}*N{q}-N{q})")
+        h_str.append(f"2*np.pi*r*X{q}||D{q}")
+    h_str.append("2*np.pi*j*(Sp0*Sm1+Sm0*Sp1)")
+    h_str.append("2*np.pi*j*(Sp1*Sm2+Sm1*Sp2)")
+    ham = {
+        "h_str": h_str,
+        "qub": {"0": dim, "1": dim, "2": dim},
+        "vars": {
+            **{f"v{q}": v[q] for q in range(3)},
+            **{f"alpha{q}": alpha[q] for q in range(3)},
+            "j": j,
+            "r": 0.02,
+        },
+    }
+    backend = DynamicsBackend.from_config(
+        hamiltonian_dict=ham,
+        dt=dt,
+        channel_carrier_freqs={f"d{q}": v[q] for q in range(3)},
+        rwa_cutoff_freq=rwa_cutoff_freq,
+    )
+    return backend
+
+
+def gaussian_amp_schedules(amps, duration: int = 64, sigma: float = 16.0):
+    """One drive-amplitude sweep as a schedule batch (shared shape -> the
+    Solver's padded-schedule jit path compiles ONCE for the whole batch)."""
+    from .pulse import Schedule
+    from .pulse.library import Gaussian
+    from .pulse.schedule import (
+        Acquire,
+        AcquireChannel,
+        DriveChannel,
+        MemorySlot,
+        Play,
+    )
+
+    schedules = []
+    for amp in np.asarray(amps):
+        sched = Schedule(name=f"amp_{amp}")
+        sched.append(Play(Gaussian(duration=duration, amp=float(amp), sigma=sigma), DriveChannel(0)))
+        for q in range(3):
+            sched.insert(duration, Acquire(1, AcquireChannel(q), mem_slot=MemorySlot(q)))
+        schedules.append(sched)
+    return schedules

@@ -286,6 +286,50 @@ class TestDynamicsBackend:
         assert res.get_counts() == {"0": 1024}
 
 
+class TestThreeTransmonConfig:
+    """BASELINE config 5: 3-transmon chip via from_config + schedule batch."""
+
+    def test_amp_sweep_counts(self):
+        from qiskit_dynamics_tpu.benchmarks import (
+            gaussian_amp_schedules,
+            three_transmon_backend,
+        )
+
+        backend = three_transmon_backend(dim=2)
+        scheds = gaussian_amp_schedules([0.1, 2.0], duration=32)
+        res = backend.run(
+            scheds, seed_simulator=5,
+            solver_options={"method": "DOP853", "atol": 1e-8, "rtol": 1e-8},
+        ).result()
+        weak, strong = res.get_counts(0), res.get_counts(1)
+        # qiskit parity: no-index get_counts on a multi-experiment result
+        # returns the list of counts dicts
+        assert res.get_counts() == [weak, strong]
+        assert sum(weak.values()) == 1024
+        assert all(len(key) == 3 for key in weak)
+        # stronger drive on d0 excites qubit 0 (rightmost slot) more
+        assert strong.get("001", 0) > weak.get("001", 0)
+
+    def test_schedule_batch_jax_path(self):
+        from qiskit_dynamics_tpu.benchmarks import (
+            gaussian_amp_schedules,
+            three_transmon_backend,
+        )
+
+        backend = three_transmon_backend(dim=2)
+        scheds = gaussian_amp_schedules([0.3, 0.9], duration=32)
+        res_jax = backend.solve(scheds)
+        def solve_one(s):
+            out = backend.solve(s, t_span=[0.0, s.duration * backend.dt])
+            return out[0] if isinstance(out, list) else out
+
+        res_ref = [solve_one(s) for s in scheds]
+        for rj, rr in zip(res_jax, res_ref):
+            np.testing.assert_allclose(
+                np.asarray(rj.y[-1]), np.asarray(rr.y[-1]), atol=1e-5
+            )
+
+
 class TestChannelAccessors:
     def test_channels(self):
         backend, _ = _rabi_backend(control_channel_map={(0, 1): 3})
