@@ -752,8 +752,17 @@ def default_experiment_result_function(
 ) -> ExperimentResult:
     """Default measurement pipeline: frame-out -> dressed basis -> normalize ->
     probabilities -> counts (meas_level 2) or Gaussian IQ clouds (meas_level 1)."""
+    from ..utils.jit_tools import to_host
+
     yf = solver_result.y[-1]
-    tf = solver_result.t[-1]
+    tf = to_host(solver_result.t[-1])
+    # jax solver methods return device arrays; the measurement pipeline is
+    # host-side numpy, and complex device arrays cannot cross the boundary in
+    # one piece on the axon TPU — transfer complex-safely first
+    if hasattr(yf, "data") and hasattr(yf, "dims"):
+        yf = type(yf)(to_host(yf.data), dims=yf.dims())
+    else:
+        yf = to_host(yf)
 
     if isinstance(yf, Statevector) or type(yf).__name__ == "Statevector":
         arr = np.asarray(

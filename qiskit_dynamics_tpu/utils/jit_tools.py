@@ -17,7 +17,20 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cjit", "encode_complex", "decode_complex"]
+__all__ = ["cjit", "encode_complex", "decode_complex", "to_host"]
+
+
+def to_host(x):
+    """Transfer a (possibly device) array to host numpy, complex-safely.
+
+    Complex device arrays cannot be transferred in one piece on the axon TPU
+    platform — split into real/imag device->host copies and recombine in
+    numpy. Non-arrays and host values pass through."""
+    if isinstance(x, jax.Array):
+        if np.issubdtype(x.dtype, np.complexfloating):
+            return np.asarray(jnp.real(x)) + 1j * np.asarray(jnp.imag(x))
+        return np.asarray(x)
+    return x
 
 _RE_KEY = "__cplx_re__"
 _IM_KEY = "__cplx_im__"
