@@ -394,7 +394,12 @@ def fused_adaptive_sweep_solve(
     (exact for ``DiscreteSignal`` envelopes when ``S`` matches the sample
     grid; O((tf/S)^2) approximation otherwise).
 
-    Returns (B, dim) final states at ``t_span[1]`` (standard basis).
+    Like :func:`fused_sweep_solve`, also accepts a vectorized
+    ``LindbladModel`` (density-matrix ``y0``; ``signals_fn`` returns a
+    ``(hamiltonian_signals, dissipator_signals)`` tuple).
+
+    Returns (B, dim) final states at ``t_span[1]`` (standard basis), or
+    (B, dim, dim) density matrices for a vectorized Lindblad model.
     """
     from ..ops.adaptive_sweep import sweep_dopri5_lockstep
 
@@ -417,19 +422,26 @@ def fused_adaptive_sweep_solve(
         t0,
         tf,
     ) = _extract_generator_data(model, t_span, "fused_adaptive_sweep_solve")
-    if vectorized_lindblad:
-        raise DynamicsError("fused_adaptive_sweep_solve supports generator models only.")
     k = ops_fb.shape[0]
+
+    def flat_signals(p):
+        """signals_fn output -> flat list (Lindblad tuples concatenated)."""
+        sigs = signals_fn(p)
+        if isinstance(sigs, tuple):
+            if rwa_signal_map is not None:
+                sigs = rwa_signal_map(sigs)
+            ham_sigs, dis_sigs = sigs
+            return list(ham_sigs) + list(dis_sigs or [])
+        if rwa_signal_map is not None:
+            sigs = rwa_signal_map(sigs)
+        return list(sigs)
 
     # collect the (shared) carrier frequencies from member-0 and member-(-1)
     # probes; a mapped signal may be a SignalSum (e.g. RWA copies) — all its
     # terms must share one carrier, and the complex amplitudes add. Carrier
     # SWEEPS are not supported (the kernel uses one frequency per signal).
     def probe_carriers(member_params):
-        sigs = signals_fn(member_params)
-        if rwa_signal_map is not None:
-            sigs = rwa_signal_map(sigs)
-        sigs = list(sigs)
+        sigs = flat_signals(member_params)
         if len(sigs) != k:
             raise DynamicsError(
                 f"signals_fn (after any rwa_signal_map) must produce {k} signals to "
@@ -481,11 +493,8 @@ def fused_adaptive_sweep_solve(
                 )
 
         def amplitudes(p):
-            sigs = signals_fn(p)
-            if rwa_signal_map is not None:
-                sigs = rwa_signal_map(sigs)
             amps_k = []
-            for s in sigs:
+            for s in flat_signals(p):
                 env = jnp.atleast_1d(jnp.asarray(s.envelope(0.0), dtype=complex))
                 ph = jnp.atleast_1d(jnp.asarray(s.phase))
                 amps_k.append(jnp.sum(env * jnp.exp(1j * ph)))
@@ -499,12 +508,9 @@ def fused_adaptive_sweep_solve(
         carrier_phase = np.exp(-1j * freqs[:, None] * env_times[None, :])  # (k, S)
 
         def amplitudes(p):
-            sigs = signals_fn(p)
-            if rwa_signal_map is not None:
-                sigs = rwa_signal_map(sigs)
             rows = [
                 s.complex_value(jnp.asarray(env_times)) * carrier_phase[j]
-                for j, s in enumerate(sigs)
+                for j, s in enumerate(flat_signals(p))
             ]
             return jnp.stack(rows)  # (k, S)
 
@@ -522,14 +528,25 @@ def fused_adaptive_sweep_solve(
         inv_order = jnp.argsort(order)
         amps = amps[..., order]
 
-    y0_fb = np.asarray(model.rotating_frame.state_into_frame_basis(np.asarray(y0)))
-    amps, y0_cols, B, m = _expand_lanes(amps, y0_fb, model.dim, tile_b)
+    if vectorized_lindblad:
+        rho_fb = np.asarray(model.rotating_frame.operator_into_frame_basis(np.asarray(y0)))
+        y0_fb = rho_fb.ravel(order="F")  # column-stacking vec
+        solve_dim = model.dim**2
+    else:
+        y0_fb = np.asarray(model.rotating_frame.state_into_frame_basis(np.asarray(y0)))
+        solve_dim = model.dim
+    amps, y0_cols, B, m = _expand_lanes(amps, y0_fb, solve_dim, tile_b)
     yf = sweep_dopri5_lockstep(
         static_fb, ops_fb, omega, freqs, amps, y0_cols, tf=tf, t0=t0,
         atol=atol, rtol=rtol, max_steps=max_steps, h0=h0,
         tile_b=tile_b, interpret=interpret, env_dt=env_dt,
     )
-    out = _collect_lanes(model, yf, B, m)
+    if vectorized_lindblad:
+        n = model.dim
+        rho = jnp.transpose(yf[:, :B].reshape(n, n, B), (2, 1, 0))  # (B, n, n)
+        out = model.rotating_frame.operator_out_of_frame_basis(rho)
+    else:
+        out = _collect_lanes(model, yf, B, m)
     if bucket_lanes:
         out = out[inv_order]
     return out

@@ -358,3 +358,45 @@ class TestFusedAdaptiveSweepSolve:
                 jnp.array([0.5, 1.0]), t_span=(0.0, 1.0), y0=y0,
                 tile_b=8, interpret=True, rwa_signal_map=solver._rwa_signal_map,
             )
+
+
+class TestFusedAdaptiveLindblad:
+    def test_vectorized_lindblad_matches_dop853(self):
+        from qiskit_dynamics_tpu import Signal
+        from qiskit_dynamics_tpu.models import LindbladModel
+        from qiskit_dynamics_tpu.solvers import fused_adaptive_sweep_solve, solve_lmde
+
+        X = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex)
+        Z = np.array([[1.0, 0.0], [0.0, -1.0]], dtype=complex)
+        SM = np.array([[0.0, 1.0], [0.0, 0.0]], dtype=complex)
+        nu = 1.0
+
+        def build(vectorized):
+            return LindbladModel(
+                static_hamiltonian=2 * np.pi * nu * Z / 2,
+                hamiltonian_operators=[2 * np.pi * X / 2],
+                hamiltonian_signals=[Signal(0.05, carrier_freq=nu)],
+                static_dissipators=[0.2 * SM],
+                rotating_frame=np.diag(-1j * 2 * np.pi * nu * np.diag(Z) / 2),
+                vectorized=vectorized,
+            )
+
+        vec = build(True)
+        rho0 = np.array([[1.0, 0.0], [0.0, 0.0]], dtype=complex)
+        amps = jnp.array([0.3, 1.0])
+        sig_fn = lambda a: ([Signal(a * 0.05, carrier_freq=nu)], None)
+        out = fused_adaptive_sweep_solve(
+            vec, sig_fn, amps, t_span=(0.0, 3.0), y0=rho0, tile_b=8,
+            interpret=True,
+        )
+        assert out.shape == (2, 2, 2)
+        for i, a in enumerate([0.3, 1.0]):
+            ref_model = build(True)
+            ref_model.signals = ([Signal(a * 0.05, carrier_freq=nu)], None)
+            res = solve_lmde(
+                ref_model, t_span=[0.0, 3.0], y0=rho0.ravel(order="F"),
+                method="DOP853", atol=1e-12, rtol=1e-12,
+            )
+            # solve_lmde already returns standard-basis (frame) values
+            ref_rho = np.asarray(res.y[-1]).reshape((2, 2), order="F")
+            np.testing.assert_allclose(np.asarray(out[i]), ref_rho, atol=2e-5)

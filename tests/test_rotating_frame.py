@@ -162,3 +162,80 @@ def test_traced_invalid_frame_nan_poisons():
     bad = jnp.array([[0.0, 1.0], [0.0, 0.0]], dtype=complex)
     out = build(bad)
     assert np.all(np.isnan(np.real(out)))
+
+
+class TestSparseFrameTransforms:
+    """Sparse operators through frame transforms (CSR stays CSR, BCOO stays
+    BCOO, under the rank-1 phase conjugation; full-frame basis changes
+    densify)."""
+
+    def _setup(self):
+        rng = np.random.default_rng(2)
+        dim = 4
+        diag = -1j * 2 * np.pi * rng.standard_normal(dim)
+        frame = RotatingFrame(np.diag(diag))
+        dense = rng.standard_normal((dim, dim)) + 1j * rng.standard_normal((dim, dim))
+        dense[np.abs(dense) < 1.2] = 0.0  # sparsify
+        return frame, dense
+
+    def test_csr_conjugation_matches_dense(self):
+        from scipy.sparse import csr_matrix, issparse
+
+        frame, dense = self._setup()
+        t = 0.37
+        out_sparse = frame.operator_into_frame(
+            t, csr_matrix(dense), operator_in_frame_basis=True,
+            return_in_frame_basis=True,
+        )
+        assert issparse(out_sparse)
+        out_dense = frame.operator_into_frame(
+            t, dense, operator_in_frame_basis=True, return_in_frame_basis=True
+        )
+        np.testing.assert_allclose(out_sparse.toarray(), np.asarray(out_dense), atol=1e-12)
+
+    def test_bcoo_conjugation_matches_dense(self):
+        from jax.experimental import sparse as jsparse
+
+        frame, dense = self._setup()
+        t = 0.37
+        out_sparse = frame.operator_into_frame(
+            t, jsparse.BCOO.fromdense(jnp.asarray(dense)),
+            operator_in_frame_basis=True, return_in_frame_basis=True,
+        )
+        assert isinstance(out_sparse, jsparse.BCOO)
+        out_dense = frame.operator_into_frame(
+            t, dense, operator_in_frame_basis=True, return_in_frame_basis=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_sparse.todense()), np.asarray(out_dense), atol=1e-6
+        )
+
+    def test_generator_into_frame_sparse(self):
+        """generator_into_frame subtracts the frame diagonal — the sparse
+        path must match the dense one including the added diagonal."""
+        from scipy.sparse import csr_matrix
+
+        frame, dense = self._setup()
+        t = 0.81
+        out_sparse = frame.generator_into_frame(
+            t, csr_matrix(dense), operator_in_frame_basis=True,
+            return_in_frame_basis=True,
+        )
+        out_dense = frame.generator_into_frame(
+            t, dense, operator_in_frame_basis=True, return_in_frame_basis=True
+        )
+        out_sparse = out_sparse.toarray() if hasattr(out_sparse, "toarray") else out_sparse
+        np.testing.assert_allclose(np.asarray(out_sparse), np.asarray(out_dense), atol=1e-12)
+
+    def test_full_frame_densifies(self):
+        from scipy.sparse import csr_matrix
+
+        rng = np.random.default_rng(3)
+        H = rng.standard_normal((3, 3))
+        H = H + H.T
+        frame = RotatingFrame(-1j * H)
+        dense = np.diag([1.0, 2.0, 3.0]).astype(complex)
+        out = frame.operator_into_frame(0.5, csr_matrix(dense))
+        ref = frame.operator_into_frame(0.5, dense)
+        out = out.toarray() if hasattr(out, "toarray") else np.asarray(out)
+        np.testing.assert_allclose(out, np.asarray(ref), atol=1e-12)
