@@ -1,0 +1,168 @@
+"""Signal edge-case battery.
+
+Reference analog: ``/root/reference/test/dynamics/signals/test_signals.py``
+edge coverage — sample-window clipping, ``add_samples`` semantics, SignalSum
+``flatten`` identity, ``sort_signals`` partial order, algebra identities
+against direct pointwise evaluation.
+"""
+import numpy as np
+import pytest
+
+from qiskit_dynamics_tpu.signals import (
+    Signal,
+    DiscreteSignal,
+    SignalSum,
+    DiscreteSignalSum,
+    SignalList,
+)
+from qiskit_dynamics_tpu.signals.signals import sort_signals, to_SignalSum
+from qiskit_dynamics_tpu.exceptions import DynamicsError
+
+
+class TestDiscreteSignalEdges:
+    def test_envelope_outside_window_is_zero(self):
+        """Before start_time and after the samples the envelope is 0."""
+        sig = DiscreteSignal(dt=0.5, samples=[1.0, 2.0, 3.0], start_time=1.0)
+        assert complex(sig.envelope(0.0)) == 0.0
+        assert complex(sig.envelope(0.99)) == 0.0
+        assert complex(sig.envelope(1.1)) == 1.0
+        assert complex(sig.envelope(2.4)) == 3.0
+        assert complex(sig.envelope(2.6)) == 0.0
+        assert complex(sig.envelope(100.0)) == 0.0
+
+    def test_sample_boundary_left_inclusive(self):
+        """Sample i covers [t0 + i dt, t0 + (i+1) dt)."""
+        sig = DiscreteSignal(dt=1.0, samples=[10.0, 20.0])
+        assert complex(sig.envelope(0.0)) == 10.0
+        assert complex(sig.envelope(1.0)) == 20.0
+        assert complex(sig.envelope(0.999)) == 10.0
+
+    def test_add_samples_contiguous(self):
+        sig = DiscreteSignal(dt=1.0, samples=[1.0, 2.0])
+        sig.add_samples(2, [3.0, 4.0])
+        np.testing.assert_allclose(np.asarray(sig.samples), [1, 2, 3, 4])
+
+    def test_add_samples_gap_zero_filled(self):
+        sig = DiscreteSignal(dt=1.0, samples=[1.0])
+        sig.add_samples(3, [9.0])
+        np.testing.assert_allclose(np.asarray(sig.samples), [1, 0, 0, 9])
+
+    def test_add_samples_overlap_raises(self):
+        sig = DiscreteSignal(dt=1.0, samples=[1.0, 2.0])
+        with pytest.raises(DynamicsError):
+            sig.add_samples(1, [5.0])
+
+    def test_conjugate(self):
+        sig = DiscreteSignal(
+            dt=0.3, samples=[1 + 2j, -0.5j], carrier_freq=2.0, phase=0.7
+        )
+        conj = sig.conjugate()
+        ts = np.linspace(0.0, 0.6, 5)
+        np.testing.assert_allclose(
+            np.asarray(conj.complex_value(ts)),
+            np.conj(np.asarray(sig.complex_value(ts))),
+            atol=1e-12,
+        )
+
+
+class TestSignalSumEdges:
+    def test_flatten_matches_sum(self):
+        """flatten() merges terms at the average carrier; values preserved."""
+        s = Signal(lambda t: t, carrier_freq=1.0, phase=0.2) + Signal(
+            0.5, carrier_freq=3.0
+        )
+        flat = s.flatten()
+        assert isinstance(flat, Signal) and not isinstance(flat, SignalSum)
+        ts = np.linspace(0.0, 2.0, 11)
+        np.testing.assert_allclose(
+            np.asarray([complex(flat.complex_value(t)) for t in ts]),
+            np.asarray([complex(s.complex_value(t)) for t in ts]),
+            atol=1e-12,
+        )
+
+    def test_flatten_single_term_returns_component(self):
+        sig = Signal(1.0, carrier_freq=2.0)
+        s = SignalSum(sig)
+        assert s.flatten() is sig
+
+    def test_empty_sum(self):
+        s = SignalSum()
+        assert len(s) == 0
+        assert complex(s.flatten().complex_value(1.3)) == 0.0
+
+    def test_subtraction_and_negation(self):
+        a = Signal(2.0, carrier_freq=1.0)
+        b = Signal(0.5, carrier_freq=1.0)
+        d = a - b
+        ts = np.linspace(0, 1, 7)
+        np.testing.assert_allclose(
+            [float(d(t)) for t in ts],
+            [float(a(t)) - float(b(t)) for t in ts],
+            atol=1e-12,
+        )
+
+    def test_multiply_matches_pointwise(self):
+        """Signal products (sum-of-sidebands) equal pointwise multiplication."""
+        a = Signal(lambda t: 1.0 + 0.3 * t, carrier_freq=1.5, phase=0.4)
+        b = Signal(lambda t: np.cos(t), carrier_freq=2.25, phase=-0.1)
+        prod = a * b
+        for t in np.linspace(0.0, 3.0, 13):
+            np.testing.assert_allclose(
+                float(prod(t)), float(a(t)) * float(b(t)), atol=1e-10
+            )
+
+    def test_multiply_discrete_pair_stays_discrete(self):
+        a = DiscreteSignal(dt=0.5, samples=[1.0, 2.0, 1.5], carrier_freq=1.0)
+        b = DiscreteSignal(dt=0.5, samples=[0.5, -1.0, 2.0], carrier_freq=2.0)
+        prod = a * b
+        assert isinstance(prod, DiscreteSignalSum)
+        for t in [0.1, 0.6, 1.2]:
+            np.testing.assert_allclose(
+                float(prod(t)), float(a(t)) * float(b(t)), atol=1e-10
+            )
+
+
+class TestSortAndCoerce:
+    def test_sort_signals_order(self):
+        const = Signal(1.0)
+        disc = DiscreteSignal(dt=1.0, samples=[1.0])
+        sig = Signal(lambda t: t, carrier_freq=1.0)
+        ssum = sig + Signal(1.0, carrier_freq=2.0)
+        dsum = disc + DiscreteSignal(dt=1.0, samples=[2.0])
+        for lo, hi in [(const, disc), (disc, sig), (sig, ssum), (ssum, dsum)]:
+            assert sort_signals(hi, lo) == (lo, hi)
+            assert sort_signals(lo, hi) == (lo, hi)
+
+    def test_to_signalsum_scalar(self):
+        s = to_SignalSum(2.5)
+        assert isinstance(s, SignalSum) and len(s) == 1
+        assert float(s(0.7)) == 2.5
+
+    def test_to_signalsum_discrete_preserves_values(self):
+        d = DiscreteSignal(dt=0.5, samples=[1.0, -2.0], carrier_freq=1.0, phase=0.3)
+        s = to_SignalSum(d)
+        assert isinstance(s, DiscreteSignalSum)
+        for t in [0.1, 0.7]:
+            np.testing.assert_allclose(float(s(t)), float(d(t)), atol=1e-12)
+
+    def test_to_signalsum_bad_input_raises(self):
+        with pytest.raises(DynamicsError):
+            to_SignalSum(np.array([1.0, 2.0]))
+
+
+class TestSignalListEdges:
+    def test_drift_extracts_constants(self):
+        sl = SignalList(
+            [Signal(2.0) + Signal(1.0, carrier_freq=1.0), Signal(3.0), Signal(0.5, carrier_freq=2.0)]
+        )
+        np.testing.assert_allclose(np.asarray(sl.drift), [2.0, 3.0, 0.0], atol=1e-12)
+
+    def test_flatten_components(self):
+        sl = SignalList([Signal(1.0, carrier_freq=1.0) + Signal(2.0, carrier_freq=3.0)])
+        flat = sl.flatten()
+        ts = np.linspace(0, 1, 5)
+        np.testing.assert_allclose(
+            np.asarray([np.asarray(sl(t)) for t in ts]),
+            np.asarray([np.asarray(flat(t)) for t in ts]),
+            atol=1e-12,
+        )

@@ -241,6 +241,160 @@ def test_schedule_batch_vmapped_matches_serial():
         )
 
 
+class TestFusedScheduleSolve:
+    """`method='fused_dopri5'`: schedule batches through the fused adaptive
+    kernel (TPU-native path; no reference counterpart)."""
+
+    @staticmethod
+    def _pulse_solver(**kwargs):
+        from qiskit_dynamics_tpu.pulse import DriveChannel  # noqa: F401
+
+        return Solver(
+            static_hamiltonian=H0,
+            hamiltonian_operators=[2 * np.pi * R * X / 2],
+            hamiltonian_channels=["d0"],
+            channel_carrier_freqs={"d0": NU},
+            dt=0.1,
+            rotating_frame=H0,
+            **kwargs,
+        )
+
+    @staticmethod
+    def _schedules(amps, duration=40, sigma=8):
+        from qiskit_dynamics_tpu.pulse import DriveChannel
+
+        scheds = []
+        for amp in amps:
+            s = Schedule(name=f"amp{amp}")
+            s.append(Play(Gaussian(duration=duration, amp=amp, sigma=sigma), DriveChannel(0)))
+            scheds.append(s)
+        return scheds
+
+    def test_matches_adaptive_reference(self):
+        solver = self._pulse_solver()
+        y0 = np.array([1.0, 0.0], dtype=complex)
+        scheds = self._schedules([0.3, 0.6, 0.9])
+        ref = solver.solve(
+            t_span=[0.0, 4.0], y0=y0, signals=scheds, method="tpu_dopri5",
+            atol=1e-12, rtol=1e-12, convert_results=False,
+        )
+        fused = solver.solve(
+            t_span=[0.0, 4.0], y0=y0, signals=scheds, method="fused_dopri5",
+            interpret=True, convert_results=False,
+        )
+        assert len(fused) == 3
+        for a, b in zip(ref, fused):
+            # f32 kernel at its 1e-6 tolerance floor on a piecewise-constant
+            # envelope: ~2.5e-4 here (the plain tpu_dopri5 at matched 1e-6
+            # tolerance is 4e-4 on the same problem)
+            np.testing.assert_allclose(
+                np.asarray(a.y[-1]), np.asarray(b.y[-1]), atol=1e-4
+            )
+
+    def test_grouped_t_spans(self):
+        """Mixed t_spans are grouped; each group one kernel call."""
+        solver = self._pulse_solver()
+        y0 = np.array([1.0, 0.0], dtype=complex)
+        scheds = self._schedules([0.4, 0.8, 0.4, 0.8], duration=40)
+        t_spans = [[0.0, 4.0], [0.0, 2.0], [0.0, 2.0], [0.0, 4.0]]
+        fused = solver.solve(
+            t_span=t_spans, y0=y0, signals=scheds, method="fused_dopri5",
+            interpret=True, convert_results=False,
+        )
+        for ts, sched, res in zip(t_spans, scheds, fused):
+            ref = solver.solve(
+                t_span=ts, y0=y0, signals=sched, method="tpu_dopri5",
+                atol=1e-12, rtol=1e-12, convert_results=False,
+            )
+            assert res.t[-1] == ts[-1]
+            np.testing.assert_allclose(
+                np.asarray(ref.y[-1]), np.asarray(res.y[-1]), atol=1e-4
+            )
+
+    def test_statevector_wrapping(self):
+        solver = self._pulse_solver()
+        y0 = Statevector([1.0, 0.0])
+        res = solver.solve(
+            t_span=[0.0, 4.0], y0=y0, signals=self._schedules([0.5, 0.7]),
+            method="fused_dopri5", interpret=True,
+        )
+        assert all(isinstance(r.y[-1], Statevector) for r in res)
+        assert np.allclose(np.asarray(res[0].y[0].data), [1.0, 0.0])
+
+    def test_density_matrix_y0(self):
+        """DM + HamiltonianModel: simulate unitary columns, conjugate."""
+        solver = self._pulse_solver()
+        sched = self._schedules([0.8])[0]
+        dm0 = DensityMatrix(np.diag([0.75, 0.25]).astype(complex))
+        ref = solver.solve(
+            t_span=[0.0, 4.0], y0=dm0, signals=sched, method="tpu_dopri5",
+            atol=1e-12, rtol=1e-12,
+        )
+        fused = solver.solve(
+            t_span=[0.0, 4.0], y0=dm0, signals=[sched], method="fused_dopri5",
+            interpret=True,
+        )[0]
+        assert isinstance(fused.y[-1], DensityMatrix)
+        np.testing.assert_allclose(
+            np.asarray(ref.y[-1].data), np.asarray(fused.y[-1].data), atol=1e-4
+        )
+        np.testing.assert_allclose(np.asarray(fused.y[0].data), np.asarray(dm0.data))
+
+    def test_vectorized_lindblad(self):
+        from qiskit_dynamics_tpu.pulse import DriveChannel
+
+        solver = Solver(
+            static_hamiltonian=H0,
+            hamiltonian_operators=[2 * np.pi * R * X / 2],
+            static_dissipators=[0.05 * np.array([[0.0, 1.0], [0.0, 0.0]])],
+            hamiltonian_channels=["d0"],
+            channel_carrier_freqs={"d0": NU},
+            dt=0.1,
+            rotating_frame=H0,
+            vectorized=True,
+        )
+        sched = self._schedules([0.8])[0]
+        dm0 = DensityMatrix(np.diag([1.0, 0.0]).astype(complex))
+        ref = solver.solve(
+            t_span=[0.0, 4.0], y0=dm0, signals=sched, method="tpu_dopri5",
+            atol=1e-12, rtol=1e-12,
+        )
+        fused = solver.solve(
+            t_span=[0.0, 4.0], y0=dm0, signals=[sched], method="fused_dopri5",
+            interpret=True,
+        )[0]
+        assert isinstance(fused.y[-1], DensityMatrix)
+        np.testing.assert_allclose(
+            np.asarray(ref.y[-1].data), np.asarray(fused.y[-1].data), atol=1e-4
+        )
+
+    def test_shared_y0_required(self):
+        solver = self._pulse_solver()
+        scheds = self._schedules([0.3, 0.6])
+        with pytest.raises(DynamicsError, match="shared y0"):
+            solver.solve(
+                t_span=[0.0, 4.0],
+                y0=[np.array([1.0, 0.0], dtype=complex), np.array([0.0, 1.0], dtype=complex)],
+                signals=scheds, method="fused_dopri5", interpret=True,
+            )
+
+    def test_bad_kwargs_raise(self):
+        solver = self._pulse_solver()
+        with pytest.raises(DynamicsError, match="unsupported kwargs"):
+            solver.solve(
+                t_span=[0.0, 4.0], y0=np.array([1.0, 0.0], dtype=complex),
+                signals=self._schedules([0.5]), method="fused_dopri5", max_dt=0.1,
+            )
+
+    def test_requires_schedules(self):
+        solver = make_solver()
+        with pytest.raises(DynamicsError, match="Schedule"):
+            solver.solve(
+                t_span=[0, 1], y0=np.array([1.0, 0.0], dtype=complex),
+                signals=rabi_signals(), method="fused_dopri5",
+            )
+
+
 class TestSolverValidation:
     """Constructor/solve validation errors (reference analog:
     test_solver_classes.py validation battery)."""
