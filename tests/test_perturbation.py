@@ -232,6 +232,64 @@ class TestDysonMagnusTimeDependent:
             res.perturbation_data.get_item([0, 1])[-1], expected, atol=1e-8
         )
 
+    def _nested3(self, h1, h2, h3, n=20001):
+        """int_0^T dt1 h1(t1) int_0^t1 dt2 h2(t2) int_0^t2 dt3 h3(t3):
+        explicitly-coded triple integral on a fine cumulative-trapezoid grid
+        (reference pattern: test_solve_lmde_perturbation.py nested integrals)."""
+        from scipy.integrate import cumulative_trapezoid
+
+        ts = np.linspace(0.0, self.T, n)
+        c1 = cumulative_trapezoid(h3(ts), ts, initial=0.0)
+        c2 = cumulative_trapezoid(h2(ts) * c1, ts, initial=0.0)
+        return cumulative_trapezoid(h1(ts) * c2, ts, initial=0.0)[-1]
+
+    def test_dyson_third_order_mixed(self):
+        """Multiset [0,0,1] Dyson term == sum of the 3 ordered triple integrals."""
+        res = solve_lmde_perturbation(
+            perturbations=[lambda t: self.f(t) * self.A, lambda t: self.g(t) * self.B],
+            t_span=[0.0, self.T],
+            expansion_method="dyson",
+            expansion_order=3,
+            atol=1e-13, rtol=1e-13,
+        )
+        f, g, A, B = self.f, self.g, self.A, self.B
+        expected = (
+            self._nested3(f, f, g) * A @ A @ B
+            + self._nested3(f, g, f) * A @ B @ A
+            + self._nested3(g, f, f) * B @ A @ A
+        )
+        np.testing.assert_allclose(
+            res.perturbation_data.get_item([0, 0, 1])[-1], expected, atol=1e-7
+        )
+
+    def test_dyson_third_order_pure(self):
+        """Multiset [1,1,1] Dyson term == the single ordered triple integral."""
+        res = solve_lmde_perturbation(
+            perturbations=[lambda t: self.f(t) * self.A, lambda t: self.g(t) * self.B],
+            t_span=[0.0, self.T],
+            expansion_method="dyson",
+            expansion_order=3,
+            atol=1e-13, rtol=1e-13,
+        )
+        expected = self._nested3(self.g, self.g, self.g) * self.B @ self.B @ self.B
+        np.testing.assert_allclose(
+            res.perturbation_data.get_item([1, 1, 1])[-1], expected, atol=1e-7
+        )
+
+    def test_dyson_like_third_order_sequence(self):
+        """dyson_like: a LIST label [1,0,0] is one specific ordered integral."""
+        res = solve_lmde_perturbation(
+            perturbations=[lambda t: self.f(t) * self.A, lambda t: self.g(t) * self.B],
+            t_span=[0.0, self.T],
+            expansion_method="dyson_like",
+            expansion_order=3,
+            atol=1e-13, rtol=1e-13,
+        )
+        expected = self._nested3(self.g, self.f, self.f) * self.B @ self.A @ self.A
+        np.testing.assert_allclose(
+            res.perturbation_data.get_item([1, 0, 0])[-1], expected, atol=1e-7
+        )
+
     def test_jax_matches_numpy(self):
         kwargs = dict(
             perturbations=[lambda t: jnp.cos(2.0 * t) * jnp.asarray(self.A),
