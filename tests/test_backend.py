@@ -182,6 +182,98 @@ def _rabi_backend(**options):
     return DynamicsBackend(solver=solver, subsystem_dims=[2], **options), r
 
 
+class TestMeasurementOptions:
+    """Behavioral coverage of the measurement-pipeline options (reference
+    analog: test_dynamics_backend.py measurement-option battery)."""
+
+    @staticmethod
+    def _pi_half_schedule(r, n_samples=25):
+        amp = 1.0 / (r * 50 * 0.1)  # pi amplitude at 50 samples -> pi/2 at 25
+        sched = Schedule(name="pi_half")
+        sched.append(Play(Constant(duration=n_samples, amp=amp), DriveChannel(0)))
+        sched.insert(n_samples, Acquire(1, AcquireChannel(0), MemorySlot(0)))
+        return sched
+
+    def test_memory_contents(self):
+        """memory=True: per-shot outcome strings consistent with counts."""
+        backend, r = _rabi_backend(seed_simulator=7, shots=64)
+        res = backend.run(self._pi_half_schedule(r)).result()
+        counts = res.get_counts()
+        mem = res.get_memory()
+        assert len(mem) == 64
+        from collections import Counter
+
+        assert Counter(mem) == Counter(
+            {k: v for k, v in counts.items()}
+        )
+
+    def test_memory_disabled(self):
+        backend, r = _rabi_backend(seed_simulator=7, shots=16, memory=False)
+        res = backend.run(self._pi_half_schedule(r)).result()
+        with pytest.raises(Exception):
+            res.get_memory()
+
+    def test_seed_reproducibility(self):
+        b1, r = _rabi_backend(seed_simulator=11, shots=128)
+        b2, _ = _rabi_backend(seed_simulator=11, shots=128)
+        sched = self._pi_half_schedule(r)
+        assert b1.run(sched).result().get_counts() == b2.run(sched).result().get_counts()
+
+    def test_max_outcome_level_clips(self):
+        """max_outcome_level=1 restricts count keys to binary outcomes."""
+        backend, r = _rabi_backend(seed_simulator=5, shots=256, max_outcome_level=1)
+        res = backend.run(self._pi_half_schedule(r)).result()
+        assert set(res.get_counts()) <= {"0", "1"}
+
+    def test_meas_level_1_avg_vs_single(self):
+        backend, r = _rabi_backend(
+            seed_simulator=5, shots=100, meas_level=1, meas_return="single"
+        )
+        sched = self._pi_half_schedule(r)
+        res_single = backend.run(sched).result()
+        single = np.asarray(res_single.get_memory())
+        assert single.shape == (100, 1, 2)
+        backend.set_options(meas_return="avg")
+        res_avg = backend.run(sched).result()
+        avg = np.asarray(res_avg.get_memory())
+        assert avg.shape == (1, 2)
+
+    def test_iq_centers_respected(self):
+        """Custom iq_centers relocate the measurement clouds."""
+        centers = [[(5.0, 5.0), (-5.0, -5.0)]]
+        backend, r = _rabi_backend(
+            seed_simulator=5, shots=200, meas_level=1, meas_return="single",
+            iq_centers=centers, iq_width=0.1,
+        )
+        # no pulse: ground state -> cloud at centers[0][0] = (5, 5)
+        sched = Schedule(name="idle")
+        sched.insert(4, Acquire(1, AcquireChannel(0), MemorySlot(0)))
+        res = backend.run(sched).result()
+        iq = np.asarray(res.get_memory())
+        assert abs(iq[:, 0, 0].mean() - 5.0) < 0.1
+        assert abs(iq[:, 0, 1].mean() - 5.0) < 0.1
+
+    def test_initial_state_option(self):
+        """initial_state: starting in |1> with no pulse measures 1."""
+        backend, r = _rabi_backend(seed_simulator=5, shots=64)
+        backend.set_options(initial_state=Statevector([0.0, 1.0]))
+        sched = Schedule(name="idle")
+        sched.insert(4, Acquire(1, AcquireChannel(0), MemorySlot(0)))
+        counts = backend.run(sched).result().get_counts()
+        assert counts == {"1": 64}
+
+    def test_normalize_states_off(self):
+        """normalize_states=False skips renormalization everywhere — sampling
+        then requires the raw probabilities to sum to 1 (reference-matching:
+        a drifted solve raises from numpy's choice). Use a tight solve."""
+        backend, r = _rabi_backend(
+            seed_simulator=5, shots=32, normalize_states=False,
+            solver_options={"method": "DOP853", "atol": 1e-13, "rtol": 1e-13},
+        )
+        res = backend.run(self._pi_half_schedule(r)).result()
+        assert sum(res.get_counts().values()) == 32
+
+
 class TestDynamicsBackend:
     def test_pi_pulse_counts(self):
         backend, r = _rabi_backend(seed_simulator=42)
