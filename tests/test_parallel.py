@@ -103,3 +103,60 @@ def test_pshard_batch_matches_direct():
     xs = jnp.arange(20.0)
     out = pshard_batch(fn_batch)(xs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(xs) * 2.0)
+
+
+def test_sharded_fused_schedule_batch():
+    """Schedule-batch envelope tables sharded across the data mesh: each
+    device runs the fused adaptive table kernel on its shard; results match
+    the serial fused path at the kernel accuracy floor."""
+    from qiskit_dynamics_tpu import Solver
+    from qiskit_dynamics_tpu.pulse import Schedule, Play, DriveChannel, Gaussian
+    from qiskit_dynamics_tpu.parallel import pshard_batch
+    from qiskit_dynamics_tpu.signals import DiscreteSignal
+    from qiskit_dynamics_tpu.solvers.fused_sweep import fused_adaptive_sweep_solve
+
+    nu, r, dt = 5.0, 0.1, 0.1
+    X = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex)
+    Z = np.array([[1.0, 0.0], [0.0, -1.0]], dtype=complex)
+    solver = Solver(
+        static_hamiltonian=2 * np.pi * nu * Z / 2,
+        hamiltonian_operators=[2 * np.pi * r * X / 2],
+        hamiltonian_channels=["d0"],
+        channel_carrier_freqs={"d0": nu},
+        dt=dt,
+        rotating_frame=2 * np.pi * nu * Z / 2,
+    )
+    y0 = np.array([1.0, 0.0], dtype=complex)
+    duration, tf = 40, 4.0
+    amps = np.linspace(0.1, 0.9, 16)
+    scheds = []
+    for amp in amps:
+        s = Schedule(name=f"a{amp}")
+        s.append(Play(Gaussian(duration=duration, amp=float(amp), sigma=8), DriveChannel(0)))
+        scheds.append(s)
+
+    serial = solver.solve(
+        t_span=[0.0, tf], y0=y0, signals=scheds, method="fused_dopri5",
+        interpret=True, convert_results=False,
+    )
+    serial_y = np.stack([np.asarray(res.y[-1]) for res in serial])
+
+    # sharded: per-lane sample tables, leading (batch) axis split over devices
+    samples = np.stack(
+        [np.asarray(solver._schedule_converter.get_signals(s)[0].samples) for s in scheds]
+    )[:, None, :]  # (B, n_channels=1, S)
+
+    def shard_fn(p):
+        def signals_fn(q):
+            return [DiscreteSignal(dt=dt, samples=q[0], carrier_freq=nu)]
+
+        return fused_adaptive_sweep_solve(
+            solver.model, signals_fn, p, t_span=(0.0, tf), y0=y0,
+            envelope_resolution=duration, interpret=True, tile_b=8,
+        )
+
+    out = pshard_batch(shard_fn, mesh=data_mesh())(jnp.asarray(samples))
+    # lockstep step control is shared per lane-TILE: different tilings
+    # (tile_b=8 per shard vs 128 serial) take slightly different f32 step
+    # sequences, so agreement is at the kernel's accuracy floor, not exact
+    np.testing.assert_allclose(np.asarray(out), serial_y, atol=1e-4)
