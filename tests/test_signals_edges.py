@@ -166,3 +166,43 @@ class TestSignalListEdges:
             np.asarray([np.asarray(flat(t)) for t in ts]),
             atol=1e-12,
         )
+
+
+class TestDraw:
+    """Signal.draw plotting (matplotlib Agg; reference signals.py:196-254)."""
+
+    @pytest.fixture(autouse=True)
+    def _agg(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        yield
+
+    def test_draw_functions(self):
+        import matplotlib.pyplot as plt
+
+        sig = Signal(lambda t: 1.0 + 0.1 * t, carrier_freq=2.0, phase=0.3)
+        for function in ["signal", "envelope", "complex_value"]:
+            fig, ax = plt.subplots()
+            sig.draw(0.0, 1.0, 25, function=function, axis=ax)
+            assert len(ax.lines) >= 1
+            xdata = ax.lines[0].get_xdata()
+            assert len(xdata) == 25 and xdata[0] == 0.0 and xdata[-1] == 1.0
+            plt.close(fig)
+
+    def test_draw_unknown_function_raises(self):
+        sig = Signal(1.0, carrier_freq=1.0)
+        with pytest.raises(DynamicsError):
+            sig.draw(0.0, 1.0, 10, function="nope")
+
+    def test_draw_discrete_and_sum(self):
+        import matplotlib.pyplot as plt
+
+        for sig in [
+            DiscreteSignal(dt=0.25, samples=[1.0, -1.0, 0.5], carrier_freq=1.0),
+            Signal(1.0, carrier_freq=1.0) + Signal(0.3, carrier_freq=2.0),
+        ]:
+            fig, ax = plt.subplots()
+            sig.draw(0.0, 0.75, 10, axis=ax)
+            assert len(ax.lines) >= 1
+            plt.close(fig)
