@@ -458,7 +458,7 @@ class Solver:
         opts = {k: v for k, v in kwargs.items() if k != "method"}
         allowed = {
             "atol", "rtol", "max_steps", "h0", "tile_b", "interpret",
-            "bucket_lanes", "envelope_resolution",
+            "bucket_lanes", "envelope_resolution", "mesh",
         }
         bad = set(opts) - allowed
         if bad:
@@ -563,20 +563,29 @@ class Solver:
                 tuple(sorted(group_opts.items())),
                 kernel_y0.shape, kernel_y0.tobytes(),
             )
+            mesh = group_opts.pop("mesh", None)
+            if mesh is not None:
+                cache_key = cache_key + (mesh,)
             solve_fn = self._fused_solve_cache.get(cache_key)
             if solve_fn is None:
-                solve_fn = cjit(
-                    lambda p: fused_adaptive_sweep_solve(
-                        self.model,
-                        signals_fn,
-                        p,
-                        t_span=(t0, tf),
-                        y0=kernel_y0,
-                        rwa_signal_map=self._rwa_signal_map,
-                        envelope_resolution=env_res,
-                        **group_opts,
-                    )
+                kernel_fn = lambda p: fused_adaptive_sweep_solve(
+                    self.model,
+                    signals_fn,
+                    p,
+                    t_span=(t0, tf),
+                    y0=kernel_y0,
+                    rwa_signal_map=self._rwa_signal_map,
+                    envelope_resolution=env_res,
+                    **group_opts,
                 )
+                if mesh is not None:
+                    # multi-chip serving: shard the schedule batch across the
+                    # mesh's data axis — each chip runs the fused kernel on
+                    # its shard (parallel.pshard_batch pads/trims)
+                    from ..parallel.sweep import pshard_batch
+
+                    kernel_fn = pshard_batch(kernel_fn, mesh=mesh)
+                solve_fn = cjit(kernel_fn)
                 self._fused_solve_cache[cache_key] = solve_fn
             out = np.asarray(solve_fn(samples))  # (B, dim), (B, dim, m), or (B, n, n)
 

@@ -160,3 +160,42 @@ def test_sharded_fused_schedule_batch():
     # (tile_b=8 per shard vs 128 serial) take slightly different f32 step
     # sequences, so agreement is at the kernel's accuracy floor, not exact
     np.testing.assert_allclose(np.asarray(out), serial_y, atol=1e-4)
+
+
+def test_solver_fused_schedule_mesh_option():
+    """Solver.solve(method='fused_dopri5', mesh=...) shards the schedule
+    batch across the device mesh (backend-level multi-chip serving)."""
+    from qiskit_dynamics_tpu import Solver
+    from qiskit_dynamics_tpu.pulse import Schedule, Play, DriveChannel, Gaussian
+
+    nu, r, dt = 5.0, 0.1, 0.1
+    X = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex)
+    Z = np.array([[1.0, 0.0], [0.0, -1.0]], dtype=complex)
+    solver = Solver(
+        static_hamiltonian=2 * np.pi * nu * Z / 2,
+        hamiltonian_operators=[2 * np.pi * r * X / 2],
+        hamiltonian_channels=["d0"],
+        channel_carrier_freqs={"d0": nu},
+        dt=dt,
+        rotating_frame=2 * np.pi * nu * Z / 2,
+    )
+    y0 = np.array([1.0, 0.0], dtype=complex)
+    scheds = []
+    for amp in np.linspace(0.2, 0.8, 12):  # 12: exercises pad-to-16 trimming
+        s = Schedule(name=f"a{amp}")
+        s.append(Play(Gaussian(duration=40, amp=float(amp), sigma=8), DriveChannel(0)))
+        scheds.append(s)
+
+    serial = solver.solve(
+        t_span=[0.0, 4.0], y0=y0, signals=scheds, method="fused_dopri5",
+        interpret=True, convert_results=False,
+    )
+    sharded = solver.solve(
+        t_span=[0.0, 4.0], y0=y0, signals=scheds, method="fused_dopri5",
+        interpret=True, convert_results=False, mesh=data_mesh(), tile_b=8,
+    )
+    for a, b in zip(serial, sharded):
+        # different lane tilings -> agreement at the kernel accuracy floor
+        np.testing.assert_allclose(
+            np.asarray(a.y[-1]), np.asarray(b.y[-1]), atol=1e-4
+        )
