@@ -135,6 +135,30 @@ def main():
             "df32_max_err": float(f"{df_err:.3g}"),
         }
 
+    # --- config-5 row: 3-transmon schedule batch through the fused kernel ---
+    sched_metrics = {}
+    if os.environ.get("BENCH_SCHEDULES", "1") == "1":
+        from qiskit_dynamics_tpu.benchmarks import (
+            gaussian_amp_schedules,
+            three_transmon_backend,
+        )
+
+        n_sched = int(os.environ.get("BENCH_SCHEDULES_N", "256"))
+        backend = three_transmon_backend()
+        backend.set_options(solver_options={"method": "fused_dopri5"})
+        scheds = gaussian_amp_schedules(np.linspace(0.05, 0.95, n_sched), duration=64)
+        t0 = time.time()
+        backend.solve(scheds)
+        log(f"schedule batch compile+first: {time.time() - t0:.1f}s")
+        t0 = time.time()
+        backend.solve(scheds)
+        sched_time = time.time() - t0
+        log(
+            f"schedule batch steady: {sched_time:.3f}s for {n_sched} schedules "
+            f"-> {n_sched / sched_time:.1f} schedules/s"
+        )
+        sched_metrics = {"schedules_per_sec_dim27": round(n_sched / sched_time, 1)}
+
     print(
         json.dumps(
             {
@@ -143,6 +167,7 @@ def main():
                 "unit": "sims/sec",
                 "vs_baseline": round(device_throughput / numpy_throughput, 2),
                 **df_metrics,
+                **sched_metrics,
             }
         )
     )
