@@ -451,7 +451,10 @@ class Solver:
         integer, which holds for acquire-terminated schedules). Schedules are
         grouped by ``t_span``; each group is one kernel call. Supported
         kwargs: ``atol, rtol, max_steps, h0, tile_b, interpret, bucket_lanes,
-        envelope_resolution``; f32 arithmetic (~1e-6 accuracy floor).
+        envelope_resolution, mesh``; f32 arithmetic (~1e-6 accuracy floor).
+        Passing ``mesh=`` (a ``jax.sharding.Mesh``) shards each batch across
+        the mesh's data axis — one fused kernel call per chip shard
+        (multi-chip serving; see ``parallel.pshard_batch``).
         """
         from .fused_sweep import fused_adaptive_sweep_solve
 
