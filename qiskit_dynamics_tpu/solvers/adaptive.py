@@ -147,7 +147,13 @@ def tpu_rk_solve(
     compiles for its ``rhs`` closure; for parameter sweeps, wrap the whole
     computation in ``jit``/``vmap`` instead (the internal jit then inlines).
     """
-    if auto_jit and not _in_trace():
+    # skip self-jit inside any trace; `_in_trace` misses vmap (constants are
+    # not BatchTracers), so also check the arguments themselves
+    args_traced = any(
+        isinstance(x, jax.core.Tracer)
+        for x in jax.tree_util.tree_leaves((t_span, y0, t_eval))
+    )
+    if auto_jit and not _in_trace() and not args_traced:
         from ..utils.jit_tools import cjit
 
         kwargs = dict(
