@@ -45,6 +45,7 @@ def _kernel(
     dt: float,
     t0: float,
     order: int,
+    hermitian: bool,
     # refs:
     statr_ref, stati_ref,       # (n, n) static op (frame basis, diag-subtracted)
     opsr_ref, opsi_ref,         # (k, n, n) signal operators (frame basis)
@@ -98,11 +99,28 @@ def _kernel(
         build_generator(step, 1, _GAUSS_C2, g2r, g2i)
 
         # Magnus-2: M = dt (G1 + G2)/2 + p2 dt^2 (G2 G1 - G1 G2)
-        matmul_into(g2r, g2i, g1r, g1i, mr, mi, alpha=_P2 * dt * dt)
-        matmul_into(g1r, g1i, g2r, g2i, mr, mi, alpha=-_P2 * dt * dt, beta=1.0)
-        for i in range(n):
-            mr[i] = mr[i] + (0.5 * dt) * (g1r[i] + g2r[i])
-            mi[i] = mi[i] + (0.5 * dt) * (g1i[i] + g2i[i])
+        if hermitian:
+            # anti-Hermitian generators (G = -iH, frame rotation preserves):
+            # G1 G2 = (G2 G1)^dagger, so the commutator is P - P^dagger with
+            # P = G2 G1 — ONE matmul instead of two (the dominant O(n^3 B)
+            # cost per step halves).
+            matmul_into(g2r, g2i, g1r, g1i, mr, mi)  # P = G2 @ G1
+            c2 = _P2 * dt * dt
+            for i in range(n):
+                g1r[i] = g1r[i] + g2r[i]  # G1+G2 (G1 no longer needed)
+                g1i[i] = g1i[i] + g2i[i]
+            for i in range(n):
+                for m in range(n):
+                    g2r[i, m] = (0.5 * dt) * g1r[i, m] + c2 * (mr[i, m] - mr[m, i])
+                    g2i[i, m] = (0.5 * dt) * g1i[i, m] + c2 * (mi[i, m] + mi[m, i])
+            Mr, Mi = g2r, g2i
+        else:
+            matmul_into(g2r, g2i, g1r, g1i, mr, mi, alpha=_P2 * dt * dt)
+            matmul_into(g1r, g1i, g2r, g2i, mr, mi, alpha=-_P2 * dt * dt, beta=1.0)
+            for i in range(n):
+                mr[i] = mr[i] + (0.5 * dt) * (g1r[i] + g2r[i])
+                mi[i] = mi[i] + (0.5 * dt) * (g1i[i] + g2i[i])
+            Mr, Mi = mr, mi
 
         # y <- expm(M) y via Horner MAT-VEC: v = y; for j = order..1:
         # v = y + (M v)/j. The propagator is never formed — each lane carries
@@ -119,8 +137,8 @@ def _kernel(
                 acc_r = jnp.zeros_like(yr[i])
                 acc_i = jnp.zeros_like(yi[i])
                 for m in range(n):
-                    xr = mr[i, m]
-                    xi = mi[i, m]
+                    xr = Mr[i, m]
+                    xi = Mi[i, m]
                     acc_r += xr * vr[m] - xi * vi[m]
                     acc_i += xr * vi[m] + xi * vr[m]
                 wr[i] = yr[i] + inv * acc_r
@@ -145,7 +163,8 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dt", "t0", "order", "tile_b", "interpret")
+    jax.jit,
+    static_argnames=("dt", "t0", "order", "tile_b", "interpret", "hermitian"),
 )
 def sweep_expm_magnus2(
     static_op,
@@ -158,6 +177,7 @@ def sweep_expm_magnus2(
     order: int = 8,
     tile_b: int = 512,
     interpret: bool = False,
+    hermitian: bool = False,
 ):
     r"""Fixed-step Magnus-2 sweep solve, fused into one Pallas kernel.
 
@@ -180,6 +200,12 @@ def sweep_expm_magnus2(
         order: Taylor order of the in-kernel expm.
         tile_b: lane-tile size (B must be a multiple).
         interpret: run in interpreter mode (CPU tests).
+        hermitian: the generators are anti-Hermitian (``G = -iH``, Hamiltonian
+            dynamics) — the Magnus-2 commutator then costs one matmul instead
+            of two (``G1 G2 = (G2 G1)^\dagger``). The caller must guarantee
+            this; results are silently wrong otherwise (the glue in
+            ``solvers/fused_sweep.py`` auto-detects from the host operator
+            data).
 
     Returns:
         (n, B) complex final states in the frame basis at ``t = T dt``.
@@ -206,7 +232,9 @@ def sweep_expm_magnus2(
     coef_spec = pl.BlockSpec((T, 2, k, tile_b), lambda b: (0, 0, 0, b), memory_space=pltpu.VMEM)
     y_spec = pl.BlockSpec((n, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_kernel, n, k, T, float(dt), float(t0), order)
+    kernel = functools.partial(
+        _kernel, n, k, T, float(dt), float(t0), order, bool(hermitian)
+    )
     scratch_mat = pltpu.VMEM((n, n, tile_b), f32)
     scratch_vec = pltpu.VMEM((n, tile_b), f32)
 

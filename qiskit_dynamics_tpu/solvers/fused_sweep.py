@@ -85,6 +85,21 @@ def _extract_generator_data(model, t_span, fn_name: str):
     return vectorized_lindblad, solve_dim, static_fb, ops_fb, omega, t0, tf
 
 
+def _all_anti_hermitian(static_fb, ops_fb) -> bool:
+    """Host check: every generator matrix is anti-Hermitian (``G = -iH``).
+
+    True for Hamiltonian dynamics (real signal coefficients keep any linear
+    combination anti-Hermitian, and the kernel's elementwise frame rotation
+    preserves it since ``omega`` is antisymmetric) — enables the one-matmul
+    Magnus-2 commutator in the kernel.
+    """
+    for a in (np.asarray(static_fb),) + tuple(np.asarray(ops_fb)):
+        scale = max(1.0, float(np.max(np.abs(a))))
+        if not np.allclose(a, -a.conj().T, rtol=0.0, atol=1e-12 * scale):
+            return False
+    return True
+
+
 def fused_sweep_solve(
     model,
     signals_fn: Callable,
@@ -203,6 +218,7 @@ def fused_sweep_solve(
     yf = sweep_expm_magnus2(
         static_fb, ops_fb, omega, coeffs, y0_cols, dt=dt, t0=t0, order=expm_order,
         tile_b=tile_b, interpret=interpret,
+        hermitian=_all_anti_hermitian(static_fb, ops_fb),
     )
     if vectorized_lindblad:
         n = model.dim

@@ -81,6 +81,38 @@ class TestFusedSweepSolver:
         expected = jax.vmap(ref)(amps)
         np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-10)
 
+    def test_hermitian_kernel_path_matches_general(self):
+        # anti-Hermitian generators: the one-matmul commutator path
+        # (hermitian=True) must agree with the two-matmul general path
+        from qiskit_dynamics_tpu.ops.sweep_solver import sweep_expm_magnus2
+
+        rng = np.random.default_rng(1)
+        n, k, T, B = 6, 2, 15, 8
+        dt, t0 = 0.05, 0.2
+        ah = lambda a: (a - a.conj().T) / 2
+        H0 = ah(rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+        ops = np.array(
+            [ah(rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))) for _ in range(k)]
+        )
+        w = rng.normal(size=n)
+        omega = w[None, :] - w[:, None]
+        coef = rng.normal(size=(T, 2, k, B))
+        y0 = rng.normal(size=(n, B)) + 1j * rng.normal(size=(n, B))
+        kw = dict(dt=dt, t0=t0, order=10, tile_b=B, interpret=True)
+        a = sweep_expm_magnus2(H0, ops, omega, coef, y0, hermitian=False, **kw)
+        b = sweep_expm_magnus2(H0, ops, omega, coef, y0, hermitian=True, **kw)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+    def test_anti_hermitian_detection(self):
+        from qiskit_dynamics_tpu.solvers.fused_sweep import _all_anti_hermitian
+
+        X = np.array([[0, 1], [1, 0]], dtype=complex)
+        assert _all_anti_hermitian(-1j * X, np.array([-1j * X]))
+        assert not _all_anti_hermitian(X, np.array([-1j * X]))
+        assert not _all_anti_hermitian(-1j * X, np.array([X]))
+        # zero static op (common: all dynamics in the frame) counts
+        assert _all_anti_hermitian(np.zeros((2, 2)), np.array([-1j * X]))
+
     def test_fused_sweep_validations(self):
         from qiskit_dynamics_tpu.solvers import fused_sweep_solve
         from qiskit_dynamics_tpu.benchmarks import cr_solver
