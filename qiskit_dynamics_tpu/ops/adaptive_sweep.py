@@ -106,8 +106,9 @@ def _kernel(
         t = t0 + s
         coeffs = [signal_coeff(j, s, idx) for j in range(k)]
         for i in range(n):
-            acc_r = jnp.broadcast_to(statr_ref[i][:, None], gr[i].shape).astype(jnp.float32)
-            acc_i = jnp.broadcast_to(stati_ref[i][:, None], gi[i].shape).astype(jnp.float32)
+            # ref dtype, not a hard f32 cast (f64 under x64 interpret)
+            acc_r = jnp.broadcast_to(statr_ref[i][:, None], gr[i].shape).astype(statr_ref.dtype)
+            acc_i = jnp.broadcast_to(stati_ref[i][:, None], gi[i].shape).astype(stati_ref.dtype)
             for j in range(k):
                 c = coeffs[j][None, :]
                 acc_r = acc_r + c * opsr_ref[j, i][:, None]

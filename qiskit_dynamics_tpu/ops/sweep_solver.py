@@ -45,7 +45,7 @@ def _kernel(
     dt: float,
     t0: float,
     order: int,
-    hermitian: bool,
+    mode: str,
     # refs:
     statr_ref, stati_ref,       # (n, n) static op (frame basis, diag-subtracted)
     opsr_ref, opsi_ref,         # (k, n, n) signal operators (frame basis)
@@ -53,18 +53,27 @@ def _kernel(
     coef_ref,                   # (T, 2, k, TILE_B) real signal values at Gauss pts
     y0r_ref, y0i_ref,           # (n, TILE_B) initial state (frame basis)
     outr_ref, outi_ref,         # (n, TILE_B) final state
-    # scratch: (n, n, TILE_B) mats then (n, TILE_B) vecs
-    g1r, g1i, g2r, g2i, mr, mi, vr, vi, wr, wi, yr, yi,
+    # scratch (mode-dependent; see sweep_expm_magnus2):
+    *scratch,
 ):
     """One B-tile: full T-step Magnus-2 propagation in VMEM."""
+    if mode == "matvec":
+        g1r, g1i, g2r, g2i = scratch[:4]
+        yr, yi, vr, vi, u1r, u1i, u2r, u2i, t1r, t1i = scratch[4:]
+    else:
+        g1r, g1i, g2r, g2i, mr, mi = scratch[:6]
+        vr, vi, wr, wi, yr, yi = scratch[6:]
 
     def build_generator(step, gauss_idx, gauss_c, out_r, out_i):
         """out <- P(tau) * (static + sum_j c_j ops_j); tau = t0 + (step+c) dt."""
-        tau = t0 + (step.astype(jnp.float32) + gauss_c) * dt
+        # match the scratch/ref dtype (f32 on chip; f64 under x64 interpret —
+        # a hard f32 cast here silently truncated the static op in f64 tests)
+        ftype = statr_ref.dtype
+        tau = t0 + (step.astype(ftype) + gauss_c) * dt
         for i in range(n):
             # combo over operators; coefficients vary along lanes
-            acc_r = jnp.broadcast_to(statr_ref[i][:, None], out_r[i].shape).astype(jnp.float32)
-            acc_i = jnp.broadcast_to(stati_ref[i][:, None], out_i[i].shape).astype(jnp.float32)
+            acc_r = jnp.broadcast_to(statr_ref[i][:, None], out_r[i].shape).astype(ftype)
+            acc_i = jnp.broadcast_to(stati_ref[i][:, None], out_i[i].shape).astype(ftype)
             for j in range(k):
                 c = coef_ref[step, gauss_idx, j][None, :]  # (1, TILE_B)
                 acc_r = acc_r + c * opsr_ref[j, i][:, None]
@@ -93,13 +102,64 @@ def _kernel(
                 cr[i] = beta * cr[i] + alpha * acc_r
                 ci[i] = beta * ci[i] + alpha * acc_i
 
+    def matvec_into(ar, ai, xr, xi, outr, outi):
+        """out <- A @ x (complex mat-vec, batch on lanes; out must not alias x)."""
+        for i in range(n):
+            acc_r = jnp.zeros_like(xr[0])
+            acc_i = jnp.zeros_like(xi[0])
+            for m in range(n):
+                cr_ = ar[i, m]
+                ci_ = ai[i, m]
+                acc_r += cr_ * xr[m] - ci_ * xi[m]
+                acc_i += cr_ * xi[m] + ci_ * xr[m]
+            outr[i] = acc_r
+            outi[i] = acc_i
+
+    def body_matvec(step, _):
+        """Commutator-free step: M is never formed. Each Horner term applies
+        M v = dt/2 (G1 v + G2 v) + p2 dt^2 (G2 (G1 v) - G1 (G2 v)) as four
+        mat-vecs — O(4 order n^2 B) per step vs O(2 n^3 B) for the
+        commutator matmuls, the win for large n (vectorized Lindblad,
+        n = dim^2). Identical Magnus-2 polynomial as the matrix modes."""
+        build_generator(step, 0, _GAUSS_C1, g1r, g1i)
+        build_generator(step, 1, _GAUSS_C2, g2r, g2i)
+        c1 = 0.5 * dt
+        c2 = _P2 * dt * dt
+        for i in range(n):
+            vr[i] = yr[i]
+            vi[i] = yi[i]
+        for kk in range(order, 0, -1):
+            inv = 1.0 / kk
+            matvec_into(g1r, g1i, vr, vi, u1r, u1i)   # u1 = G1 v
+            matvec_into(g2r, g2i, vr, vi, u2r, u2i)   # u2 = G2 v
+            matvec_into(g2r, g2i, u1r, u1i, t1r, t1i)  # t1 = G2 u1
+            # v <- y + inv * (c1 (u1+u2) + c2 (t1 - G1 u2)), G1 u2 inline
+            for i in range(n):
+                acc_r = jnp.zeros_like(yr[i])
+                acc_i = jnp.zeros_like(yi[i])
+                for m in range(n):
+                    cr_ = g1r[i, m]
+                    ci_ = g1i[i, m]
+                    acc_r += cr_ * u2r[m] - ci_ * u2i[m]
+                    acc_i += cr_ * u2i[m] + ci_ * u2r[m]
+                vr[i] = yr[i] + inv * (
+                    c1 * (u1r[i] + u2r[i]) + c2 * (t1r[i] - acc_r)
+                )
+                vi[i] = yi[i] + inv * (
+                    c1 * (u1i[i] + u2i[i]) + c2 * (t1i[i] - acc_i)
+                )
+        for i in range(n):
+            yr[i] = vr[i]
+            yi[i] = vi[i]
+        return 0
+
     def body(step, _):
         # two Gauss-point generator samples
         build_generator(step, 0, _GAUSS_C1, g1r, g1i)
         build_generator(step, 1, _GAUSS_C2, g2r, g2i)
 
         # Magnus-2: M = dt (G1 + G2)/2 + p2 dt^2 (G2 G1 - G1 G2)
-        if hermitian:
+        if mode == "matrix_herm":
             # anti-Hermitian generators (G = -iH, frame rotation preserves):
             # G1 G2 = (G2 G1)^dagger, so the commutator is P - P^dagger with
             # P = G2 G1 — ONE matmul instead of two (the dominant O(n^3 B)
@@ -155,7 +215,7 @@ def _kernel(
         yr[i] = y0r_ref[i]
         yi[i] = y0i_ref[i]
 
-    jax.lax.fori_loop(0, T, body, 0)
+    jax.lax.fori_loop(0, T, body_matvec if mode == "matvec" else body, 0)
 
     for i in range(n):
         outr_ref[i] = yr[i]
@@ -164,7 +224,9 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dt", "t0", "order", "tile_b", "interpret", "hermitian"),
+    static_argnames=(
+        "dt", "t0", "order", "tile_b", "interpret", "hermitian", "mode"
+    ),
 )
 def sweep_expm_magnus2(
     static_op,
@@ -178,6 +240,7 @@ def sweep_expm_magnus2(
     tile_b: int = 512,
     interpret: bool = False,
     hermitian: bool = False,
+    mode: str = "auto",
 ):
     r"""Fixed-step Magnus-2 sweep solve, fused into one Pallas kernel.
 
@@ -206,6 +269,17 @@ def sweep_expm_magnus2(
             this; results are silently wrong otherwise (the glue in
             ``solvers/fused_sweep.py`` auto-detects from the host operator
             data).
+        mode: Magnus-2 evaluation strategy — all produce the identical
+            polynomial, differing only in matmul count per step:
+
+            - ``"matrix"``: form M with the 2-matmul commutator, then
+              ``order`` Horner mat-vecs (``2 n^3 B + order n^2 B``);
+            - ``"matrix_herm"``: 1-matmul commutator via
+              ``G1 G2 = (G2 G1)^\dagger`` (requires ``hermitian``);
+            - ``"matvec"``: commutator-free — each Horner term applies
+              ``M v`` as 4 mat-vecs (``4 order n^2 B``, no ``n^3`` term;
+              the win for large ``n``, e.g. vectorized Lindblad);
+            - ``"auto"`` (default): pick by the matmul cost model.
 
     Returns:
         (n, B) complex final states in the frame basis at ``t = T dt``.
@@ -232,11 +306,27 @@ def sweep_expm_magnus2(
     coef_spec = pl.BlockSpec((T, 2, k, tile_b), lambda b: (0, 0, 0, b), memory_space=pltpu.VMEM)
     y_spec = pl.BlockSpec((n, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM)
 
+    if mode == "auto":
+        # per-step matmul cost in n^2 B units: matrix modes pay the
+        # commutator ((1|2) n) + order mat-vecs; matvec mode pays 4 order
+        mat_cost = (n if hermitian else 2 * n) + order
+        mode = "matvec" if 4 * order < mat_cost else (
+            "matrix_herm" if hermitian else "matrix"
+        )
+    if mode == "matrix_herm" and not hermitian:
+        raise ValueError('mode="matrix_herm" requires hermitian=True')
+    if mode not in ("matrix", "matrix_herm", "matvec"):
+        raise ValueError(f"unknown mode {mode!r}")
+
     kernel = functools.partial(
-        _kernel, n, k, T, float(dt), float(t0), order, bool(hermitian)
+        _kernel, n, k, T, float(dt), float(t0), order, mode
     )
     scratch_mat = pltpu.VMEM((n, n, tile_b), f32)
     scratch_vec = pltpu.VMEM((n, tile_b), f32)
+    if mode == "matvec":
+        scratch = [scratch_mat] * 4 + [scratch_vec] * 10
+    else:
+        scratch = [scratch_mat] * 6 + [scratch_vec] * 6
 
     outr, outi = pl.pallas_call(
         kernel,
@@ -247,7 +337,7 @@ def sweep_expm_magnus2(
         ],
         out_specs=[y_spec, y_spec],
         out_shape=[jax.ShapeDtypeStruct((n, B), f32)] * 2,
-        scratch_shapes=[scratch_mat] * 6 + [scratch_vec] * 6,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(statr, stati, opsr, opsi, omega, coef, y0r, y0i)
     return outr + 1j * outi

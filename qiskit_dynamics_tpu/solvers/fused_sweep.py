@@ -12,6 +12,11 @@ Restrictions (by construction of the kernel):
 - all sweep members share ``y0`` and the time grid;
 - signal values must be real (standard ``Re[f e^{i 2 pi nu t}]`` signals).
 
+Engines: the Pallas batch-on-lanes kernel serves ``solve_dim <= 32``; larger
+problems (vectorized Lindblad reaches ``dim^2`` fast) route to the
+batch-major MXU engine (``ops/xla_sweep.py``) with identical numerics —
+see the ``sweep_engine`` argument.
+
 Precision: ``precision="f32"`` (default) runs the Pallas kernel hard-float32
 (~1e-6 accuracy floor); ``precision="df32"`` runs the compensated
 double-float32 engine (``ops/df_sweep.py``) for 1e-8-class agreement with
@@ -115,6 +120,8 @@ def fused_sweep_solve(
     df_chunk_b: int = 2048,
     df_magnus_order: int = 3,
     df_engine: str = "auto",
+    magnus_mode: str = "auto",
+    sweep_engine: str = "auto",
 ):
     r"""Solve ``y' = G_b(t) y`` for a parameter sweep with the fused kernel.
 
@@ -145,6 +152,15 @@ def fused_sweep_solve(
         df_chunk_b: (df32 only) sweep members per device dispatch.
         df_magnus_order: (df32 only) 2 (4th-order step rule) or 3 (6th-order,
             default — much larger steps at 1e-8 accuracy).
+        magnus_mode: in-kernel Magnus-2 evaluation strategy (``"auto"``
+            picks by matmul cost; see
+            :func:`~qiskit_dynamics_tpu.ops.sweep_solver.sweep_expm_magnus2`).
+        sweep_engine: ``"pallas"`` (batch-on-lanes fused kernel — fastest for
+            small dims, but Mosaic compile time grows with the unrolled
+            ``n^2`` loops), ``"xla"`` (batch-major MXU matmuls under one
+            ``lax.scan`` — compiles in seconds at any dim), or ``"auto"``
+            (default): pallas for ``solve_dim <= 32``, xla above. Identical
+            Magnus-2/Taylor polynomial either way.
         df_engine: (df32 only) ``"xla"`` (fused elementwise engine — the
             default; measured ~2.3x faster than the Pallas variant on TPU,
             XLA's fusion of the df chains is excellent) or ``"pallas"``
@@ -211,15 +227,32 @@ def fused_sweep_solve(
             df_magnus_order, df_engine,
         )
 
+    if sweep_engine == "auto":
+        sweep_engine = "pallas" if solve_dim <= 32 else "xla"
+    if sweep_engine not in ("pallas", "xla"):
+        raise DynamicsError(
+            f"unknown sweep_engine {sweep_engine!r}; use 'pallas', 'xla' or 'auto'."
+        )
+
     coeffs = jnp.moveaxis(
         jax.vmap(lambda p: signals_as_list(p)(jnp.asarray(gauss_times)))(params), 0, -1
     )  # (T, 2, k, B)
-    coeffs, y0_cols, B, m = _expand_lanes(coeffs, y0_fb, solve_dim, tile_b)
-    yf = sweep_expm_magnus2(
-        static_fb, ops_fb, omega, coeffs, y0_cols, dt=dt, t0=t0, order=expm_order,
-        tile_b=tile_b, interpret=interpret,
-        hermitian=_all_anti_hermitian(static_fb, ops_fb),
-    )
+    hermitian = _all_anti_hermitian(static_fb, ops_fb)
+    if sweep_engine == "xla":
+        from ..ops.xla_sweep import sweep_expm_magnus2_xla
+
+        coeffs, y0_cols, B, m = _expand_lanes(coeffs, y0_fb, solve_dim, 1)
+        yf = sweep_expm_magnus2_xla(
+            static_fb, ops_fb, omega, coeffs, y0_cols, dt=dt, t0=t0,
+            order=expm_order, hermitian=hermitian,
+        )
+    else:
+        coeffs, y0_cols, B, m = _expand_lanes(coeffs, y0_fb, solve_dim, tile_b)
+        yf = sweep_expm_magnus2(
+            static_fb, ops_fb, omega, coeffs, y0_cols, dt=dt, t0=t0,
+            order=expm_order, tile_b=tile_b, interpret=interpret,
+            hermitian=hermitian, mode=magnus_mode,
+        )
     if vectorized_lindblad:
         n = model.dim
         rho = jnp.transpose(yf[:, :B].reshape(n, n, B), (2, 1, 0))  # (B, n, n)

@@ -103,6 +103,75 @@ class TestFusedSweepSolver:
         b = sweep_expm_magnus2(H0, ops, omega, coef, y0, hermitian=True, **kw)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
 
+    def test_xla_engine_matches_pallas_kernel(self):
+        # batch-major XLA engine (large-dim path): identical polynomial
+        from qiskit_dynamics_tpu.ops.sweep_solver import sweep_expm_magnus2
+        from qiskit_dynamics_tpu.ops.xla_sweep import sweep_expm_magnus2_xla
+
+        rng = np.random.default_rng(5)
+        n, k, T, B = 6, 2, 12, 8
+        H0 = 0.3 * (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+        ops = 0.3 * (rng.normal(size=(k, n, n)) + 1j * rng.normal(size=(k, n, n)))
+        w = rng.normal(size=n)
+        omega = w[None, :] - w[:, None]
+        coef = rng.normal(size=(T, 2, k, B))
+        y0 = rng.normal(size=(n, B)) + 1j * rng.normal(size=(n, B))
+        a = sweep_expm_magnus2(
+            H0, ops, omega, coef, y0, dt=0.04, t0=0.1, order=10, tile_b=B,
+            interpret=True,
+        )
+        b = sweep_expm_magnus2_xla(H0, ops, omega, coef, y0, dt=0.04, t0=0.1, order=10)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-13)
+
+    def test_xla_engine_large_dim_lindblad(self):
+        # dim-8 open system -> solve_dim 64: auto-selects the xla engine
+        # (the pallas kernel's unrolled loops are a compile hazard there);
+        # cross-check against the generic adaptive solver
+        import jax
+        from qiskit_dynamics_tpu.models import LindbladModel
+        from qiskit_dynamics_tpu import Signal, Solver
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+
+        dim = 8
+        a_op = np.diag(np.sqrt(np.arange(1, dim)), 1)
+        N = np.diag(np.arange(dim, dtype=float))
+        H0 = 2 * np.pi * (5.0 * N - 0.33 / 2 * (N @ N - N))
+        Hd = 2 * np.pi * 0.02 * (a_op + a_op.conj().T)
+        model = LindbladModel(
+            static_hamiltonian=H0,
+            hamiltonian_operators=[Hd],
+            static_dissipators=[np.sqrt(0.01) * a_op],
+            rotating_frame=np.diag(H0),
+            vectorized=True,
+        )
+        rho0 = np.zeros((dim, dim), dtype=complex)
+        rho0[1, 1] = 1.0
+        amps = jnp.array([0.4, 1.0])
+        T = 1.0
+
+        def signals_fn(amp):
+            return ([Signal(lambda t: amp, carrier_freq=5.0)], None)
+
+        out = fused_sweep_solve(
+            model, signals_fn, amps, t_span=(0.0, T), max_dt=0.005, y0=rho0,
+        )
+        assert out.shape == (2, dim, dim)
+        solver = Solver(
+            static_hamiltonian=H0,
+            hamiltonian_operators=[Hd],
+            static_dissipators=[np.sqrt(0.01) * a_op],
+            rotating_frame=np.diag(H0),
+        )
+        for i, amp in enumerate([0.4, 1.0]):
+            res = solver.solve(
+                t_span=[0.0, T], y0=rho0,
+                signals=[Signal(lambda t, amp=amp: amp, carrier_freq=5.0)],
+                method="tpu_dopri5", atol=1e-10, rtol=1e-10,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[i]), np.asarray(res.y[-1]), atol=5e-7
+            )
+
     def test_anti_hermitian_detection(self):
         from qiskit_dynamics_tpu.solvers.fused_sweep import _all_anti_hermitian
 
