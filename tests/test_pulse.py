@@ -130,3 +130,152 @@ class TestInstructionToSignals:
         assert len(samples) == 7
         np.testing.assert_allclose(samples[2:5], 0.0)
         np.testing.assert_allclose(samples[5:], 1.0)
+
+    def test_phase_and_frequency_shift_combine(self):
+        """phi from ShiftPhase multiplies the continuity-corrected dnu phase."""
+        n0, n1, phi, dnu = 3, 4, 0.7, 0.05
+        sched = Schedule()
+        sched.append(ShiftPhase(phi, DriveChannel(0)))
+        sched.append(Play(_const_samples(n0), DriveChannel(0)))
+        sched.append(ShiftFrequency(dnu, DriveChannel(0)))
+        sched.append(Play(_const_samples(n1), DriveChannel(0)))
+        samples = np.asarray(InstructionToSignals(DT).get_signals(sched)[0].samples)
+        np.testing.assert_allclose(samples[:n0], np.exp(1j * phi), atol=1e-12)
+        times = DT * (n0 + np.arange(n1))
+        expected = np.exp(1j * phi + 2j * np.pi * dnu * (times - n0 * DT))
+        np.testing.assert_allclose(samples[n0:], expected, atol=1e-12)
+
+    def test_set_then_shift_frequency_accumulates(self):
+        carrier, nu1, delta, n0, n1 = 5.0, 5.1, 0.04, 3, 3
+        sched = Schedule()
+        sched.append(SetFrequency(nu1, DriveChannel(0)))
+        sched.append(Play(_const_samples(n0), DriveChannel(0)))
+        sched.append(ShiftFrequency(delta, DriveChannel(0)))
+        sched.append(Play(_const_samples(n1), DriveChannel(0)))
+        sig = InstructionToSignals(DT, carriers={"d0": carrier}).get_signals(sched)[0]
+        samples = np.asarray(sig.samples)
+        t_first = DT * np.arange(n0)
+        np.testing.assert_allclose(
+            samples[:n0], np.exp(2j * np.pi * (nu1 - carrier) * t_first), atol=1e-12
+        )
+        t_second = DT * (n0 + np.arange(n1))
+        expected = np.exp(
+            2j * np.pi * ((nu1 - carrier + delta) * t_second - delta * n0 * DT)
+        )
+        np.testing.assert_allclose(samples[n0:], expected, atol=1e-12)
+
+    def test_channel_states_independent(self):
+        """Phase/frequency state is tracked per channel."""
+        sched = Schedule()
+        sched.append(ShiftPhase(np.pi, DriveChannel(0)))
+        sched.append(Play(_const_samples(2), DriveChannel(0)))
+        sched.append(Play(_const_samples(2), ControlChannel(0)))
+        sigs = InstructionToSignals(DT, channels=["d0", "u0"]).get_signals(sched)
+        np.testing.assert_allclose(np.asarray(sigs[0].samples)[:2], -1.0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(sigs[1].samples)[:2], 1.0, atol=1e-12)
+
+
+class TestScheduleOps:
+    def test_insert_explicit_time(self):
+        sched = Schedule()
+        sched.insert(5, Play(_const_samples(2), DriveChannel(0)))
+        samples = np.asarray(InstructionToSignals(DT).get_signals(sched)[0].samples)
+        assert len(samples) == 7
+        np.testing.assert_allclose(samples[:5], 0.0)
+        np.testing.assert_allclose(samples[5:], 1.0)
+
+    def test_shift_and_add(self):
+        a = Schedule(Play(_const_samples(2, 0.5), DriveChannel(0)))
+        b = Schedule(Play(_const_samples(3, 0.25), DriveChannel(0)))
+        combined = a + b  # b scheduled after a
+        assert combined.duration == 5
+        samples = np.asarray(InstructionToSignals(DT).get_signals(combined)[0].samples)
+        np.testing.assert_allclose(samples[:2], 0.5)
+        np.testing.assert_allclose(samples[2:], 0.25)
+        shifted = a.shift(4)
+        assert shifted.duration == 6
+        assert shifted.instructions[0][0] == 4
+        # original untouched
+        assert a.duration == 2
+
+    def test_or_merges_in_parallel(self):
+        a = Schedule(Play(_const_samples(2), DriveChannel(0)))
+        b = Schedule(Play(_const_samples(4), ControlChannel(1)))
+        merged = a | b
+        assert merged.duration == 4
+        assert {ch.name for ch in merged.channels} == {"d0", "u1"}
+
+    def test_filter_and_ch_duration(self):
+        sched = Schedule()
+        sched.append(Play(_const_samples(2), DriveChannel(0)))
+        sched.append(Play(_const_samples(5), ControlChannel(1)))
+        assert sched.ch_duration("d0") == 2
+        assert sched.ch_duration("u1") == 5
+        only_d = sched.filter(channels=[DriveChannel(0)])
+        assert [ch.name for ch in only_d.channels] == ["d0"]
+        assert only_d.duration == 2
+        # string names accepted too
+        assert sched.filter(channels=["u1"]).duration == 5
+
+    def test_append_aligns_on_shared_channel_only(self):
+        """append waits for the instruction's own channels, not the whole
+        schedule: the reference aligns per channel through timeslots."""
+        sched = Schedule()
+        sched.append(Play(_const_samples(5), DriveChannel(0)))
+        sched.append(Play(_const_samples(2), ControlChannel(1)))
+        (t0, _), (t1, _) = sched.instructions
+        assert t0 == 0 and t1 == 0
+
+
+class TestPulseLibrary:
+    def test_gaussian_square_width_vs_risefall(self):
+        from qiskit_dynamics_tpu.pulse import GaussianSquare
+
+        p1 = GaussianSquare(duration=20, amp=0.4, sigma=3, width=8)
+        p2 = GaussianSquare(duration=20, amp=0.4, sigma=3, risefall_sigma_ratio=2)
+        np.testing.assert_allclose(
+            np.asarray(p1.get_waveform().samples),
+            np.asarray(p2.get_waveform().samples),
+        )
+        # flat top at amp over the width window
+        t_mid = np.array([10.0])
+        np.testing.assert_allclose(p1.envelope(t_mid), 0.4, atol=1e-12)
+
+    def test_gaussian_square_requires_width_or_ratio(self):
+        from qiskit_dynamics_tpu.pulse import GaussianSquare
+
+        with pytest.raises(ValueError, match="width or risefall"):
+            GaussianSquare(duration=20, amp=0.4, sigma=3)
+
+    def test_drag_center_real_and_beta_imag(self):
+        from qiskit_dynamics_tpu.pulse import Drag
+
+        d = Drag(duration=16, amp=0.3, sigma=4, beta=1.5)
+        center = d.envelope(np.array([8.0]))[0]
+        assert abs(center.imag) < 1e-12
+        np.testing.assert_allclose(center.real, 0.3, atol=1e-12)
+        off = d.envelope(np.array([4.0]))[0]
+        g = Gaussian(duration=16, amp=0.3, sigma=4).envelope(np.array([4.0]))[0]
+        # imag part = beta * (-(t-c)/sigma^2) * gaussian
+        np.testing.assert_allclose(off.imag, 1.5 * (4.0 / 16.0) * g.real, atol=1e-12)
+
+    def test_constant_window(self):
+        c = Constant(duration=8, amp=0.2, angle=np.pi / 2)
+        vals = c.envelope(np.array([-0.5, 4.0, 8.5]))
+        np.testing.assert_allclose(vals[0], 0.0, atol=1e-12)
+        np.testing.assert_allclose(vals[1], 0.2j, atol=1e-12)
+        np.testing.assert_allclose(vals[2], 0.0, atol=1e-12)
+
+    def test_waveform_midpoint_symmetry(self):
+        g = Gaussian(duration=16, amp=1.0, sigma=4)
+        samples = np.asarray(g.get_waveform().samples)
+        np.testing.assert_allclose(samples, samples[::-1], atol=1e-12)
+
+    def test_angle_rotates_envelope(self):
+        g0 = Gaussian(duration=8, amp=0.5, sigma=2)
+        g1 = Gaussian(duration=8, amp=0.5, sigma=2, angle=np.pi / 3)
+        np.testing.assert_allclose(
+            np.asarray(g1.get_waveform().samples),
+            np.exp(1j * np.pi / 3) * np.asarray(g0.get_waveform().samples),
+            atol=1e-12,
+        )
