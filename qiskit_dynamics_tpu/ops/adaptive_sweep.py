@@ -44,6 +44,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from scipy.integrate._ivp.rk import RK45 as _SciDOPRI5
 
+from .sweep_solver import _UNROLL_N
+
 __all__ = ["sweep_dopri5_lockstep"]
 
 _A = np.asarray(_SciDOPRI5.A)        # (6, 6) stage coefficients (explicit)
@@ -84,6 +86,16 @@ def _kernel(
     # indexed by elapsed time)
     duration = tf - t0
 
+    def rows(body):
+        """Row loop: Python-unrolled for small n (VPU ILP), fori_loop with
+        dynamic row indexing above — keeps Mosaic program size O(n), which
+        cuts compile time ~n-fold for dim >~ 16 (see ops/sweep_solver.py)."""
+        if n <= _UNROLL_N:
+            for i in range(n):
+                body(i)
+        else:
+            jax.lax.fori_loop(0, n, lambda i, c: (body(i), 0)[1], 0)
+
     def signal_coeff(j, s, idx):
         # c_j(t, :) = Re[E_j(t) e^{i w t}] with E the piecewise-constant
         # per-lane complex envelope (n_env == 1: constant envelope). ``idx``
@@ -105,10 +117,11 @@ def _kernel(
         """gr/gi <- P(t) * (static + sum_j c_j(t) ops_j); t = t0 + s."""
         t = t0 + s
         coeffs = [signal_coeff(j, s, idx) for j in range(k)]
-        for i in range(n):
+
+        def row(i):
             # ref dtype, not a hard f32 cast (f64 under x64 interpret)
-            acc_r = jnp.broadcast_to(statr_ref[i][:, None], gr[i].shape).astype(statr_ref.dtype)
-            acc_i = jnp.broadcast_to(stati_ref[i][:, None], gi[i].shape).astype(stati_ref.dtype)
+            acc_r = jnp.broadcast_to(statr_ref[i][:, None], gr.shape[1:]).astype(statr_ref.dtype)
+            acc_i = jnp.broadcast_to(stati_ref[i][:, None], gi.shape[1:]).astype(stati_ref.dtype)
             for j in range(k):
                 c = coeffs[j][None, :]
                 acc_r = acc_r + c * opsr_ref[j, i][:, None]
@@ -119,12 +132,15 @@ def _kernel(
             gr[i] = acc_r * cos_p - acc_i * sin_p
             gi[i] = acc_r * sin_p + acc_i * cos_p
 
+        rows(row)
+
     def rhs_into_stage(s, t, idx):
         """kr/ki[s] <- G(t) @ w (current work state in wr/wi)."""
         build_generator(t, idx)
-        for i in range(n):
-            acc_r = jnp.zeros_like(wr[i])
-            acc_i = jnp.zeros_like(wi[i])
+
+        def row(i):
+            acc_r = jnp.zeros(wr.shape[1:], wr.dtype)
+            acc_i = jnp.zeros(wi.shape[1:], wi.dtype)
             for m in range(n):
                 ur = gr[i, m]
                 ui = gi[i, m]
@@ -132,6 +148,8 @@ def _kernel(
                 acc_i += ur * wi[m] + ui * wr[m]
             kr[s, i] = acc_r
             ki[s, i] = acc_i
+
+        rows(row)
 
     def body(carry):
         t, h_prop, steps, bad = carry  # t = elapsed time s
@@ -159,7 +177,8 @@ def _kernel(
 
         # stages 1..5
         for s in range(1, _N_STAGES):
-            for i in range(n):
+
+            def stage_row(i, s=s):
                 acc_r = yr[i]
                 acc_i = yi[i]
                 for q in range(s):
@@ -169,10 +188,12 @@ def _kernel(
                         acc_i = acc_i + (h * a) * ki[q, i]
                 wr[i] = acc_r
                 wi[i] = acc_i
+
+            rows(stage_row)
             rhs_into_stage(s, t + float(_C[s]) * h, step_cell)
 
         # 5th-order solution y_new into wr/wi
-        for i in range(n):
+        def ynew_row(i):
             acc_r = yr[i]
             acc_i = yi[i]
             for s in range(_N_STAGES):
@@ -182,16 +203,17 @@ def _kernel(
                     acc_i = acc_i + (h * b) * ki[s, i]
             wr[i] = acc_r
             wi[i] = acc_i
+
+        rows(ynew_row)
         # FSAL stage: f(t+h, y_new) -> stage 6 (used only in the error
         # estimate). At a cell boundary this is the left-limit envelope —
         # correct for integrating over [t, t+h].
         rhs_into_stage(6, t + h, step_cell)
 
         # error estimate and shared norm
-        err_sq_sum = jnp.zeros_like(yr[0])
-        for i in range(n):
-            er = jnp.zeros_like(yr[i])
-            ei = jnp.zeros_like(yi[i])
+        def err_term(i):
+            er = jnp.zeros(yr.shape[1:], yr.dtype)
+            ei = jnp.zeros(yi.shape[1:], yi.dtype)
             for s in range(_N_STAGES + 1):
                 e = float(_E[s])
                 if e != 0.0:
@@ -200,7 +222,17 @@ def _kernel(
             abs_y = jnp.sqrt(yr[i] ** 2 + yi[i] ** 2)
             abs_w = jnp.sqrt(wr[i] ** 2 + wi[i] ** 2)
             scale = atol + rtol * jnp.maximum(abs_y, abs_w)
-            err_sq_sum = err_sq_sum + (er**2 + ei**2) / (scale**2)
+            return (er**2 + ei**2) / (scale**2)
+
+        if n <= _UNROLL_N:
+            err_sq_sum = jnp.zeros(yr.shape[1:], yr.dtype)
+            for i in range(n):
+                err_sq_sum = err_sq_sum + err_term(i)
+        else:
+            err_sq_sum = jax.lax.fori_loop(
+                0, n, lambda i, acc: acc + err_term(i),
+                jnp.zeros(yr.shape[1:], yr.dtype),
+            )
         err_norm = jnp.sqrt(jnp.max(err_sq_sum) / n)  # rms over state, max over lanes
 
         # stall guard: a step within a few ulps of t cannot be refined
@@ -211,12 +243,14 @@ def _kernel(
         stalled = h <= (4.0 * 1.1920929e-7) * jnp.maximum(1.0, t)
         accept = (err_norm <= 1.0) | stalled
         bad = bad | (stalled & (err_norm > 1.0) & (err_norm > 100.0))
-        for i in range(n):
+        def accept_row(i):
             yr[i] = jnp.where(accept, wr[i], yr[i])
             yi[i] = jnp.where(accept, wi[i], yi[i])
             # FSAL: on accept, stage 6 = f(t+h, y_new) becomes next stage 0
             kr[0, i] = jnp.where(accept, kr[6, i], kr[0, i])
             ki[0, i] = jnp.where(accept, ki[6, i], ki[0, i])
+
+        rows(accept_row)
         t_new = jnp.where(accept, t + h, t)
 
         if n_env > 1:
@@ -251,11 +285,10 @@ def _kernel(
         t, h, steps, _ = carry
         return (t < duration) & (steps < max_steps)
 
-    for i in range(n):
-        yr[i] = y0r_ref[i]
-        yi[i] = y0i_ref[i]
-        wr[i] = y0r_ref[i]
-        wi[i] = y0i_ref[i]
+    yr[...] = y0r_ref[...]
+    yi[...] = y0i_ref[...]
+    wr[...] = y0r_ref[...]
+    wi[...] = y0i_ref[...]
     rhs_into_stage(0, jnp.float32(0.0), jnp.int32(0))  # initial FSAL stage
 
     t_f, _, _, bad_f = jax.lax.while_loop(
@@ -265,9 +298,8 @@ def _kernel(
     # NaN-poison if the budget ran out before reaching tf, or a stalled step
     # was force-accepted with err >> tolerance
     poison = jnp.where((t_f >= duration) & jnp.logical_not(bad_f), 1.0, jnp.nan).astype(jnp.float32)
-    for i in range(n):
-        outr_ref[i] = yr[i] * poison
-        outi_ref[i] = yi[i] * poison
+    outr_ref[...] = yr[...] * poison
+    outi_ref[...] = yi[...] * poison
 
 
 @functools.partial(

@@ -37,6 +37,9 @@ _GAUSS_C1 = 0.5 - np.sqrt(3) / 6
 _GAUSS_C2 = 0.5 + np.sqrt(3) / 6
 _P2 = np.sqrt(3) / 12
 
+# row loops are Python-unrolled up to this n, fori_loop'd beyond (compile size)
+_UNROLL_N = 16
+
 
 def _kernel(
     n: int,
@@ -64,16 +67,29 @@ def _kernel(
         g1r, g1i, g2r, g2i, mr, mi = scratch[:6]
         vr, vi, wr, wi, yr, yi = scratch[6:]
 
+    def rows(body):
+        """Run ``body(i)`` for every row i. Small n: Python-unrolled (the
+        round-1 benchmarked shape). Large n: a ``fori_loop`` with dynamic
+        row indexing — O(n) program size instead of O(n^2), which keeps
+        Mosaic compile time sane up to n = dim^2 = 64 (vectorized Lindblad);
+        the inner length-n reductions stay unrolled for VPU ILP."""
+        if n <= _UNROLL_N:
+            for i in range(n):
+                body(i)
+        else:
+            jax.lax.fori_loop(0, n, lambda i, c: (body(i), 0)[1], 0)
+
     def build_generator(step, gauss_idx, gauss_c, out_r, out_i):
         """out <- P(tau) * (static + sum_j c_j ops_j); tau = t0 + (step+c) dt."""
         # match the scratch/ref dtype (f32 on chip; f64 under x64 interpret —
         # a hard f32 cast here silently truncated the static op in f64 tests)
         ftype = statr_ref.dtype
         tau = t0 + (step.astype(ftype) + gauss_c) * dt
-        for i in range(n):
+
+        def row(i):
             # combo over operators; coefficients vary along lanes
-            acc_r = jnp.broadcast_to(statr_ref[i][:, None], out_r[i].shape).astype(ftype)
-            acc_i = jnp.broadcast_to(stati_ref[i][:, None], out_i[i].shape).astype(ftype)
+            acc_r = jnp.broadcast_to(statr_ref[i][:, None], out_r.shape[1:]).astype(ftype)
+            acc_i = jnp.broadcast_to(stati_ref[i][:, None], out_i.shape[1:]).astype(ftype)
             for j in range(k):
                 c = coef_ref[step, gauss_idx, j][None, :]  # (1, TILE_B)
                 acc_r = acc_r + c * opsr_ref[j, i][:, None]
@@ -85,11 +101,14 @@ def _kernel(
             out_r[i] = acc_r * cos_p - acc_i * sin_p
             out_i[i] = acc_r * sin_p + acc_i * cos_p
 
+        rows(row)
+
     def matmul_into(ar, ai, br, bi, cr, ci, alpha=1.0, beta=0.0):
         """C <- beta*C + alpha * A @ B (complex, batch on lanes)."""
-        for i in range(n):
-            acc_r = jnp.zeros_like(cr[i])
-            acc_i = jnp.zeros_like(ci[i])
+
+        def row(i):
+            acc_r = jnp.zeros(cr.shape[1:], cr.dtype)
+            acc_i = jnp.zeros(ci.shape[1:], ci.dtype)
             for m in range(n):
                 xr = ar[i, m][None, :]
                 xi = ai[i, m][None, :]
@@ -102,11 +121,14 @@ def _kernel(
                 cr[i] = beta * cr[i] + alpha * acc_r
                 ci[i] = beta * ci[i] + alpha * acc_i
 
+        rows(row)
+
     def matvec_into(ar, ai, xr, xi, outr, outi):
         """out <- A @ x (complex mat-vec, batch on lanes; out must not alias x)."""
-        for i in range(n):
-            acc_r = jnp.zeros_like(xr[0])
-            acc_i = jnp.zeros_like(xi[0])
+
+        def row(i):
+            acc_r = jnp.zeros(outr.shape[1:], outr.dtype)
+            acc_i = jnp.zeros(outi.shape[1:], outi.dtype)
             for m in range(n):
                 cr_ = ar[i, m]
                 ci_ = ai[i, m]
@@ -114,6 +136,8 @@ def _kernel(
                 acc_i += cr_ * xi[m] + ci_ * xr[m]
             outr[i] = acc_r
             outi[i] = acc_i
+
+        rows(row)
 
     def body_matvec(step, _):
         """Commutator-free step: M is never formed. Each Horner term applies
@@ -125,18 +149,18 @@ def _kernel(
         build_generator(step, 1, _GAUSS_C2, g2r, g2i)
         c1 = 0.5 * dt
         c2 = _P2 * dt * dt
-        for i in range(n):
-            vr[i] = yr[i]
-            vi[i] = yi[i]
+        vr[...] = yr[...]
+        vi[...] = yi[...]
         for kk in range(order, 0, -1):
             inv = 1.0 / kk
             matvec_into(g1r, g1i, vr, vi, u1r, u1i)   # u1 = G1 v
             matvec_into(g2r, g2i, vr, vi, u2r, u2i)   # u2 = G2 v
             matvec_into(g2r, g2i, u1r, u1i, t1r, t1i)  # t1 = G2 u1
+
             # v <- y + inv * (c1 (u1+u2) + c2 (t1 - G1 u2)), G1 u2 inline
-            for i in range(n):
-                acc_r = jnp.zeros_like(yr[i])
-                acc_i = jnp.zeros_like(yi[i])
+            def row(i):
+                acc_r = jnp.zeros(yr.shape[1:], yr.dtype)
+                acc_i = jnp.zeros(yi.shape[1:], yi.dtype)
                 for m in range(n):
                     cr_ = g1r[i, m]
                     ci_ = g1i[i, m]
@@ -148,9 +172,10 @@ def _kernel(
                 vi[i] = yi[i] + inv * (
                     c1 * (u1i[i] + u2i[i]) + c2 * (t1i[i] - acc_i)
                 )
-        for i in range(n):
-            yr[i] = vr[i]
-            yi[i] = vi[i]
+
+            rows(row)
+        yr[...] = vr[...]
+        yi[...] = vi[...]
         return 0
 
     def body(step, _):
@@ -166,20 +191,21 @@ def _kernel(
             # cost per step halves).
             matmul_into(g2r, g2i, g1r, g1i, mr, mi)  # P = G2 @ G1
             c2 = _P2 * dt * dt
-            for i in range(n):
-                g1r[i] = g1r[i] + g2r[i]  # G1+G2 (G1 no longer needed)
-                g1i[i] = g1i[i] + g2i[i]
-            for i in range(n):
+            g1r[...] = g1r[...] + g2r[...]  # G1+G2 (G1 no longer needed)
+            g1i[...] = g1i[...] + g2i[...]
+
+            def herm_row(i):
                 for m in range(n):
                     g2r[i, m] = (0.5 * dt) * g1r[i, m] + c2 * (mr[i, m] - mr[m, i])
                     g2i[i, m] = (0.5 * dt) * g1i[i, m] + c2 * (mi[i, m] + mi[m, i])
+
+            rows(herm_row)
             Mr, Mi = g2r, g2i
         else:
             matmul_into(g2r, g2i, g1r, g1i, mr, mi, alpha=_P2 * dt * dt)
             matmul_into(g1r, g1i, g2r, g2i, mr, mi, alpha=-_P2 * dt * dt, beta=1.0)
-            for i in range(n):
-                mr[i] = mr[i] + (0.5 * dt) * (g1r[i] + g2r[i])
-                mi[i] = mi[i] + (0.5 * dt) * (g1i[i] + g2i[i])
+            mr[...] = mr[...] + (0.5 * dt) * (g1r[...] + g2r[...])
+            mi[...] = mi[...] + (0.5 * dt) * (g1i[...] + g2i[...])
             Mr, Mi = mr, mi
 
         # y <- expm(M) y via Horner MAT-VEC: v = y; for j = order..1:
@@ -188,38 +214,24 @@ def _kernel(
         # Taylor was O(order n^3 B) (measured ~2x kernel speedup at n=16;
         # identical polynomial, same step rule; measured on-chip: 50k ->
         # 89.5k sims/s on the 10k-point CR sweep).
-        for i in range(n):
-            vr[i] = yr[i]
-            vi[i] = yi[i]
+        vr[...] = yr[...]
+        vi[...] = yi[...]
         for kk in range(order, 0, -1):
             inv = 1.0 / kk
-            for i in range(n):
-                acc_r = jnp.zeros_like(yr[i])
-                acc_i = jnp.zeros_like(yi[i])
-                for m in range(n):
-                    xr = Mr[i, m]
-                    xi = Mi[i, m]
-                    acc_r += xr * vr[m] - xi * vi[m]
-                    acc_i += xr * vi[m] + xi * vr[m]
-                wr[i] = yr[i] + inv * acc_r
-                wi[i] = yi[i] + inv * acc_i
-            for i in range(n):
-                vr[i] = wr[i]
-                vi[i] = wi[i]
-        for i in range(n):
-            yr[i] = vr[i]
-            yi[i] = vi[i]
+            matvec_into(Mr, Mi, vr, vi, wr, wi)
+            vr[...] = yr[...] + inv * wr[...]
+            vi[...] = yi[...] + inv * wi[...]
+        yr[...] = vr[...]
+        yi[...] = vi[...]
         return 0
 
-    for i in range(n):
-        yr[i] = y0r_ref[i]
-        yi[i] = y0i_ref[i]
+    yr[...] = y0r_ref[...]
+    yi[...] = y0i_ref[...]
 
     jax.lax.fori_loop(0, T, body_matvec if mode == "matvec" else body, 0)
 
-    for i in range(n):
-        outr_ref[i] = yr[i]
-        outi_ref[i] = yi[i]
+    outr_ref[...] = yr[...]
+    outi_ref[...] = yi[...]
 
 
 @functools.partial(

@@ -3,11 +3,11 @@ r"""Batch-major XLA engine for fixed-step Magnus-2 sweeps (large dimensions).
 Same semantics as :func:`~qiskit_dynamics_tpu.ops.sweep_solver.sweep_expm_magnus2`
 (identical Magnus-2 + Horner-Taylor polynomial, same step rule), but built on
 ``(B, n, n)`` batch-major complex matmuls under one ``lax.scan`` over time —
-the MXU path. The Pallas batch-on-lanes kernel unrolls :math:`O(n^2)` Python
-loops per step, which is the right shape for small ``n`` (full lane tiles,
-zero HBM traffic) but makes Mosaic compile time explode for ``n \gtrsim 32``;
-this engine compiles in seconds at any ``n`` and lets XLA tile the batched
-matmuls onto the MXU. ``solvers.fused_sweep_solve`` auto-selects it for
+the MXU path. The Pallas batch-on-lanes kernel (row-looped above n = 16)
+compiles up to n = 64 within the VMEM budget but, measured on-chip, only
+ties this engine above n ~ 32 (fori rows lose the unrolled ILP); this engine
+compiles in seconds at ANY ``n`` and lets XLA tile the batched matmuls onto
+the MXU. ``solvers.fused_sweep_solve`` auto-selects it for
 ``solve_dim > 32`` (vectorized Lindblad models reach ``n = dim^2`` quickly).
 
 Reference math: Magnus-2 Gauss-point commutator rule

@@ -113,7 +113,7 @@ def fused_sweep_solve(
     max_dt: float,
     y0,
     expm_order: int = 8,
-    tile_b: int = 512,
+    tile_b: Optional[int] = None,
     interpret: bool = False,
     rwa_signal_map: Optional[Callable] = None,
     precision: str = "f32",
@@ -137,7 +137,8 @@ def fused_sweep_solve(
         max_dt: maximum step size.
         y0: shared initial state, shape (dim,).
         expm_order: Taylor order of the in-kernel expm.
-        tile_b: Pallas lane-tile size.
+        tile_b: Pallas lane-tile size; ``None`` (default) picks by dim
+            (512 / 256 / 128 as the VMEM scratch grows).
         interpret: interpreter mode (CPU tests).
         rwa_signal_map: optional signal map (as returned by
             ``rotating_wave_approximation``) applied to ``signals_fn``'s
@@ -228,11 +229,16 @@ def fused_sweep_solve(
         )
 
     if sweep_engine == "auto":
+        # measured (BENCHMARKS.md): the row-looped Pallas kernel compiles up
+        # to n = 64 but only ties the XLA engine there (fori rows lose the
+        # unrolled ILP); the lane kernel's win lives at small n
         sweep_engine = "pallas" if solve_dim <= 32 else "xla"
     if sweep_engine not in ("pallas", "xla"):
         raise DynamicsError(
             f"unknown sweep_engine {sweep_engine!r}; use 'pallas', 'xla' or 'auto'."
         )
+    if tile_b is None:
+        tile_b = 512 if solve_dim <= 16 else (256 if solve_dim <= 32 else 128)
 
     coeffs = jnp.moveaxis(
         jax.vmap(lambda p: signals_as_list(p)(jnp.asarray(gauss_times)))(params), 0, -1
