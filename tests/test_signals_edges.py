@@ -206,3 +206,126 @@ class TestDraw:
             sig.draw(0.0, 0.75, 10, axis=ax)
             assert len(ax.lines) >= 1
             plt.close(fig)
+
+
+class TestSumSubscriptIteration:
+    """Reference analog: TestSignalSum subscript/iterator cases
+    (test_signals.py:860-911)."""
+
+    def _sum(self):
+        return (
+            Signal(lambda t: t, carrier_freq=1.0)
+            + Signal(2.0, carrier_freq=2.0)
+            + Signal(0.5, carrier_freq=3.0)
+        )
+
+    def test_signal_sum_int_subscript(self):
+        s = self._sum()
+        assert isinstance(s[0], Signal)
+        assert float(s[1].carrier_freq) == 2.0
+
+    def test_signal_sum_slice_and_list_subscript(self):
+        s = self._sum()
+        sub = s[1:]
+        assert isinstance(sub, SignalSum) and len(sub) == 2
+        np.testing.assert_allclose(
+            np.asarray(sub(0.3)), np.asarray(s[1](0.3) + s[2](0.3)), atol=1e-12
+        )
+        picked = s[[0, 2]]
+        assert len(picked) == 2
+        assert float(picked[1].carrier_freq) == 3.0
+
+    def test_signal_sum_iterates_components(self):
+        freqs = [float(c.carrier_freq) for c in self._sum()]
+        assert freqs == [1.0, 2.0, 3.0]
+
+    def test_discrete_sum_int_subscript_is_discrete_signal(self):
+        d = DiscreteSignalSum(
+            dt=0.5,
+            samples=np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]),
+            carrier_freq=[1.0, 2.0],
+            phase=[0.0, 0.5],
+        )
+        comp = d[1]
+        assert isinstance(comp, DiscreteSignal)
+        np.testing.assert_allclose(np.asarray(comp.samples), [2.0, 4.0, 6.0])
+        assert float(comp.carrier_freq) == 2.0
+        assert float(comp.phase) == 0.5
+        with pytest.raises(IndexError):
+            d[2]
+
+    def test_discrete_sum_slice_subscript_stays_sum(self):
+        d = DiscreteSignalSum(
+            dt=0.5,
+            samples=np.array([[1.0, 2.0, 3.0]]),
+            carrier_freq=[1.0, 2.0, 3.0],
+        )
+        sub = d[1:]
+        assert isinstance(sub, DiscreteSignalSum) and len(sub) == 2
+        ts = np.array([0.1, 0.4])
+        np.testing.assert_allclose(
+            np.asarray(sub(ts)), np.asarray(d[1](ts)) + np.asarray(d[2](ts)), atol=1e-12
+        )
+
+
+class TestSumConstruction:
+    def test_sum_with_plain_numbers(self):
+        """Adding a constant number produces a constant-signal term
+        (reference: test_construction_with_numbers)."""
+        s = Signal(1.0, carrier_freq=1.0) + 2.0
+        assert isinstance(s, SignalSum) and len(s) == 2
+        np.testing.assert_allclose(float(s[1](1.234)), 2.0)
+        s2 = 3 + Signal(1.0, carrier_freq=1.0)
+        np.testing.assert_allclose(
+            float(s2(0.1)), 3.0 + np.cos(2 * np.pi * 0.1), atol=1e-12
+        )
+        s3 = 2.0 * Signal(1.0)
+        np.testing.assert_allclose(float(s3(0.0)), 2.0)
+
+    def test_empty_discrete_signal_to_sum(self):
+        """A zero-sample DiscreteSignal still sums/evaluates (reference:
+        test_empty_DiscreteSignal_to_sum)."""
+        empty = DiscreteSignal(dt=1.0, samples=[])
+        s = empty + Signal(1.0)
+        np.testing.assert_allclose(float(s(0.5)), 1.0, atol=1e-12)
+
+    def test_vectorized_2d_times(self):
+        """All classes evaluate on 2d time arrays elementwise."""
+        ts = np.array([[0.1, 0.2], [0.3, 0.4]])
+        sig = Signal(lambda t: t, carrier_freq=1.0, phase=0.1)
+        expected = np.vectorize(lambda t: complex(sig.complex_value(t)))(ts)
+        np.testing.assert_allclose(np.asarray(sig.complex_value(ts)), expected, atol=1e-12)
+        d = DiscreteSignal(dt=0.25, samples=[1.0, 2.0, 3.0], carrier_freq=0.5)
+        expected_d = np.vectorize(lambda t: complex(d.complex_value(t)))(ts)
+        np.testing.assert_allclose(np.asarray(d.complex_value(ts)), expected_d, atol=1e-12)
+        tot = sig + d
+        np.testing.assert_allclose(
+            np.asarray(tot(ts)), np.asarray(sig(ts)) + np.asarray(d(ts)), atol=1e-12
+        )
+
+
+class TestSignalGradients:
+    def test_grad_wrt_carrier_freq_through_construction(self):
+        """d/dnu of Signal(1.0, carrier_freq=nu)(t) = -2 pi t sin(2 pi nu t)
+        (reference: test_jit_grad_carrier_freq_construct)."""
+        import jax
+
+        t, nu = 0.37, 1.3
+
+        def value(freq):
+            return Signal(1.0, carrier_freq=freq)(t)
+
+        g = jax.grad(value)(nu)
+        expected = -2 * np.pi * t * np.sin(2 * np.pi * nu * t)
+        np.testing.assert_allclose(float(g), expected, atol=1e-12)
+
+    def test_grad_wrt_discrete_samples(self):
+        import jax
+        import jax.numpy as jnp
+
+        def value(samples):
+            sig = DiscreteSignal(dt=0.5, samples=samples, carrier_freq=0.0)
+            return sig(0.6)
+
+        g = jax.grad(value)(jnp.array([0.5, 0.25]))
+        np.testing.assert_allclose(np.asarray(g), [0.0, 1.0], atol=1e-12)
