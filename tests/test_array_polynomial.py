@@ -181,3 +181,129 @@ class TestAlgebra:
         for label, coeff in zip(full.monomial_labels, np.asarray(full.array_coefficients)):
             np.testing.assert_allclose(coeff, direct[label], atol=1e-11)
         np.testing.assert_allclose(np.asarray(full.constant_term), direct[()], atol=1e-11)
+
+
+class TestAlgebraProperties:
+    """Distributivity / filter / label-handling battery (reference analog:
+    test_array_polynomial.py:113-575 parametrized distributive cases)."""
+
+    def _check_pointwise(self, result, direct_fn, c):
+        np.testing.assert_allclose(
+            np.asarray(result(jnp.asarray(c))), direct_fn(c), atol=1e-12
+        )
+
+    def test_add_non_overlapping_labels(self):
+        rng = np.random.default_rng(0)
+        a = _random_poly(rng, labels=((0,), (0, 0)))
+        b = _random_poly(rng, labels=((1,), (1, 1)))
+        c = rng.standard_normal(2)
+        s = a.add(b)
+        assert {tuple(m) for m in s.monomial_labels} == {(0,), (0, 0), (1,), (1, 1)}
+        self._check_pointwise(s, lambda c: _direct_eval(a, c) + _direct_eval(b, c), c)
+
+    def test_distributive_identities(self):
+        rng = np.random.default_rng(1)
+        a = _random_poly(rng)
+        b = _random_poly(rng, labels=((1,), (0, 0)))
+        c = rng.standard_normal(2)
+        for op, direct in (
+            ("matmul", lambda c: _direct_eval(a, c) @ _direct_eval(b, c)),
+            ("mul", lambda c: _direct_eval(a, c) * _direct_eval(b, c)),
+        ):
+            full_labels = getattr(a, op)(b)
+            # without a filter the result must match the raw product up to
+            # the maximum combined degree
+            self._check_pointwise(full_labels, direct, c)
+
+    def test_matmul_filter_truncates_degree(self):
+        rng = np.random.default_rng(2)
+        a = _random_poly(rng)
+        b = _random_poly(rng, labels=((1,), (0, 0)))
+        keep = lambda m: len(m) <= 2
+        truncated = a.matmul(b, monomial_filter=keep)
+        assert all(len(m) <= 2 for m in truncated.monomial_labels)
+        full = a.matmul(b)
+        dropped = [m for m in full.monomial_labels if len(m) > 2]
+        assert dropped  # the filter actually removed something
+        # matching terms agree
+        for m in truncated.monomial_labels:
+            i_t = truncated.monomial_labels.index(m)
+            i_f = full.monomial_labels.index(m)
+            np.testing.assert_allclose(
+                np.asarray(truncated.array_coefficients)[i_t],
+                np.asarray(full.array_coefficients)[i_f],
+                atol=1e-12,
+            )
+
+    def test_add_monomial_filter(self):
+        rng = np.random.default_rng(3)
+        a = _random_poly(rng, labels=((0,), (0, 1)))
+        b = _random_poly(rng, labels=((1,), (1, 1)))
+        only_first_order = a.add(b, monomial_filter=lambda m: len(m) <= 1)
+        assert {tuple(m) for m in only_first_order.monomial_labels} == {(0,), (1,)}
+
+    def test_mul_with_array_and_scalar(self):
+        rng = np.random.default_rng(4)
+        a = _random_poly(rng)
+        arr = rng.standard_normal((3, 3))
+        c = rng.standard_normal(2)
+        self._check_pointwise(a.mul(arr), lambda c: _direct_eval(a, c) * arr, c)
+        self._check_pointwise(2.5 * a, lambda c: 2.5 * _direct_eval(a, c), c)
+
+    def test_matmul_with_array_both_sides(self):
+        rng = np.random.default_rng(5)
+        a = _random_poly(rng)
+        arr = rng.standard_normal((3, 3))
+        c = rng.standard_normal(2)
+        self._check_pointwise(a @ arr, lambda c: _direct_eval(a, c) @ arr, c)
+        self._check_pointwise(arr @ a, lambda c: arr @ _direct_eval(a, c), c)
+
+
+class TestArrayMethodEdges:
+    def test_shape_ndim_properties(self):
+        rng = np.random.default_rng(6)
+        ap = _random_poly(rng, shape=(2, 4))
+        assert ap.shape == (2, 4)
+        assert ap.ndim == 2
+
+    def test_sum_with_axis(self):
+        rng = np.random.default_rng(7)
+        ap = _random_poly(rng, shape=(2, 4))
+        c = rng.standard_normal(2)
+        summed = ap.sum(axis=1)
+        assert summed.shape == (2,)
+        np.testing.assert_allclose(
+            np.asarray(summed(jnp.asarray(c))), _direct_eval(ap, c).sum(axis=1), atol=1e-12
+        )
+
+    def test_trace_requires_2d(self):
+        ap = ArrayPolynomial(
+            array_coefficients=np.ones((1, 3)), monomial_labels=[[0]]
+        )
+        with pytest.raises((DynamicsError, ValueError)):
+            ap.trace()
+
+    def test_compute_monomials_skipped_variable(self):
+        """Labels that never use variable 1 still evaluate correctly."""
+        ap = ArrayPolynomial(
+            array_coefficients=np.ones((2, 2, 2)),
+            monomial_labels=[[0], [0, 0, 2]],
+        )
+        c = np.array([2.0, 99.0, 3.0])
+        np.testing.assert_allclose(ap.compute_monomials(c), [2.0, 12.0])
+
+    def test_transpose_with_axes(self):
+        rng = np.random.default_rng(8)
+        ap = _random_poly(rng, shape=(2, 4))
+        c = rng.standard_normal(2)
+        np.testing.assert_allclose(
+            np.asarray(ap.transpose()(jnp.asarray(c))), _direct_eval(ap, c).T, atol=1e-12
+        )
+
+    def test_conj_composes_with_call(self):
+        rng = np.random.default_rng(9)
+        ap = _random_poly(rng)
+        c = rng.standard_normal(2)
+        np.testing.assert_allclose(
+            np.asarray(ap.conj()(jnp.asarray(c))), np.conj(_direct_eval(ap, c)), atol=1e-12
+        )
