@@ -570,3 +570,80 @@ class TestDysonTermsViaAutodiff:
                 term, expected(label), atol=5e-7,
                 err_msg=f"Dyson term {label} mismatch vs AD Taylor coefficient",
             )
+
+
+class TestMagnusTermsViaAutodiff:
+    """Same AD strategy for Magnus: Omega(c) = log(V^-1 U(c)) has the Magnus
+    terms as its Taylor coefficients. A truncated mercator series
+    log(I+E) = E - E^2/2 + ... is exact for partials up to its truncation
+    order (E = O(c)), making the log forward-mode differentiable."""
+
+    def test_terms_to_order_3(self):
+        import math
+
+        import jax
+        import jax.numpy as jnp
+
+        X, Y, Z = _2x2_ops()
+        G0 = -1j * 2.0 * np.pi * 0.8 * Z / 2
+        A0 = lambda t: -1j * jnp.cos(2.0 * t) * jnp.asarray(X) / 2
+        A1 = lambda t: -1j * (jnp.sin(t) + 0.3) * jnp.asarray(Y) / 2
+        T, n_steps = 0.5, 400
+
+        res = solve_lmde_perturbation(
+            perturbations=[A0, A1],
+            t_span=[0.0, T],
+            expansion_method="magnus",
+            expansion_order=3,
+            generator=lambda t: jnp.asarray(G0),
+            atol=1e-13,
+            rtol=1e-13,
+        )
+
+        h = T / n_steps
+
+        def propagator(c):
+            from jax import lax
+
+            G0j = jnp.asarray(G0)
+
+            def rhs(t, y):
+                return (G0j + c[0] * A0(t) + c[1] * A1(t)) @ y
+
+            def step(y, i):
+                t = i * h
+                k1 = rhs(t, y)
+                k2 = rhs(t + h / 2, y + h / 2 * k1)
+                k3 = rhs(t + h / 2, y + h / 2 * k2)
+                k4 = rhs(t + h, y + h * k3)
+                return y + (h / 6) * (k1 + 2 * k2 + 2 * k3 + k4), None
+
+            y, _ = lax.scan(step, jnp.eye(2, dtype=complex), jnp.arange(n_steps))
+            return y
+
+        zero = jnp.zeros(2)
+        Vinv = jnp.linalg.inv(propagator(zero))
+
+        def omega(c):
+            E = Vinv @ propagator(c) - jnp.eye(2, dtype=complex)
+            # mercator series to degree 5 — exact for partials of order <= 5
+            out = jnp.zeros_like(E)
+            Ek = jnp.eye(2, dtype=complex)
+            for kk in range(1, 6):
+                Ek = Ek @ E
+                out = out + ((-1.0) ** (kk + 1) / kk) * Ek
+            return out
+
+        d1 = jax.jacfwd(omega)
+        d2 = jax.jacfwd(d1)
+        d3 = jax.jacfwd(d2)
+        j = {1: np.asarray(d1(zero)), 2: np.asarray(d2(zero)), 3: np.asarray(d3(zero))}
+
+        for label in ([0], [1], [0, 0], [0, 1], [1, 1], [0, 0, 1], [0, 0, 0], [0, 1, 1]):
+            part = j[len(label)][(...,) + tuple(label)]
+            mult = math.prod(math.factorial(label.count(v)) for v in set(label))
+            term = np.asarray(res.perturbation_data.get_item(label)[-1])
+            np.testing.assert_allclose(
+                term, part / mult, atol=5e-7,
+                err_msg=f"Magnus term {label} mismatch vs AD log-Taylor coefficient",
+            )
