@@ -1,0 +1,69 @@
+r"""Differentiable fused sweeps: Pallas primal, XLA-engine adjoint.
+
+Pallas kernels carry no autodiff rules, so ``sweep_expm_magnus2`` alone cannot
+sit under ``jax.grad`` — but the batch-major XLA engine
+(:mod:`~qiskit_dynamics_tpu.ops.xla_sweep`) computes the *same* Magnus-2 +
+Horner-Taylor polynomial with ordinary jax ops. This module glues them with a
+``custom_vjp``:
+
+- **primal**: the fused Pallas kernel (fast path, unchanged);
+- **backward**: ``jax.vjp`` through the XLA engine re-run at the saved inputs
+  (checkpointed scan — only the per-step state is stored, the ``(B, n, n)``
+  intermediates are recomputed), yielding exact gradients of the identical
+  polynomial with respect to ALL operands: the signal coefficient tables (→
+  pulse/amplitude parameters upstream), the operators, the static generator,
+  the frame frequencies, and ``y0``.
+
+This makes ``solvers.fused_sweep_solve`` differentiable end-to-end — optimal
+control at fused-sweep throughput (the reference's JAX backend offers autodiff
+only through its generic ODE path; see ``/root/reference/README.md:18-21``).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+
+from .sweep_solver import sweep_expm_magnus2
+from .xla_sweep import sweep_expm_magnus2_xla
+
+__all__ = ["sweep_expm_magnus2_ad"]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def sweep_expm_magnus2_ad(
+    static_op, operators, frame_omega, coefficients, y0,
+    dt, t0, order, hermitian, mode, tile_b, interpret,
+):
+    """``sweep_expm_magnus2`` with gradients (positional statics for
+    ``custom_vjp``; see :func:`~qiskit_dynamics_tpu.ops.sweep_solver.sweep_expm_magnus2`
+    for argument semantics)."""
+    return sweep_expm_magnus2(
+        static_op, operators, frame_omega, coefficients, y0,
+        dt=dt, t0=t0, order=order, hermitian=hermitian, mode=mode,
+        tile_b=tile_b, interpret=interpret,
+    )
+
+
+def _fwd(static_op, operators, frame_omega, coefficients, y0,
+         dt, t0, order, hermitian, mode, tile_b, interpret):
+    out = sweep_expm_magnus2(
+        static_op, operators, frame_omega, coefficients, y0,
+        dt=dt, t0=t0, order=order, hermitian=hermitian, mode=mode,
+        tile_b=tile_b, interpret=interpret,
+    )
+    return out, (static_op, operators, frame_omega, coefficients, y0)
+
+
+def _bwd(dt, t0, order, hermitian, mode, tile_b, interpret, residuals, cotangent):
+    def f(static_op, operators, frame_omega, coefficients, y0):
+        return sweep_expm_magnus2_xla(
+            static_op, operators, frame_omega, coefficients, y0,
+            dt=dt, t0=t0, order=order, hermitian=hermitian,
+        )
+
+    _, vjp = jax.vjp(f, *residuals)
+    return vjp(cotangent)
+
+
+sweep_expm_magnus2_ad.defvjp(_fwd, _bwd)

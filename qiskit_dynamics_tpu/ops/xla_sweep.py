@@ -83,5 +83,8 @@ def sweep_expm_magnus2_xla(
             v = y + jnp.einsum("bij,bj->bi", M, v) / kk
         return v, None
 
-    y, _ = jax.lax.scan(step, y, (jnp.arange(T), coef))
+    # checkpoint the step: under reverse-mode AD only the per-step carry
+    # (B, n) is stored — the (B, n, n) generators/M are recomputed in the
+    # backward pass instead of being saved T-fold in HBM
+    y, _ = jax.lax.scan(jax.checkpoint(step), y, (jnp.arange(T), coef))
     return jnp.swapaxes(y, 0, 1)  # (n, B)

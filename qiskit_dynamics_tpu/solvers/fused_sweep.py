@@ -253,11 +253,15 @@ def fused_sweep_solve(
             order=expm_order, hermitian=hermitian,
         )
     else:
+        from ..ops.sweep_ad import sweep_expm_magnus2_ad
+
         coeffs, y0_cols, B, m = _expand_lanes(coeffs, y0_fb, solve_dim, tile_b)
-        yf = sweep_expm_magnus2(
-            static_fb, ops_fb, omega, coeffs, y0_cols, dt=dt, t0=t0,
-            order=expm_order, tile_b=tile_b, interpret=interpret,
-            hermitian=hermitian, mode=magnus_mode,
+        # custom-vjp wrapper: Pallas primal, XLA-engine adjoint — the whole
+        # sweep is differentiable (e.g. grad of a fidelity objective w.r.t.
+        # the sweep parameters through the signal coefficients)
+        yf = sweep_expm_magnus2_ad(
+            static_fb, ops_fb, omega, coeffs, y0_cols,
+            dt, t0, expm_order, hermitian, magnus_mode, tile_b, interpret,
         )
     if vectorized_lindblad:
         n = model.dim

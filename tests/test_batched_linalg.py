@@ -172,6 +172,40 @@ class TestFusedSweepSolver:
                 np.asarray(out[i]), np.asarray(res.y[-1]), atol=5e-7
             )
 
+    def test_fused_sweep_gradient_matches_finite_differences(self):
+        # custom-vjp path: Pallas primal, XLA-engine adjoint (ops/sweep_ad.py)
+        import jax
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+        from qiskit_dynamics_tpu import Signal
+
+        solver, w1 = cr_solver(dim=2)
+        y0 = np.zeros(4, dtype=complex)
+        y0[0] = 1.0
+        T = 2.0
+
+        def signals_fn(amp):
+            return [Signal(lambda t: amp * 0.02, carrier_freq=w1)]
+
+        def loss(amps):
+            yf = fused_sweep_solve(
+                solver.model, signals_fn, amps, t_span=(0.0, T), max_dt=0.5,
+                y0=y0, tile_b=8, interpret=True,
+                rwa_signal_map=solver._rwa_signal_map,
+            )
+            return jnp.mean(jnp.abs(yf[:, 1]) ** 2)
+
+        amps = jnp.array([0.3, 0.75, 1.0, 0.5, 0.2, 0.9, 0.6, 0.1])
+        g = np.asarray(jax.grad(loss)(amps))
+        eps = 1e-6
+        for i in (0, 3, 7):
+            ap = np.asarray(amps).copy()
+            am = ap.copy()
+            ap[i] += eps
+            am[i] -= eps
+            fd = (float(loss(jnp.asarray(ap))) - float(loss(jnp.asarray(am)))) / (2 * eps)
+            np.testing.assert_allclose(g[i], fd, atol=1e-9)
+
     def test_anti_hermitian_detection(self):
         from qiskit_dynamics_tpu.solvers.fused_sweep import _all_anti_hermitian
 
