@@ -135,6 +135,36 @@ def main():
             "df32_max_err": float(f"{df_err:.3g}"),
         }
 
+    # --- gradient row: whole-sweep gradient through the fused fixed-step
+    # kernel (custom vjp: Pallas primal, checkpointed XLA adjoint) ---
+    grad_metrics = {}
+    if os.environ.get("BENCH_GRAD", "1") == "1":
+        try:
+            from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+
+            def grad_loss(amps_in):
+                yf = fused_sweep_solve(
+                    solver.model, signals_fn, amps_in, t_span=(0.0, T),
+                    max_dt=0.5, y0=y0, rwa_signal_map=solver._rwa_signal_map,
+                )
+                return jnp.mean(jnp.abs(yf[:, 1]) ** 2)
+
+            gradfn = jax.jit(jax.grad(grad_loss))
+            g_amps = jnp.linspace(0.25, 1.0, sweep_size)
+            t0 = time.time()
+            np.asarray(gradfn(g_amps))
+            log(f"grad compile+first: {time.time() - t0:.1f}s")
+            t0 = time.time()
+            np.asarray(gradfn(g_amps))
+            grad_time = time.time() - t0
+            log(
+                f"grad steady: {grad_time:.2f}s for {sweep_size}-point sweep "
+                f"-> {sweep_size / grad_time:.0f} grad-sims/s"
+            )
+            grad_metrics = {"grad_sims_per_sec": round(sweep_size / grad_time, 1)}
+        except Exception as exc:  # never let the grad row kill the bench JSON
+            log(f"grad row failed: {exc!r}")
+
     # --- config-5 row: 3-transmon schedule batch through the fused kernel ---
     sched_metrics = {}
     if os.environ.get("BENCH_SCHEDULES", "1") == "1":
@@ -167,6 +197,7 @@ def main():
                 "unit": "sims/sec",
                 "vs_baseline": round(device_throughput / numpy_throughput, 2),
                 **df_metrics,
+                **grad_metrics,
                 **sched_metrics,
             }
         )
