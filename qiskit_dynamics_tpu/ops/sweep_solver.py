@@ -49,17 +49,30 @@ def _kernel(
     t0: float,
     order: int,
     mode: str,
-    # refs:
-    statr_ref, stati_ref,       # (n, n) static op (frame basis, diag-subtracted)
-    opsr_ref, opsi_ref,         # (k, n, n) signal operators (frame basis)
-    omega_ref,                  # (n, n) frame frequency differences Im(d_j - d_i)
-    coef_ref,                   # (T, 2, k, TILE_B) real signal values at Gauss pts
-    y0r_ref, y0i_ref,           # (n, TILE_B) initial state (frame basis)
-    outr_ref, outi_ref,         # (n, TILE_B) final state
-    # scratch (mode-dependent; see sweep_expm_magnus2):
-    *scratch,
+    n_eval: int,
+    # refs (with ``n_eval > 0``, ``slot_ref`` (T, 1) int32 follows coef_ref
+    # and trajectory outputs (n_eval, n, TILE_B) follow outr/outi):
+    *refs_and_scratch,
 ):
     """One B-tile: full T-step Magnus-2 propagation in VMEM."""
+    refs = refs_and_scratch
+    statr_ref, stati_ref = refs[0], refs[1]   # (n, n) static (frame basis)
+    opsr_ref, opsi_ref = refs[2], refs[3]     # (k, n, n) signal operators
+    omega_ref = refs[4]                       # (n, n) frame freq differences
+    coef_ref = refs[5]                        # (T, 2, k, TILE_B) Gauss signals
+    pos = 6
+    slot_ref = None
+    if n_eval > 0:
+        slot_ref = refs[pos]                  # (T, 1) int32 step -> eval slot
+        pos += 1
+    y0r_ref, y0i_ref = refs[pos], refs[pos + 1]    # (n, TILE_B)
+    outr_ref, outi_ref = refs[pos + 2], refs[pos + 3]  # (n, TILE_B) final
+    pos += 4
+    evalr_ref = evali_ref = None
+    if n_eval > 0:
+        evalr_ref, evali_ref = refs[pos], refs[pos + 1]  # (n_eval, n, TILE_B)
+        pos += 2
+    scratch = refs[pos:]
     if mode == "matvec":
         g1r, g1i, g2r, g2i = scratch[:4]
         yr, yi, vr, vi, u1r, u1i, u2r, u2i, t1r, t1i = scratch[4:]
@@ -228,7 +241,25 @@ def _kernel(
     yr[...] = y0r_ref[...]
     yi[...] = y0i_ref[...]
 
-    jax.lax.fori_loop(0, T, body_matvec if mode == "matvec" else body, 0)
+    step_fn = body_matvec if mode == "matvec" else body
+
+    def step_and_store(step, c):
+        step_fn(step, c)
+        if n_eval > 0:
+            # trajectory output: after step s the state is y(t0 + (s+1) dt);
+            # slot_ref maps the step index to its t_eval slot (-1: not kept)
+            slot = slot_ref[step, 0]
+
+            @pl.when(slot >= 0)
+            def _store():
+                def row(i):
+                    evalr_ref[slot, i] = yr[i]
+                    evali_ref[slot, i] = yi[i]
+
+                rows(row)
+        return 0
+
+    jax.lax.fori_loop(0, T, step_and_store, 0)
 
     outr_ref[...] = yr[...]
     outi_ref[...] = yi[...]
@@ -237,7 +268,8 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "dt", "t0", "order", "tile_b", "interpret", "hermitian", "mode"
+        "dt", "t0", "order", "tile_b", "interpret", "hermitian", "mode",
+        "eval_slots",
     ),
 )
 def sweep_expm_magnus2(
@@ -253,6 +285,7 @@ def sweep_expm_magnus2(
     interpret: bool = False,
     hermitian: bool = False,
     mode: str = "auto",
+    eval_slots=None,
 ):
     r"""Fixed-step Magnus-2 sweep solve, fused into one Pallas kernel.
 
@@ -292,9 +325,16 @@ def sweep_expm_magnus2(
               ``M v`` as 4 mat-vecs (``4 order n^2 B``, no ``n^3`` term;
               the win for large ``n``, e.g. vectorized Lindblad);
             - ``"auto"`` (default): pick by the matmul cost model.
+        eval_slots: optional length-T TUPLE of ints (static): after
+            step ``s`` (state at ``t0 + (s+1) dt``) the state is stored into
+            trajectory slot ``eval_slots[s]`` if ``>= 0``. Slot values must
+            be ``-1`` or a unique index in ``[0, n_eval)`` where
+            ``n_eval = max(eval_slots) + 1``.
 
     Returns:
-        (n, B) complex final states in the frame basis at ``t = T dt``.
+        (n, B) complex final states in the frame basis at ``t = T dt``;
+        with ``eval_slots``, a tuple ``(final, trajectory)`` where
+        ``trajectory`` is (n_eval, n, B) complex (frame basis).
     """
     T, _, k, B = coefficients.shape
     n = y0.shape[0]
@@ -330,8 +370,16 @@ def sweep_expm_magnus2(
     if mode not in ("matrix", "matrix_herm", "matvec"):
         raise ValueError(f"unknown mode {mode!r}")
 
+    n_eval = 0
+    if eval_slots is not None:
+        if len(eval_slots) != T:
+            raise ValueError(f"eval_slots must have length T={T}")
+        n_eval = int(max(eval_slots)) + 1
+        if n_eval <= 0:
+            raise ValueError("eval_slots must mark at least one step")
+
     kernel = functools.partial(
-        _kernel, n, k, T, float(dt), float(t0), order, mode
+        _kernel, n, k, T, float(dt), float(t0), order, mode, n_eval
     )
     scratch_mat = pltpu.VMEM((n, n, tile_b), f32)
     scratch_vec = pltpu.VMEM((n, tile_b), f32)
@@ -340,16 +388,36 @@ def sweep_expm_magnus2(
     else:
         scratch = [scratch_mat] * 6 + [scratch_vec] * 6
 
-    outr, outi = pl.pallas_call(
+    in_specs = [
+        full(statr), full(stati), full(opsr), full(opsi), full(omega),
+        coef_spec,
+    ]
+    inputs = [statr, stati, opsr, opsi, omega, coef]
+    out_specs = [y_spec, y_spec]
+    out_shape = [jax.ShapeDtypeStruct((n, B), f32)] * 2
+    if n_eval > 0:
+        slots = jnp.asarray(np.asarray(eval_slots, dtype=np.int32)[:, None])
+        in_specs.append(full(slots))
+        inputs.append(slots)
+        eval_spec = pl.BlockSpec(
+            (n_eval, n, tile_b), lambda b: (0, 0, b), memory_space=pltpu.VMEM
+        )
+        out_specs += [eval_spec, eval_spec]
+        out_shape += [jax.ShapeDtypeStruct((n_eval, n, B), f32)] * 2
+    in_specs += [y_spec, y_spec]
+    inputs += [y0r, y0i]
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            full(statr), full(stati), full(opsr), full(opsi), full(omega),
-            coef_spec, y_spec, y_spec,
-        ],
-        out_specs=[y_spec, y_spec],
-        out_shape=[jax.ShapeDtypeStruct((n, B), f32)] * 2,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(statr, stati, opsr, opsi, omega, coef, y0r, y0i)
+    )(*inputs)
+    if n_eval > 0:
+        outr, outi, evalr, evali = outs
+        return outr + 1j * outi, evalr + 1j * evali
+    outr, outi = outs
     return outr + 1j * outi

@@ -27,7 +27,7 @@ __all__ = ["sweep_expm_magnus2_xla"]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dt", "t0", "order", "hermitian")
+    jax.jit, static_argnames=("dt", "t0", "order", "hermitian", "eval_slots")
 )
 def sweep_expm_magnus2_xla(
     static_op,
@@ -39,12 +39,15 @@ def sweep_expm_magnus2_xla(
     t0: float = 0.0,
     order: int = 8,
     hermitian: bool = False,
+    eval_slots=None,
 ):
     r"""Fixed-step Magnus-2 sweep solve, batch-major XLA implementation.
 
     Args/returns match :func:`~qiskit_dynamics_tpu.ops.sweep_solver.sweep_expm_magnus2`
     (``coefficients`` ``(T, 2, k, B)``, ``y0``/result ``(n, B)`` complex in the
-    frame basis); no ``tile_b`` — XLA picks the tiling.
+    frame basis, optional static ``eval_slots`` tuple producing an
+    ``(n_eval, n, B)`` trajectory second output); no ``tile_b`` — XLA picks
+    the tiling.
     """
     cplx = jnp.complex64 if not jax.config.jax_enable_x64 else jnp.complex128
     real = jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64
@@ -64,7 +67,16 @@ def sweep_expm_magnus2_xla(
     c1 = 0.5 * dt
     c2 = _P2 * dt * dt
 
-    def step(y, xs):
+    n_eval = 0
+    slots = None
+    if eval_slots is not None:
+        if len(eval_slots) != T:
+            raise ValueError(f"eval_slots must have length T={T}")
+        n_eval = int(max(eval_slots)) + 1
+        slots = jnp.asarray(np.asarray(eval_slots, dtype=np.int32))
+
+    def step(carry, xs):
+        y, evals = carry
         idx, coef_step = xs
         t_step = t0 + idx.astype(real) * dt
         G1 = generator(coef_step[0], t_step + _GAUSS_C1 * dt)
@@ -81,10 +93,23 @@ def sweep_expm_magnus2_xla(
         v = y
         for kk in range(order, 0, -1):
             v = y + jnp.einsum("bij,bj->bi", M, v) / kk
-        return v, None
+        if n_eval > 0:
+            slot = slots[idx]
+            updated = jax.lax.dynamic_update_index_in_dim(
+                evals, v, jnp.maximum(slot, 0), axis=0
+            )
+            evals = jnp.where(slot >= 0, updated, evals)
+        return (v, evals), None
 
+    evals0 = (
+        jnp.zeros((n_eval,) + y.shape, dtype=y.dtype) if n_eval > 0 else jnp.zeros(())
+    )
     # checkpoint the step: under reverse-mode AD only the per-step carry
-    # (B, n) is stored — the (B, n, n) generators/M are recomputed in the
+    # is stored — the (B, n, n) generators/M are recomputed in the
     # backward pass instead of being saved T-fold in HBM
-    y, _ = jax.lax.scan(jax.checkpoint(step), y, (jnp.arange(T), coef))
+    (y, evals), _ = jax.lax.scan(
+        jax.checkpoint(step), (y, evals0), (jnp.arange(T), coef)
+    )
+    if n_eval > 0:
+        return jnp.swapaxes(y, 0, 1), jnp.moveaxis(evals, 2, 1)  # (n_eval, n, B)
     return jnp.swapaxes(y, 0, 1)  # (n, B)

@@ -122,6 +122,7 @@ def fused_sweep_solve(
     df_engine: str = "auto",
     magnus_mode: str = "auto",
     sweep_engine: str = "auto",
+    t_eval=None,
 ):
     r"""Solve ``y' = G_b(t) y`` for a parameter sweep with the fused kernel.
 
@@ -156,6 +157,15 @@ def fused_sweep_solve(
         magnus_mode: in-kernel Magnus-2 evaluation strategy (``"auto"``
             picks by matmul cost; see
             :func:`~qiskit_dynamics_tpu.ops.sweep_solver.sweep_expm_magnus2`).
+        t_eval: optional strictly-increasing trajectory times. Each must lie
+            on the fixed step grid ``t0 + j dt`` (the same rule as the
+            generic fixed-step solvers applies the grid; points off the grid
+            raise). When given, the return value is the full trajectory
+            ``(B, len(t_eval), ...)`` instead of final states only — stored
+            in-kernel at the marked steps (near-zero overhead). Unsupported
+            with ``precision="df32"``; the pallas path with ``t_eval`` is
+            not differentiable (use ``sweep_engine="xla"`` for gradients of
+            trajectories).
         sweep_engine: ``"pallas"`` (batch-on-lanes fused kernel — fastest for
             small dims, but Mosaic compile time grows with the unrolled
             ``n^2`` loops), ``"xla"`` (batch-major MXU matmuls under one
@@ -222,11 +232,40 @@ def fused_sweep_solve(
         y0_fb = np.asarray(model.rotating_frame.state_into_frame_basis(np.asarray(y0)))
 
     if precision == "df32":
+        if t_eval is not None:
+            raise DynamicsError(
+                'fused_sweep_solve(precision="df32") does not support t_eval.'
+            )
         return _fused_sweep_solve_df(
             model, signals_as_list, params, n_steps, static_fb, ops_fb, omega,
             y0_fb, vectorized_lindblad, dt, t0, expm_order, df_chunk_b,
             df_magnus_order, df_engine,
         )
+
+    eval_slots = None
+    include_t0 = False
+    if t_eval is not None:
+        te = np.atleast_1d(np.asarray(t_eval, dtype=float))
+        if te.ndim != 1 or te.size == 0:
+            raise DynamicsError("t_eval must be a non-empty 1d sequence of times.")
+        if te.size > 1 and np.any(np.diff(te) <= 0):
+            raise DynamicsError("t_eval must be strictly increasing.")
+        if te[0] < t0 - 1e-9 or te[-1] > tf + 1e-9 * max(1.0, abs(tf)):
+            raise DynamicsError(f"t_eval must lie within t_span ({t0}, {tf}).")
+        s = (te - t0) / dt
+        s_round = np.round(s).astype(int)
+        if np.any(np.abs(s - s_round) > 1e-6 * np.maximum(1.0, np.abs(s))):
+            raise DynamicsError(
+                "t_eval points must lie on the fixed step grid t0 + j*dt "
+                f"(dt={dt}); off-grid trajectory output is not supported by "
+                "the fused kernel — use the generic solvers for dense output."
+            )
+        include_t0 = s_round[0] == 0
+        kept_steps = s_round[1:] if include_t0 else s_round
+        slots = np.full(n_steps, -1, dtype=int)
+        for j, st in enumerate(kept_steps):
+            slots[st - 1] = j
+        eval_slots = tuple(int(x) for x in slots) if len(kept_steps) else None
 
     if sweep_engine == "auto":
         # measured (BENCHMARKS.md): the row-looped Pallas kernel compiles up
@@ -244,30 +283,66 @@ def fused_sweep_solve(
         jax.vmap(lambda p: signals_as_list(p)(jnp.asarray(gauss_times)))(params), 0, -1
     )  # (T, 2, k, B)
     hermitian = _all_anti_hermitian(static_fb, ops_fb)
+    traj = None
     if sweep_engine == "xla":
         from ..ops.xla_sweep import sweep_expm_magnus2_xla
 
         coeffs, y0_cols, B, m = _expand_lanes(coeffs, y0_fb, solve_dim, 1)
-        yf = sweep_expm_magnus2_xla(
+        out = sweep_expm_magnus2_xla(
             static_fb, ops_fb, omega, coeffs, y0_cols, dt=dt, t0=t0,
-            order=expm_order, hermitian=hermitian,
+            order=expm_order, hermitian=hermitian, eval_slots=eval_slots,
         )
+        yf, traj = out if eval_slots is not None else (out, None)
     else:
-        from ..ops.sweep_ad import sweep_expm_magnus2_ad
-
         coeffs, y0_cols, B, m = _expand_lanes(coeffs, y0_fb, solve_dim, tile_b)
-        # custom-vjp wrapper: Pallas primal, XLA-engine adjoint — the whole
-        # sweep is differentiable (e.g. grad of a fidelity objective w.r.t.
-        # the sweep parameters through the signal coefficients)
-        yf = sweep_expm_magnus2_ad(
-            static_fb, ops_fb, omega, coeffs, y0_cols,
-            dt, t0, expm_order, hermitian, magnus_mode, tile_b, interpret,
-        )
+        if eval_slots is not None:
+            # trajectory outputs: direct kernel call (no custom-vjp wrapper —
+            # trajectories through pallas are not differentiable)
+            yf, traj = sweep_expm_magnus2(
+                static_fb, ops_fb, omega, coeffs, y0_cols, dt=dt, t0=t0,
+                order=expm_order, tile_b=tile_b, interpret=interpret,
+                hermitian=hermitian, mode=magnus_mode, eval_slots=eval_slots,
+            )
+        else:
+            from ..ops.sweep_ad import sweep_expm_magnus2_ad
+
+            # custom-vjp wrapper: Pallas primal, XLA-engine adjoint — the
+            # whole sweep is differentiable (e.g. grad of a fidelity
+            # objective w.r.t. the sweep parameters)
+            yf = sweep_expm_magnus2_ad(
+                static_fb, ops_fb, omega, coeffs, y0_cols,
+                dt, t0, expm_order, hermitian, magnus_mode, tile_b, interpret,
+            )
+
+    if t_eval is not None:
+        pieces = []
+        if include_t0:
+            pieces.append(jnp.asarray(y0_cols, dtype=yf.dtype)[None])
+        if traj is not None:
+            pieces.append(traj)
+        traj = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=0)
+        return _collect_trajectory(model, traj, B, m, vectorized_lindblad)
+
     if vectorized_lindblad:
         n = model.dim
         rho = jnp.transpose(yf[:, :B].reshape(n, n, B), (2, 1, 0))  # (B, n, n)
         return model.rotating_frame.operator_out_of_frame_basis(rho)
     return _collect_lanes(model, yf, B, m)
+
+
+def _collect_trajectory(model, traj, B: int, m: int, vectorized_lindblad: bool):
+    """(n_eval, dim, lanes) frame-basis trajectory -> user-facing layout:
+    (B, n_eval, dim) / (B, n_eval, dim, m) / (B, n_eval, n, n) (Lindblad)."""
+    if vectorized_lindblad:
+        n = model.dim
+        rho = jnp.transpose(traj[:, :, :B].reshape(-1, n, n, B), (3, 0, 2, 1))
+        return model.rotating_frame.operator_out_of_frame_basis(rho)
+    traj = traj[:, :, : B * m]
+    traj = model.rotating_frame.state_out_of_frame_basis(traj)
+    if m == 1:
+        return jnp.transpose(traj, (2, 0, 1))  # (B, n_eval, dim)
+    n_eval, dim = traj.shape[0], traj.shape[1]
+    return jnp.moveaxis(traj.reshape(n_eval, dim, B, m), 2, 0)  # (B, n_eval, dim, m)
 
 
 def _sample_coefficients_f64(signals_as_list, params, gauss_times, k, B):

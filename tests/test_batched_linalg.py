@@ -206,6 +206,65 @@ class TestFusedSweepSolver:
             fd = (float(loss(jnp.asarray(ap))) - float(loss(jnp.asarray(am)))) / (2 * eps)
             np.testing.assert_allclose(g[i], fd, atol=1e-9)
 
+    def test_t_eval_trajectories_match_generic_solver(self):
+        import jax
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+        from qiskit_dynamics_tpu import Signal
+        from qiskit_dynamics_tpu.exceptions import DynamicsError
+        import pytest
+
+        solver, w1 = cr_solver(dim=2)
+        y0 = np.zeros(4, dtype=complex)
+        y0[0] = 1.0
+        T, dtmax = 2.0, 0.5
+        amps = jnp.array([0.3, 0.75, 1.0, 0.5])
+
+        def signals_fn(amp):
+            return [Signal(lambda t: amp * 0.02, carrier_freq=w1)]
+
+        t_eval = [0.0, 0.5, 1.0, 2.0]
+        kw = dict(
+            t_span=(0.0, T), max_dt=dtmax, y0=y0,
+            rwa_signal_map=solver._rwa_signal_map, t_eval=t_eval,
+        )
+        traj = fused_sweep_solve(
+            solver.model, signals_fn, amps, tile_b=4, interpret=True, **kw
+        )
+        traj_x = fused_sweep_solve(
+            solver.model, signals_fn, amps, sweep_engine="xla", **kw
+        )
+        assert traj.shape == (4, 4, 4)
+        np.testing.assert_allclose(np.asarray(traj), np.asarray(traj_x), atol=1e-12)
+
+        def ref(amp):
+            sig = Signal(lambda t, a=amp: a * 0.02, carrier_freq=w1)
+            res = solver.solve(
+                t_span=[0.0, T], y0=y0, signals=[sig], method="jax_expm",
+                max_dt=dtmax, magnus_order=2, expm_method="taylor",
+                expm_order=8, expm_squarings=0, t_eval=t_eval,
+            )
+            return np.asarray(res.y)
+
+        for b, a in enumerate(np.asarray(amps)):
+            np.testing.assert_allclose(
+                np.asarray(traj[b]), ref(float(a)), atol=1e-10
+            )
+
+        # off-grid and decreasing t_eval rejected
+        with pytest.raises(DynamicsError, match="grid"):
+            fused_sweep_solve(
+                solver.model, signals_fn, amps, tile_b=4, interpret=True,
+                t_span=(0.0, T), max_dt=dtmax, y0=y0,
+                rwa_signal_map=solver._rwa_signal_map, t_eval=[0.3],
+            )
+        with pytest.raises(DynamicsError, match="increasing"):
+            fused_sweep_solve(
+                solver.model, signals_fn, amps, tile_b=4, interpret=True,
+                t_span=(0.0, T), max_dt=dtmax, y0=y0,
+                rwa_signal_map=solver._rwa_signal_map, t_eval=[1.0, 0.5],
+            )
+
     def test_anti_hermitian_detection(self):
         from qiskit_dynamics_tpu.solvers.fused_sweep import _all_anti_hermitian
 
