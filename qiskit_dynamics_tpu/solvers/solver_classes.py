@@ -308,6 +308,62 @@ class Solver:
             return all_results[0]
         return all_results
 
+    def solve_sweep(
+        self,
+        signals_fn,
+        params,
+        t_span,
+        y0,
+        method: str = "fused_dopri5",
+        **kwargs,
+    ):
+        r"""Solve a parameter sweep with the fused kernels, one call per batch.
+
+        The TPU-native bulk interface: ``signals_fn`` maps one parameter
+        pytree to the model's signal list (a ``(hamiltonian_signals,
+        dissipator_signals)`` tuple for Lindblad models), ``params`` carries
+        the sweep batch on axis 0, and the ENTIRE batch solves inside one
+        fused kernel call. The solver's RWA signal map (when constructed with
+        ``rwa_cutoff_freq``) is wired automatically — ``signals_fn`` returns
+        the PRE-RWA signals matching the constructor's operators, exactly as
+        in :meth:`solve`.
+
+        Args:
+            signals_fn: parameter pytree -> signals (jax-traceable).
+            params: batched parameters (axis 0 = sweep).
+            t_span: ``(t0, tf)``.
+            y0: shared initial state — array-like or a quantum_info type
+                (``Statevector``/``DensityMatrix``); converted to its array.
+            method: ``"fused_dopri5"`` (lockstep-adaptive; see
+                :func:`~qiskit_dynamics_tpu.solvers.fused_sweep.fused_adaptive_sweep_solve`)
+                or ``"fused_magnus2"`` (fixed-step; requires ``max_dt``,
+                supports ``precision="df32"``, ``t_eval`` trajectories, and
+                gradients; see
+                :func:`~qiskit_dynamics_tpu.solvers.fused_sweep.fused_sweep_solve`).
+            kwargs: forwarded to the chosen fused solver.
+
+        Returns:
+            (B, ...) final states (or trajectories with ``t_eval``) as raw
+            arrays — see the fused solvers for layouts.
+        """
+        from .fused_sweep import fused_adaptive_sweep_solve, fused_sweep_solve
+
+        y0, _, _ = initial_state_converter(y0)
+        if method in ("fused_dopri5", "fused"):
+            return fused_adaptive_sweep_solve(
+                self.model, signals_fn, params, t_span=t_span, y0=y0,
+                rwa_signal_map=self._rwa_signal_map, **kwargs,
+            )
+        if method in ("fused_magnus2", "fused_expm"):
+            return fused_sweep_solve(
+                self.model, signals_fn, params, t_span=t_span, y0=y0,
+                rwa_signal_map=self._rwa_signal_map, **kwargs,
+            )
+        raise DynamicsError(
+            f"unknown solve_sweep method {method!r}; use 'fused_dopri5' or "
+            "'fused_magnus2'."
+        )
+
     def _solve_list(self, t_span_list, y0_list, signals_list, convert_results=True, **kwargs):
         all_results = []
         for t_span, y0, signals in zip(t_span_list, y0_list, signals_list):

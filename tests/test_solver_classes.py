@@ -577,3 +577,51 @@ def test_pulse_dissipator_channels():
     )
     # the dissipator actually acted: excited population decayed
     assert np.real(np.asarray(res_sched.y[-1].data)[1, 1]) < 0.95
+
+
+class TestSolveSweep:
+    """Public fused-sweep entry point on Solver (auto-wired RWA map)."""
+
+    def _setup(self):
+        import jax.numpy as jnp
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu import Signal
+
+        solver, w1 = cr_solver(dim=2)
+        y0 = np.zeros(4, dtype=complex)
+        y0[0] = 1.0
+
+        def signals_fn(amp):
+            return [Signal(lambda t: amp * 0.02, carrier_freq=w1)]
+
+        return solver, w1, y0, signals_fn, jnp.array([0.3, 0.75, 1.0, 0.5])
+
+    def test_fused_magnus2_matches_direct_call(self):
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+
+        solver, _, y0, signals_fn, amps = self._setup()
+        via_solver = solver.solve_sweep(
+            signals_fn, amps, t_span=(0.0, 2.0), y0=y0,
+            method="fused_magnus2", max_dt=0.5, tile_b=4, interpret=True,
+        )
+        direct = fused_sweep_solve(
+            solver.model, signals_fn, amps, t_span=(0.0, 2.0), max_dt=0.5,
+            y0=y0, tile_b=4, interpret=True,
+            rwa_signal_map=solver._rwa_signal_map,
+        )
+        np.testing.assert_allclose(np.asarray(via_solver), np.asarray(direct), atol=1e-14)
+
+    def test_fused_dopri5_and_validation(self):
+        import pytest
+        from qiskit_dynamics_tpu.exceptions import DynamicsError
+
+        solver, _, y0, signals_fn, amps = self._setup()
+        out = solver.solve_sweep(
+            signals_fn, amps, t_span=(0.0, 2.0), y0=y0,
+            method="fused_dopri5", tile_b=4, interpret=True,
+        )
+        assert out.shape == (4, 4)
+        with pytest.raises(DynamicsError, match="solve_sweep method"):
+            solver.solve_sweep(
+                signals_fn, amps, t_span=(0.0, 2.0), y0=y0, method="nope"
+            )
