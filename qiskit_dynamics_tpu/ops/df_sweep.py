@@ -107,8 +107,24 @@ def _ccomm(a, b, n):
     return df32.csub(_cmatmul(a, b, n), _cmatmul(b, a, n))
 
 
-@functools.partial(jax.jit, static_argnames=("n", "k", "order", "magnus_order"))
-def _df_scan(n, k, order, magnus_order, stat, ops, phases, coefs, y0, consts):
+def _ccomm_anti(a, b, n):
+    """[a, b] for ANTI-HERMITIAN ``a``, ``b`` — one matmul instead of two:
+    ``(AB)^dagger = B^dagger A^dagger = BA``, so ``[A, B] = C - C^dagger``
+    with ``C = AB``. (Commutators of anti-Hermitian matrices are again
+    anti-Hermitian, so every commutator in the Magnus rules qualifies when
+    the generators do.)"""
+    c_re, c_im = _cmatmul(a, b, n)
+    t = lambda x: (jnp.swapaxes(x[0], 0, 1), jnp.swapaxes(x[1], 0, 1))
+    return df32.sub(c_re, t(c_re)), df32.add(c_im, t(c_im))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "k", "order", "magnus_order", "hermitian")
+)
+def _df_scan(
+    n, k, order, magnus_order, stat, ops, phases, coefs, y0, consts,
+    hermitian=False,
+):
     """The jitted df32 time loop.
 
     Args:
@@ -121,6 +137,7 @@ def _df_scan(n, k, order, magnus_order, stat, ops, phases, coefs, y0, consts):
             entry is ``inv_j`` of shape (order,) for the expm Horner.
     """
     inv_j = consts[-1]
+    comm = _ccomm_anti if hermitian else _ccomm
 
     def build_generator(c_g, cos_g, sin_g):
         # static + sum_j c_j ops_j, then Hadamard frame rotation; shapes
@@ -154,7 +171,7 @@ def _df_scan(n, k, order, magnus_order, stat, ops, phases, coefs, y0, consts):
             half_dt, p2_dt2 = consts[:2]
             m_op = df32.cadd(
                 df32.cmul_real(df32.cadd(g[0], g[1]), half_dt),
-                df32.cmul_real(_ccomm(g[1], g[0], n), p2_dt2),
+                df32.cmul_real(comm(g[1], g[0], n), p2_dt2),
             )
         else:
             # order-6 rule (Blanes et al. 2009; same combination as
@@ -165,15 +182,15 @@ def _df_scan(n, k, order, magnus_order, stat, ops, phases, coefs, y0, consts):
             a3 = df32.cmul_real(
                 df32.cadd(df32.csub(g[2], g[1]), df32.csub(g[0], g[1])), c1dt
             )
-            comm1 = _ccomm(a1, a2, n)
+            comm1 = comm(a1, a2, n)
             comm2 = df32.cmul_real(
-                _ccomm(df32.cadd(df32.cmul_real(a3, two), comm1), a1, n), inv60
+                comm(df32.cadd(df32.cmul_real(a3, two), comm1), a1, n), inv60
             )
             left = df32.csub(comm1, df32.cadd(df32.cmul_real(a1, twenty), a3))
             right = df32.cadd(a2, comm2)
             m_op = df32.cadd(
                 df32.cadd(a1, df32.cmul_real(a3, inv12)),
-                df32.cmul_real(_ccomm(left, right, n), inv240),
+                df32.cmul_real(comm(left, right, n), inv240),
             )
 
         # y <- expm(M) y, Horner mat-vec Taylor:
@@ -230,6 +247,7 @@ def sweep_expm_magnus_df(
     magnus_order: int = 3,
     order: int = 12,
     chunk_b: int = 2048,
+    hermitian: bool = False,
 ):
     r"""Fixed-step Magnus sweep (order 2 or 3 rule) in double-float32.
 
@@ -255,6 +273,9 @@ def sweep_expm_magnus_df(
             ``|M| <~ 0.5``).
         chunk_b: sweep members per device dispatch (bounds the (n, n, B)
             df temporaries and the on-device table size).
+        hermitian: the generators are anti-Hermitian (``G = -iH``) — every
+            Magnus commutator then costs ONE df matmul instead of two
+            (see ``_ccomm_anti``; caller must guarantee the property).
 
     Returns:
         (n, B) complex128 final states (frame basis) at ``t0 + T dt``.
@@ -296,6 +317,7 @@ def sweep_expm_magnus_df(
         res = _df_scan(
             n, k, order, magnus_order, stat, ops, phases,
             df32.from_f64(sl), df32.cfrom_f64(y_sl), consts,
+            hermitian=hermitian,
         )
         chunk = df32.cto_f64(_unflatten_c(res))
         out[:, lo_b:hi_b] = chunk[:, : hi_b - lo_b]

@@ -473,6 +473,7 @@ def _fused_sweep_solve_df(
         yf = sweep_expm_magnus_df(
             static_fb, ops_fb, omega, coefs, y0_cols, dt=dt, t0=t0,
             magnus_order=magnus_order, order=max(expm_order, 12), chunk_b=chunk_b,
+            hermitian=_all_anti_hermitian(static_fb, ops_fb),
         )
 
     if vectorized_lindblad:

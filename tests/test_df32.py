@@ -329,3 +329,41 @@ class TestFusedSweepDf32:
 
         with pytest.raises(DynamicsError, match="concrete"):
             jax.jit(run)(jnp.array([0.5, 1.0]))
+
+
+class TestHermitianCommutator:
+    """The one-matmul anti-Hermitian commutator path must match the general
+    two-matmul path (here: bit-identical on CPU)."""
+
+    @pytest.mark.parametrize("magnus_order", [2, 3])
+    def test_matches_general_path(self, magnus_order):
+        from qiskit_dynamics_tpu.ops.df_sweep import MAGNUS_NODES, sweep_expm_magnus_df
+
+        rng = np.random.default_rng(5)
+        n, k, B = 4, 2, 8
+        H0 = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        static = -1j * (H0 + H0.conj().T) / 2 * 0.3
+        ops = np.array(
+            [
+                -1j * ((A + A.conj().T) / 2) * 0.1
+                for A in (
+                    rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+                    for _ in range(k)
+                )
+            ]
+        )
+        omega = rng.standard_normal((n, n)) * 0.5
+        omega = omega - omega.T
+        amps = rng.standard_normal((k, B))
+        freqs = np.array([1.3, 0.7])
+        t0, dt, T = 0.5, 0.05, 40
+        tau = t0 + dt * (np.arange(T)[:, None] + MAGNUS_NODES[magnus_order][None, :])
+        coefs = amps[None, None] * np.cos(
+            freqs[None, None, :, None] * tau[:, :, None, None]
+        )
+        y0 = np.zeros((n, B), dtype=complex)
+        y0[0] = 1.0
+        kw = dict(dt=dt, t0=t0, magnus_order=magnus_order, chunk_b=8)
+        a = sweep_expm_magnus_df(static, ops, omega, coefs, y0, hermitian=False, **kw)
+        b = sweep_expm_magnus_df(static, ops, omega, coefs, y0, hermitian=True, **kw)
+        np.testing.assert_allclose(a, b, atol=1e-13)
