@@ -44,7 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from scipy.integrate._ivp.rk import RK45 as _SciDOPRI5
 
-from .sweep_solver import _UNROLL_N
+from .sweep_solver import _UNROLL_N, _make_rows
 
 __all__ = ["sweep_dopri5_lockstep"]
 
@@ -86,15 +86,7 @@ def _kernel(
     # indexed by elapsed time)
     duration = tf - t0
 
-    def rows(body):
-        """Row loop: Python-unrolled for small n (VPU ILP), fori_loop with
-        dynamic row indexing above — keeps Mosaic program size O(n), which
-        cuts compile time ~n-fold for dim >~ 16 (see ops/sweep_solver.py)."""
-        if n <= _UNROLL_N:
-            for i in range(n):
-                body(i)
-        else:
-            jax.lax.fori_loop(0, n, lambda i, c: (body(i), 0)[1], 0)
+    rows = _make_rows(n)
 
     def signal_coeff(j, s, idx):
         # c_j(t, :) = Re[E_j(t) e^{i w t}] with E the piecewise-constant

@@ -41,6 +41,25 @@ _P2 = np.sqrt(3) / 12
 _UNROLL_N = 16
 
 
+def _make_rows(n: int):
+    """Row-loop strategy shared by the batch-on-lanes kernels.
+
+    Returns ``rows(body)`` running ``body(i)`` for every row i. Small n:
+    Python-unrolled (the benchmarked shape — full VPU ILP). Large n: a
+    ``fori_loop`` with dynamic row indexing — O(n) program size instead of
+    O(n^2), which keeps Mosaic compile time sane up to n = dim^2 = 64
+    (measured: dim-27 adaptive kernel compile 260 s -> 54 s at identical
+    runtime); the inner length-n reductions stay unrolled."""
+    if n <= _UNROLL_N:
+        def rows(body):
+            for i in range(n):
+                body(i)
+    else:
+        def rows(body):
+            jax.lax.fori_loop(0, n, lambda i, c: (body(i), 0)[1], 0)
+    return rows
+
+
 def _kernel(
     n: int,
     k: int,
@@ -80,17 +99,7 @@ def _kernel(
         g1r, g1i, g2r, g2i, mr, mi = scratch[:6]
         vr, vi, wr, wi, yr, yi = scratch[6:]
 
-    def rows(body):
-        """Run ``body(i)`` for every row i. Small n: Python-unrolled (the
-        round-1 benchmarked shape). Large n: a ``fori_loop`` with dynamic
-        row indexing — O(n) program size instead of O(n^2), which keeps
-        Mosaic compile time sane up to n = dim^2 = 64 (vectorized Lindblad);
-        the inner length-n reductions stay unrolled for VPU ILP."""
-        if n <= _UNROLL_N:
-            for i in range(n):
-                body(i)
-        else:
-            jax.lax.fori_loop(0, n, lambda i, c: (body(i), 0)[1], 0)
+    rows = _make_rows(n)
 
     def build_generator(step, gauss_idx, gauss_c, out_r, out_i):
         """out <- P(tau) * (static + sum_j c_j ops_j); tau = t0 + (step+c) dt."""

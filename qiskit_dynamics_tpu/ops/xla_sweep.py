@@ -48,6 +48,12 @@ def sweep_expm_magnus2_xla(
     frame basis, optional static ``eval_slots`` tuple producing an
     ``(n_eval, n, B)`` trajectory second output); no ``tile_b`` — XLA picks
     the tiling.
+
+    ``y0`` may alternatively be 3d ``(B, n, m)`` batch-major — ``m`` state
+    columns per sweep member sharing one generator (unitary/propagator
+    sweeps): the O(n^3) generator/commutator work is then done ONCE per
+    member instead of per column, and outputs are ``(B, n, m)``
+    (+ ``(n_eval, B, n, m)`` trajectory).
     """
     cplx = jnp.complex64 if not jax.config.jax_enable_x64 else jnp.complex128
     real = jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64
@@ -56,7 +62,12 @@ def sweep_expm_magnus2_xla(
     omega = jnp.asarray(frame_omega).astype(real)
     coef = jnp.asarray(coefficients).astype(real)
     T = coef.shape[0]
-    y = jnp.swapaxes(jnp.asarray(y0).astype(cplx), 0, 1)  # (B, n)
+    y0 = jnp.asarray(y0).astype(cplx)
+    batch_major = y0.ndim == 3
+    if batch_major:
+        y = y0  # (B, n, m)
+    else:
+        y = jnp.swapaxes(y0, 0, 1)[..., None]  # (B, n, 1)
 
     def generator(coef_step, tau):
         """(k, B) coefficients + time -> (B, n, n) frame-rotated generator."""
@@ -92,7 +103,7 @@ def sweep_expm_magnus2_xla(
         # Pallas kernel)
         v = y
         for kk in range(order, 0, -1):
-            v = y + jnp.einsum("bij,bj->bi", M, v) / kk
+            v = y + jnp.einsum("bij,bjm->bim", M, v) / kk
         if n_eval > 0:
             slot = slots[idx]
             updated = jax.lax.dynamic_update_index_in_dim(
@@ -110,6 +121,11 @@ def sweep_expm_magnus2_xla(
     (y, evals), _ = jax.lax.scan(
         jax.checkpoint(step), (y, evals0), (jnp.arange(T), coef)
     )
+    if batch_major:
+        if n_eval > 0:
+            return y, evals  # (B, n, m), (n_eval, B, n, m)
+        return y
+    y = jnp.swapaxes(y[..., 0], 0, 1)  # (n, B)
     if n_eval > 0:
-        return jnp.swapaxes(y, 0, 1), jnp.moveaxis(evals, 2, 1)  # (n_eval, n, B)
-    return jnp.swapaxes(y, 0, 1)  # (n, B)
+        return y, jnp.moveaxis(evals[..., 0], 2, 1)  # (n_eval, n, B)
+    return y

@@ -260,6 +260,13 @@ def fused_sweep_solve(
                 f"(dt={dt}); off-grid trajectory output is not supported by "
                 "the fused kernel — use the generic solvers for dense output."
             )
+        if len(np.unique(s_round)) != len(s_round):
+            # two "increasing" times rounding to one grid step would orphan
+            # a trajectory slot (it would never be written in-kernel)
+            raise DynamicsError(
+                "t_eval contains points that map to the same fixed step "
+                f"(dt={dt}); remove the duplicates."
+            )
         include_t0 = s_round[0] == 0
         kept_steps = s_round[1:] if include_t0 else s_round
         slots = np.full(n_steps, -1, dtype=int)
@@ -276,9 +283,6 @@ def fused_sweep_solve(
         raise DynamicsError(
             f"unknown sweep_engine {sweep_engine!r}; use 'pallas', 'xla' or 'auto'."
         )
-    if tile_b is None:
-        tile_b = 512 if solve_dim <= 16 else (256 if solve_dim <= 32 else 128)
-
     coeffs = jnp.moveaxis(
         jax.vmap(lambda p: signals_as_list(p)(jnp.asarray(gauss_times)))(params), 0, -1
     )  # (T, 2, k, B)
@@ -287,13 +291,44 @@ def fused_sweep_solve(
     if sweep_engine == "xla":
         from ..ops.xla_sweep import sweep_expm_magnus2_xla
 
-        coeffs, y0_cols, B, m = _expand_lanes(coeffs, y0_fb, solve_dim, 1)
+        if magnus_mode != "auto" or interpret or tile_b is not None:
+            import warnings
+
+            warnings.warn(
+                "fused_sweep_solve routed to the XLA engine "
+                f"(solve_dim={solve_dim} or sweep_engine='xla'); the "
+                "pallas-only options magnus_mode/tile_b/interpret are "
+                "ignored on this path.",
+                stacklevel=2,
+            )
+        # batch-major (B, n, m): the engine builds each member's O(n^3)
+        # generators/commutator ONCE and applies them to all m state columns
+        # (vs m-fold repetition in the lane layout)
+        B = coeffs.shape[-1]
+        y0_mat = np.asarray(y0_fb).reshape(solve_dim, -1)
+        m = y0_mat.shape[1]
+        y0_bm = jnp.broadcast_to(jnp.asarray(y0_mat)[None], (B, solve_dim, m))
         out = sweep_expm_magnus2_xla(
-            static_fb, ops_fb, omega, coeffs, y0_cols, dt=dt, t0=t0,
+            static_fb, ops_fb, omega, coeffs, y0_bm, dt=dt, t0=t0,
             order=expm_order, hermitian=hermitian, eval_slots=eval_slots,
         )
-        yf, traj = out if eval_slots is not None else (out, None)
+        out_final, traj_bm = out if eval_slots is not None else (out, None)
+        # back to the member-major lane layout the collectors expect
+        yf = jnp.moveaxis(out_final, 0, 1).reshape(solve_dim, B * m)
+        traj = (
+            jnp.transpose(traj_bm, (0, 2, 1, 3)).reshape(-1, solve_dim, B * m)
+            if traj_bm is not None
+            else None
+        )
+        y0_cols = (
+            jnp.broadcast_to(jnp.asarray(y0_mat[:, 0])[:, None], (solve_dim, B))
+            if m == 1
+            else jnp.tile(jnp.asarray(y0_mat), (1, B))
+        )
     else:
+        if tile_b is None:
+            # tile shrinks with dim to hold the (n, n, tile) VMEM scratch
+            tile_b = 512 if solve_dim <= 16 else (256 if solve_dim <= 32 else 128)
         coeffs, y0_cols, B, m = _expand_lanes(coeffs, y0_fb, solve_dim, tile_b)
         if eval_slots is not None:
             # trajectory outputs: direct kernel call (no custom-vjp wrapper —

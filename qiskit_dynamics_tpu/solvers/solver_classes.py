@@ -349,15 +349,17 @@ class Solver:
         from .fused_sweep import fused_adaptive_sweep_solve, fused_sweep_solve
 
         y0, _, _ = initial_state_converter(y0)
+        # auto-wired; an explicit kwarg (e.g. None to disable) wins
+        rwa_signal_map = kwargs.pop("rwa_signal_map", self._rwa_signal_map)
         if method in ("fused_dopri5", "fused"):
             return fused_adaptive_sweep_solve(
                 self.model, signals_fn, params, t_span=t_span, y0=y0,
-                rwa_signal_map=self._rwa_signal_map, **kwargs,
+                rwa_signal_map=rwa_signal_map, **kwargs,
             )
         if method in ("fused_magnus2", "fused_expm"):
             return fused_sweep_solve(
                 self.model, signals_fn, params, t_span=t_span, y0=y0,
-                rwa_signal_map=self._rwa_signal_map, **kwargs,
+                rwa_signal_map=rwa_signal_map, **kwargs,
             )
         raise DynamicsError(
             f"unknown solve_sweep method {method!r}; use 'fused_dopri5' or "

@@ -265,6 +265,50 @@ class TestFusedSweepSolver:
                 rwa_signal_map=solver._rwa_signal_map, t_eval=[1.0, 0.5],
             )
 
+    def test_unitary_sweep_engines_agree_and_dup_teval_rejected(self):
+        # review fixes: batch-major (B, n, m) xla path for matrix y0 (shared
+        # generator per member), and duplicate-step t_eval rejection
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+        from qiskit_dynamics_tpu import Signal
+        from qiskit_dynamics_tpu.exceptions import DynamicsError
+        import pytest
+
+        solver, w1 = cr_solver(dim=2)
+        y0 = np.eye(4, dtype=complex)  # m = 4 columns per member
+        amps = jnp.array([0.3, 0.75, 1.0])
+
+        def signals_fn(amp):
+            return [Signal(lambda t: amp * 0.02, carrier_freq=w1)]
+
+        kw = dict(
+            t_span=(0.0, 2.0), max_dt=0.5, y0=y0,
+            rwa_signal_map=solver._rwa_signal_map,
+        )
+        a = fused_sweep_solve(
+            solver.model, signals_fn, amps, tile_b=12, interpret=True, **kw
+        )
+        b = fused_sweep_solve(
+            solver.model, signals_fn, amps, sweep_engine="xla", **kw
+        )
+        assert a.shape == (3, 4, 4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-13)
+        t_eval = [0.5, 1.0, 2.0]
+        at = fused_sweep_solve(
+            solver.model, signals_fn, amps, tile_b=12, interpret=True,
+            t_eval=t_eval, **kw,
+        )
+        bt = fused_sweep_solve(
+            solver.model, signals_fn, amps, sweep_engine="xla", t_eval=t_eval, **kw
+        )
+        assert at.shape == (3, 3, 4, 4)
+        np.testing.assert_allclose(np.asarray(at), np.asarray(bt), atol=1e-13)
+        with pytest.raises(DynamicsError, match="same fixed step"):
+            fused_sweep_solve(
+                solver.model, signals_fn, amps, tile_b=12, interpret=True,
+                t_eval=[0.5 - 1e-8, 0.5 + 1e-8], **kw,
+            )
+
     def test_anti_hermitian_detection(self):
         from qiskit_dynamics_tpu.solvers.fused_sweep import _all_anti_hermitian
 

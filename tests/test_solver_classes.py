@@ -625,3 +625,23 @@ class TestSolveSweep:
             solver.solve_sweep(
                 signals_fn, amps, t_span=(0.0, 2.0), y0=y0, method="nope"
             )
+
+    def test_explicit_rwa_signal_map_overrides_auto_wiring(self):
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+
+        solver, _, y0, signals_fn, amps = self._setup()
+        # identity map instead of the solver's RWA map: must not raise a
+        # duplicate-kwarg TypeError, and must change the result
+        rwa_sigs_fn = lambda amp: list(solver._rwa_signal_map(signals_fn(amp)))
+        via_override = solver.solve_sweep(
+            rwa_sigs_fn, amps, t_span=(0.0, 2.0), y0=y0,
+            method="fused_magnus2", max_dt=0.5, tile_b=4, interpret=True,
+            rwa_signal_map=None,
+        )
+        auto = solver.solve_sweep(
+            signals_fn, amps, t_span=(0.0, 2.0), y0=y0,
+            method="fused_magnus2", max_dt=0.5, tile_b=4, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(via_override), np.asarray(auto), atol=1e-13
+        )
