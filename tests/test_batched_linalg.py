@@ -309,6 +309,54 @@ class TestFusedSweepSolver:
                 t_eval=[0.5 - 1e-8, 0.5 + 1e-8], **kw,
             )
 
+    def test_lindblad_t_eval_trajectory(self):
+        # vectorized-Lindblad branch of the trajectory collector
+        from qiskit_dynamics_tpu.models import LindbladModel
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+        from qiskit_dynamics_tpu import Signal, Solver
+
+        X = np.array([[0, 1], [1, 0]], dtype=complex)
+        Z = np.array([[1, 0], [0, -1]], dtype=complex)
+        sm = np.array([[0, 1], [0, 0]], dtype=complex)
+        H0 = 2 * np.pi * 5.0 * Z / 2
+        Hd = 2 * np.pi * 0.1 * X / 2
+        model = LindbladModel(
+            static_hamiltonian=H0,
+            hamiltonian_operators=[Hd],
+            static_dissipators=[np.sqrt(0.02) * sm],
+            rotating_frame=np.diag(H0),
+            vectorized=True,
+        )
+        rho0 = np.array([[1.0, 0], [0, 0]], dtype=complex)
+        amps = jnp.array([0.4, 1.0])
+        T, dtmax = 1.0, 0.01
+        t_eval = [0.5, 1.0]
+
+        def signals_fn(amp):
+            return ([Signal(lambda t: amp, carrier_freq=5.0)], None)
+
+        traj = fused_sweep_solve(
+            model, signals_fn, amps, t_span=(0.0, T), max_dt=dtmax, y0=rho0,
+            tile_b=2, interpret=True, t_eval=t_eval,
+        )
+        assert traj.shape == (2, 2, 2, 2)
+        solver = Solver(
+            static_hamiltonian=H0,
+            hamiltonian_operators=[Hd],
+            static_dissipators=[np.sqrt(0.02) * sm],
+            rotating_frame=np.diag(H0),
+        )
+        for i, amp in enumerate([0.4, 1.0]):
+            res = solver.solve(
+                t_span=[0.0, T], y0=rho0,
+                signals=[Signal(lambda t, amp=amp: amp, carrier_freq=5.0)],
+                method="tpu_dopri5", atol=1e-12, rtol=1e-12, t_eval=t_eval,
+            )
+            for j in range(len(t_eval)):
+                np.testing.assert_allclose(
+                    np.asarray(traj[i, j]), np.asarray(res.y[j]), atol=5e-7
+                )
+
     def test_anti_hermitian_detection(self):
         from qiskit_dynamics_tpu.solvers.fused_sweep import _all_anti_hermitian
 
