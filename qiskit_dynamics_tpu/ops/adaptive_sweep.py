@@ -66,20 +66,36 @@ def _kernel(
     rtol: float,
     max_steps: int,
     h0: float,
-    # refs
-    statr_ref, stati_ref,          # (n, n)
-    opsr_ref, opsi_ref,            # (k, n, n)
-    omega_ref,                     # (n, n)
-    freq_ref,                      # (1, k) signal angular frequencies (2 pi nu)
-    envr_ref, envi_ref,            # (k, n_env, TILE_B) per-lane complex envelopes
-    y0r_ref, y0i_ref,              # (n, TILE_B)
-    outr_ref, outi_ref,            # (n, TILE_B)
-    # scratch
-    gr, gi,                        # (n, n, TILE_B) generator
-    kr, ki,                        # (7, n, TILE_B) RK stages
-    yr, yi,                        # (n, TILE_B) current state
-    wr, wi,                        # (n, TILE_B) work state (stage arg / y_new)
+    n_eval: int,
+    # refs (with ``n_eval > 0``, ``eval_ref`` (n_eval, 1) f32 elapsed times
+    # follows envi_ref and trajectory outputs (n_eval, n, TILE_B) follow
+    # outr/outi):
+    *refs,
 ):
+    statr_ref, stati_ref = refs[0], refs[1]       # (n, n)
+    opsr_ref, opsi_ref = refs[2], refs[3]         # (k, n, n)
+    omega_ref = refs[4]                           # (n, n)
+    freq_ref = refs[5]                            # (1, k) angular carriers
+    envr_ref, envi_ref = refs[6], refs[7]         # (k, n_env, TILE_B)
+    pos = 8
+    eval_ref = None
+    if n_eval > 0:
+        eval_ref = refs[pos]                      # (n_eval, 1) elapsed times
+        pos += 1
+    y0r_ref, y0i_ref = refs[pos], refs[pos + 1]   # (n, TILE_B)
+    outr_ref, outi_ref = refs[pos + 2], refs[pos + 3]
+    pos += 4
+    evalr_ref = evali_ref = None
+    if n_eval > 0:
+        evalr_ref, evali_ref = refs[pos], refs[pos + 1]  # (n_eval, n, TILE_B)
+        pos += 2
+    # scratch
+    (
+        gr, gi,                    # (n, n, TILE_B) generator
+        kr, ki,                    # (7, n, TILE_B) RK stages
+        yr, yi,                    # (n, TILE_B) current state
+        wr, wi,                    # (n, TILE_B) work state (stage arg / y_new)
+    ) = refs[pos:]
     inv_env_dt = 1.0 / env_dt
     # the loop variable s runs over [0, tf - t0]; absolute time = t0 + s
     # (signals and frame phases use absolute time, envelope tables are
@@ -144,8 +160,16 @@ def _kernel(
         rows(row)
 
     def body(carry):
-        t, h_prop, steps, bad = carry  # t = elapsed time s
+        t, h_prop, steps, bad, eidx = carry  # t = elapsed time s
         h = jnp.minimum(h_prop, duration - t)
+        if n_eval > 0:
+            # clip the step to the next trajectory time so an accepted step
+            # lands exactly on it (same mechanism as envelope-cell clipping)
+            target = eval_ref[jnp.minimum(eidx, n_eval - 1), 0]
+            have_target = eidx < n_eval
+            h = jnp.where(
+                have_target, jnp.minimum(h, jnp.maximum(target - t, 0.0)), h
+            )
         if n_env > 1:
             # clip the step to the next envelope-cell boundary, and give all
             # stages the SAME envelope cell (looked up at the step midpoint):
@@ -263,18 +287,35 @@ def _kernel(
         # err_norm**(-1/5) via exp/log (Mosaic cannot legalize math.powf);
         # growth capped at 10 on accept, shrink-only on reject (same policy
         # as solvers/adaptive.py tpu_rk_solve)
+        if n_eval > 0:
+            # store the state when an accepted step landed on the current
+            # trajectory time (the clipping above makes steps land exactly,
+            # up to f32 rounding — hence the ulp-scaled tolerance)
+            eps = (4.0 * 1.1920929e-7) * jnp.maximum(1.0, target)
+            reached = have_target & accept & (t_new >= target - eps)
+
+            @pl.when(reached)
+            def _store_eval():
+                def row(i):
+                    evalr_ref[eidx, i] = yr[i]
+                    evali_ref[eidx, i] = yi[i]
+
+                rows(row)
+
+            eidx = jnp.where(reached, eidx + 1, eidx)
+
         safe_err = jnp.maximum(err_norm, jnp.float32(1e-10))
         factor = jnp.clip(0.9 * jnp.exp(-0.2 * jnp.log(safe_err)), 0.2, 10.0)
         factor = jnp.where(accept, factor, jnp.minimum(factor, 1.0))
         h_new = h * factor
-        if n_env > 1:
+        if n_env > 1 or n_eval > 0:
             # don't let a boundary-clipped (small) accepted step shrink the
             # controller's proposal: keep at least the pre-clip proposal
             h_new = jnp.where(accept & (h < h_prop), jnp.maximum(h_prop, h_new), h_new)
-        return t_new, h_new, steps + 1, bad
+        return t_new, h_new, steps + 1, bad, eidx
 
     def cond(carry):
-        t, h, steps, _ = carry
+        t, h, steps, _, _ = carry
         return (t < duration) & (steps < max_steps)
 
     yr[...] = y0r_ref[...]
@@ -283,21 +324,30 @@ def _kernel(
     wi[...] = y0i_ref[...]
     rhs_into_stage(0, jnp.float32(0.0), jnp.int32(0))  # initial FSAL stage
 
-    t_f, _, _, bad_f = jax.lax.while_loop(
-        cond, body, (jnp.float32(0.0), jnp.float32(h0), jnp.int32(0), False)
+    t_f, _, _, bad_f, eidx_f = jax.lax.while_loop(
+        cond, body,
+        (jnp.float32(0.0), jnp.float32(h0), jnp.int32(0), False, jnp.int32(0)),
     )
 
-    # NaN-poison if the budget ran out before reaching tf, or a stalled step
-    # was force-accepted with err >> tolerance
-    poison = jnp.where((t_f >= duration) & jnp.logical_not(bad_f), 1.0, jnp.nan).astype(jnp.float32)
+    # NaN-poison if the budget ran out before reaching tf, a stalled step
+    # was force-accepted with err >> tolerance, or (with trajectories) any
+    # eval time was missed
+    ok = (t_f >= duration) & jnp.logical_not(bad_f)
+    if n_eval > 0:
+        ok = ok & (eidx_f >= n_eval)
+    poison = jnp.where(ok, 1.0, jnp.nan).astype(jnp.float32)
     outr_ref[...] = yr[...] * poison
     outi_ref[...] = yi[...] * poison
+    if n_eval > 0:
+        evalr_ref[...] = evalr_ref[...] * poison
+        evali_ref[...] = evali_ref[...] * poison
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "t0", "tf", "atol", "rtol", "max_steps", "h0", "tile_b", "interpret", "env_dt"
+        "t0", "tf", "atol", "rtol", "max_steps", "h0", "tile_b", "interpret",
+        "env_dt", "eval_ts",
     ),
 )
 def sweep_dopri5_lockstep(
@@ -316,6 +366,7 @@ def sweep_dopri5_lockstep(
     tile_b: int = 512,
     interpret: bool = False,
     env_dt: float = 0.0,
+    eval_ts=None,
 ):
     r"""Lockstep-adaptive dopri5 sweep over ``[t0, tf]``, one fused kernel.
 
@@ -337,9 +388,14 @@ def sweep_dopri5_lockstep(
         tile_b: lane-tile size (B must be a multiple).
         interpret: interpreter mode for CPU tests.
         env_dt: envelope sample width (required when signal_amps is 3d).
+        eval_ts: optional static tuple of ELAPSED trajectory times (relative
+            to ``t0``), strictly increasing, each in ``(0, tf - t0]``: steps
+            clip to these boundaries and the state at each is stored.
 
     Returns:
-        (n, B) complex final states (frame basis).
+        (n, B) complex final states (frame basis); with ``eval_ts``, a tuple
+        ``(final, trajectory)`` where ``trajectory`` is
+        (len(eval_ts), n, B) complex.
     """
     k, n, _ = operators.shape
     B = y0.shape[-1]
@@ -369,24 +425,55 @@ def sweep_dopri5_lockstep(
     lane2 = lambda rows: pl.BlockSpec((rows, tile_b), lambda b: (0, b), memory_space=pltpu.VMEM)
     env_spec = pl.BlockSpec((k, n_env, tile_b), lambda b: (0, 0, b), memory_space=pltpu.VMEM)
 
+    n_eval = 0
+    if eval_ts is not None:
+        ts = np.asarray(eval_ts, dtype=np.float64)
+        if ts.ndim != 1 or ts.size == 0:
+            raise ValueError("eval_ts must be a non-empty 1d tuple of times.")
+        if np.any(ts <= 0) or np.any(ts > (tf - t0) * (1 + 1e-9)):
+            raise ValueError("eval_ts must lie in (0, tf - t0].")
+        if ts.size > 1 and np.any(np.diff(ts) <= 0):
+            raise ValueError("eval_ts must be strictly increasing.")
+        n_eval = ts.size
+
     kernel = functools.partial(
         _kernel, n, k, int(n_env), float(env_dt), float(t0), float(tf), float(atol),
-        float(rtol), int(max_steps), float(h0),
+        float(rtol), int(max_steps), float(h0), n_eval,
     )
     mat = pltpu.VMEM((n, n, tile_b), f32)
     stages = pltpu.VMEM((_N_STAGES + 1, n, tile_b), f32)
     vec = pltpu.VMEM((n, tile_b), f32)
 
-    outr, outi = pl.pallas_call(
+    in_specs = [
+        full(statr), full(stati), full(opsr), full(opsi), full(omega), full(freqs),
+        env_spec, env_spec,
+    ]
+    inputs = [statr, stati, opsr, opsi, omega, freqs, envr, envi]
+    out_specs = [lane2(n), lane2(n)]
+    out_shape = [jax.ShapeDtypeStruct((n, B), f32)] * 2
+    if n_eval > 0:
+        ts_arr = jnp.asarray(ts.astype(np.float32)[:, None])
+        in_specs.append(full(ts_arr))
+        inputs.append(ts_arr)
+        eval_spec = pl.BlockSpec(
+            (n_eval, n, tile_b), lambda b: (0, 0, b), memory_space=pltpu.VMEM
+        )
+        out_specs += [eval_spec, eval_spec]
+        out_shape += [jax.ShapeDtypeStruct((n_eval, n, B), f32)] * 2
+    in_specs += [lane2(n), lane2(n)]
+    inputs += [y0r, y0i]
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            full(statr), full(stati), full(opsr), full(opsi), full(omega), full(freqs),
-            env_spec, env_spec, lane2(n), lane2(n),
-        ],
-        out_specs=[lane2(n), lane2(n)],
-        out_shape=[jax.ShapeDtypeStruct((n, B), f32)] * 2,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[mat, mat, stages, stages, vec, vec, vec, vec],
         interpret=interpret,
-    )(statr, stati, opsr, opsi, omega, freqs, envr, envi, y0r, y0i)
+    )(*inputs)
+    if n_eval > 0:
+        outr, outi, evalr, evali = outs
+        return outr + 1j * outi, evalr + 1j * evali
+    outr, outi = outs
     return outr + 1j * outi

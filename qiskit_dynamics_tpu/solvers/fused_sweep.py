@@ -536,6 +536,7 @@ def fused_adaptive_sweep_solve(
     rwa_signal_map: Optional[Callable] = None,
     envelope_resolution: Optional[int] = None,
     bucket_lanes: bool = True,
+    t_eval=None,
 ):
     r"""Lockstep-adaptive dopri5 sweep solve through the fused kernel.
 
@@ -568,8 +569,13 @@ def fused_adaptive_sweep_solve(
     ``LindbladModel`` (density-matrix ``y0``; ``signals_fn`` returns a
     ``(hamiltonian_signals, dissipator_signals)`` tuple).
 
+    Trajectories: ``t_eval`` (strictly increasing times in ``t_span``; need
+    NOT lie on any grid — adaptive steps clip to them exactly) switches the
+    return to ``(B, len(t_eval), ...)``.
+
     Returns (B, dim) final states at ``t_span[1]`` (standard basis), or
-    (B, dim, dim) density matrices for a vectorized Lindblad model.
+    (B, dim, dim) density matrices for a vectorized Lindblad model; with
+    ``t_eval``, the corresponding ``(B, n_eval, ...)`` trajectories.
     """
     from ..ops.adaptive_sweep import sweep_dopri5_lockstep
 
@@ -705,12 +711,40 @@ def fused_adaptive_sweep_solve(
     else:
         y0_fb = np.asarray(model.rotating_frame.state_into_frame_basis(np.asarray(y0)))
         solve_dim = model.dim
+    eval_ts = None
+    include_t0 = False
+    if t_eval is not None:
+        te = np.atleast_1d(np.asarray(t_eval, dtype=float))
+        if te.ndim != 1 or te.size == 0:
+            raise DynamicsError("t_eval must be a non-empty 1d sequence of times.")
+        if te.size > 1 and np.any(np.diff(te) <= 0):
+            raise DynamicsError("t_eval must be strictly increasing.")
+        if te[0] < t0 - 1e-9 or te[-1] > tf + 1e-9 * max(1.0, abs(tf)):
+            raise DynamicsError(f"t_eval must lie within t_span ({t0}, {tf}).")
+        include_t0 = abs(te[0] - t0) <= 1e-12 * max(1.0, abs(t0))
+        rel = (te[1:] if include_t0 else te) - t0
+        eval_ts = tuple(float(x) for x in rel) if rel.size else None
+
     amps, y0_cols, B, m = _expand_lanes(amps, y0_fb, solve_dim, tile_b)
-    yf = sweep_dopri5_lockstep(
+    out_kernel = sweep_dopri5_lockstep(
         static_fb, ops_fb, omega, freqs, amps, y0_cols, tf=tf, t0=t0,
         atol=atol, rtol=rtol, max_steps=max_steps, h0=h0,
-        tile_b=tile_b, interpret=interpret, env_dt=env_dt,
+        tile_b=tile_b, interpret=interpret, env_dt=env_dt, eval_ts=eval_ts,
     )
+    if t_eval is not None:
+        yf, traj = out_kernel if eval_ts is not None else (out_kernel, None)
+        pieces = []
+        if include_t0:
+            pieces.append(jnp.asarray(y0_cols, dtype=yf.dtype)[None])
+        if traj is not None:
+            pieces.append(traj)
+        traj = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=0)
+        out = _collect_trajectory(model, traj, B, m, vectorized_lindblad)
+        if bucket_lanes:
+            out = out[inv_order]
+        return out
+
+    yf = out_kernel
     if vectorized_lindblad:
         n = model.dim
         rho = jnp.transpose(yf[:, :B].reshape(n, n, B), (2, 1, 0))  # (B, n, n)

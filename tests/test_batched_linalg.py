@@ -646,6 +646,42 @@ class TestFusedAdaptiveSweepSolve:
             )
 
 
+class TestAdaptiveTrajectories:
+    def test_t_eval_matches_tpu_dopri5(self):
+        """Adaptive steps clip to arbitrary (off-grid) t_eval points; the
+        stored trajectory matches the generic adaptive solver, and the
+        bucket-lanes permutation is correctly inverted on the batch axis."""
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu.solvers import fused_adaptive_sweep_solve
+        from qiskit_dynamics_tpu import Signal
+
+        solver, w1 = cr_solver(dim=2)
+        y0 = np.zeros(4, dtype=complex)
+        y0[0] = 1.0
+        T = 2.0
+        amps = jnp.array([0.9, 0.2, 0.6, 0.4])  # shuffled: bucket un-permute
+
+        def signals_fn(amp):
+            return [Signal(lambda t: amp * 0.02, carrier_freq=w1)]
+
+        t_eval = [0.0, 0.7, 1.3, 2.0]
+        traj = fused_adaptive_sweep_solve(
+            solver.model, signals_fn, amps, t_span=(0.0, T), y0=y0, tile_b=4,
+            interpret=True, rwa_signal_map=solver._rwa_signal_map,
+            t_eval=t_eval,
+        )
+        assert traj.shape == (4, 4, 4)
+        for b, a in enumerate(np.asarray(amps)):
+            sig = Signal(lambda t, a=a: a * 0.02, carrier_freq=w1)
+            res = solver.solve(
+                t_span=[0.0, T], y0=y0, signals=[sig], method="tpu_dopri5",
+                atol=1e-10, rtol=1e-10, t_eval=t_eval,
+            )
+            np.testing.assert_allclose(
+                np.asarray(traj[b]), np.asarray(res.y), atol=5e-6
+            )
+
+
 class TestFusedAdaptiveLindblad:
     def test_vectorized_lindblad_matches_dop853(self):
         from qiskit_dynamics_tpu import Signal
