@@ -334,11 +334,12 @@ class Solver:
             t_span: ``(t0, tf)``.
             y0: shared initial state — array-like or a quantum_info type
                 (``Statevector``/``DensityMatrix``); converted to its array.
-            method: ``"fused_dopri5"`` (lockstep-adaptive; see
+            method: ``"fused_dopri5"`` (lockstep-adaptive; supports
+                ``t_eval`` trajectories at arbitrary times; see
                 :func:`~qiskit_dynamics_tpu.solvers.fused_sweep.fused_adaptive_sweep_solve`)
                 or ``"fused_magnus2"`` (fixed-step; requires ``max_dt``,
-                supports ``precision="df32"``, ``t_eval`` trajectories, and
-                gradients; see
+                supports ``precision="df32"``, on-grid ``t_eval``
+                trajectories, and gradients; see
                 :func:`~qiskit_dynamics_tpu.solvers.fused_sweep.fused_sweep_solve`).
             kwargs: forwarded to the chosen fused solver.
 
