@@ -584,6 +584,53 @@ class TestFusedAdaptiveSweepSolve:
                 pops[i], np.abs(np.asarray(ref.y[-1])) ** 2, atol=1e-5
             )
 
+    def test_envelope_table_with_t_eval(self):
+        """Both step-clipping mechanisms combined: envelope-cell boundaries
+        AND arbitrary trajectory times — trajectory matches DOP853 on the
+        identical DiscreteSignal at every t_eval point."""
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu.solvers import fused_adaptive_sweep_solve
+        from qiskit_dynamics_tpu import Signal, DiscreteSignal
+
+        solver, w1 = cr_solver(dim=2)
+        model = solver.model
+        dim = model.dim
+        y0 = np.zeros(dim, dtype=complex)
+        y0[0] = 1.0
+        T, S = 4.0, 80
+        env_dt = T / S
+        amps = jnp.array([0.5, 1.0])
+        t_eval = [1.3, 2.7, 4.0]  # off both grids except tf
+
+        def signals_fn(a):
+            return [Signal(
+                lambda t: a * 0.1 * jnp.exp(-((t - T / 2) ** 2) / (2 * 0.8**2)),
+                carrier_freq=w1,
+            )]
+
+        traj = fused_adaptive_sweep_solve(
+            model, signals_fn, amps, t_span=(0.0, T), y0=y0, atol=1e-9,
+            rtol=1e-9, h0=0.005, tile_b=8, interpret=True,
+            rwa_signal_map=solver._rwa_signal_map, envelope_resolution=S,
+            t_eval=t_eval,
+        )
+        assert traj.shape == (2, 3, dim)
+        ts = (np.arange(S) + 0.5) * env_dt
+        for i, a in enumerate([0.5, 1.0]):
+            samples = a * 0.1 * np.exp(-((ts - T / 2) ** 2) / (2 * 0.8**2))
+            dsig = DiscreteSignal(
+                dt=env_dt, samples=samples.astype(complex), carrier_freq=w1
+            )
+            ref = solver.solve(
+                t_span=[0.0, T], y0=y0, signals=[dsig], method="DOP853",
+                atol=1e-12, rtol=1e-12, t_eval=t_eval,
+            )
+            np.testing.assert_allclose(
+                np.abs(np.asarray(traj[i])) ** 2,
+                np.abs(np.asarray(ref.y)) ** 2,
+                atol=2e-5,
+            )
+
     def test_lindblad_vectorized_fused_sweep(self):
         """Vectorized Lindblad sweeps through the fused kernel match the
         generic vectorized DOP853 solve."""
