@@ -239,3 +239,75 @@ class TestSparseFrameTransforms:
         ref = frame.operator_into_frame(0.5, dense)
         out = out.toarray() if hasattr(out, "toarray") else np.asarray(out)
         np.testing.assert_allclose(out, np.asarray(ref), atol=1e-12)
+
+
+class TestRoundTripsAndVariants:
+    """Inverse-transform identities and constructor variants (reference
+    analog: test_rotating_frame.py round-trip/typing cases)."""
+
+    def _frame(self, dim, rng):
+        H = rng.standard_normal((dim, dim)) + 1j * rng.standard_normal((dim, dim))
+        return RotatingFrame(-1j * (H + H.conj().T) / 2)
+
+    def test_state_roundtrip_all_signatures(self):
+        rng = np.random.default_rng(0)
+        rf = self._frame(4, rng)
+        y = rng.standard_normal(4) + 1j * rng.standard_normal(4)
+        t = 0.37
+        for basis in (True, False):
+            back = rf.state_out_of_frame(
+                t, rf.state_into_frame(t, y, return_in_frame_basis=basis),
+                y_in_frame_basis=basis,
+            )
+            np.testing.assert_allclose(np.asarray(back), y, atol=1e-12)
+
+    def test_operator_roundtrip(self):
+        rng = np.random.default_rng(1)
+        rf = self._frame(3, rng)
+        op = rng.standard_normal((3, 3)) + 1j * rng.standard_normal((3, 3))
+        t = 1.1
+        back = rf.operator_out_of_frame(t, rf.operator_into_frame(t, op))
+        np.testing.assert_allclose(np.asarray(back), op, atol=1e-12)
+
+    def test_generator_roundtrip(self):
+        rng = np.random.default_rng(2)
+        rf = self._frame(3, rng)
+        gen = rng.standard_normal((3, 3)) + 1j * rng.standard_normal((3, 3))
+        t = 0.9
+        back = rf.generator_out_of_frame(t, rf.generator_into_frame(t, gen))
+        np.testing.assert_allclose(np.asarray(back), gen, atol=1e-12)
+
+    def test_1d_frame_operator_is_diagonal(self):
+        diag = np.array([1.0, -2.0, 0.5])
+        rf = RotatingFrame(-1j * diag)
+        # diagonal frames skip the eigendecomposition entirely
+        assert rf.frame_basis is None
+        np.testing.assert_allclose(np.imag(np.asarray(rf.frame_diag)), -diag)
+        y = np.array([1.0, 1.0, 1.0], dtype=complex)
+        out = rf.state_into_frame(0.5, y)
+        np.testing.assert_allclose(
+            np.asarray(out), np.exp(1j * diag * 0.5), atol=1e-12
+        )
+
+    def test_none_frame_passthrough_everywhere(self):
+        rf = RotatingFrame(None)
+        y = np.array([1.0, 2.0j])
+        op = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex)
+        np.testing.assert_allclose(np.asarray(rf.state_into_frame(1.0, y)), y)
+        np.testing.assert_allclose(np.asarray(rf.operator_into_frame(1.0, op)), op)
+        np.testing.assert_allclose(np.asarray(rf.generator_into_frame(1.0, op)), op)
+        assert rf.dim is None
+
+    def test_vectorized_basis_consistency(self):
+        """vectorized_frame_basis diagonalizes the vectorized frame operator:
+        column-stacking vec of U^dag A U equals the vectorized-basis action."""
+        rng = np.random.default_rng(3)
+        rf = self._frame(3, rng)
+        A = rng.standard_normal((3, 3)) + 1j * rng.standard_normal((3, 3))
+        vec_direct = np.asarray(
+            rf.operator_into_frame_basis(A)
+        ).ravel(order="F")
+        vec_via_basis = np.asarray(rf.vectorized_frame_basis_adjoint) @ A.ravel(
+            order="F"
+        )
+        np.testing.assert_allclose(vec_direct, vec_via_basis, atol=1e-12)
