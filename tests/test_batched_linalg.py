@@ -729,6 +729,39 @@ class TestAdaptiveTrajectories:
             )
 
 
+    def test_t_eval_validation(self):
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu.solvers import fused_adaptive_sweep_solve
+        from qiskit_dynamics_tpu import Signal
+        from qiskit_dynamics_tpu.exceptions import DynamicsError
+        import pytest
+
+        solver, w1 = cr_solver(dim=2)
+        y0 = np.zeros(4, dtype=complex)
+        y0[0] = 1.0
+        amps = jnp.array([0.5, 1.0])
+
+        def signals_fn(amp):
+            return [Signal(lambda t: amp * 0.02, carrier_freq=w1)]
+
+        kw = dict(
+            t_span=(0.0, 2.0), y0=y0, tile_b=2, interpret=True,
+            rwa_signal_map=solver._rwa_signal_map,
+        )
+        with pytest.raises(DynamicsError, match="increasing"):
+            fused_adaptive_sweep_solve(
+                solver.model, signals_fn, amps, t_eval=[1.0, 0.5], **kw
+            )
+        with pytest.raises(DynamicsError, match="within t_span"):
+            fused_adaptive_sweep_solve(
+                solver.model, signals_fn, amps, t_eval=[1.0, 3.0], **kw
+            )
+        with pytest.raises(DynamicsError, match="non-empty"):
+            fused_adaptive_sweep_solve(
+                solver.model, signals_fn, amps, t_eval=[], **kw
+            )
+
+
 class TestFusedAdaptiveLindblad:
     def test_vectorized_lindblad_matches_dop853(self):
         from qiskit_dynamics_tpu import Signal
