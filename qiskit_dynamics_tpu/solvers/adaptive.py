@@ -27,8 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from scipy.integrate._ivp.rk import RK45 as _SciRK45, DOP853 as _SciDOP853
-
+from ..ops import rk_tableaus as _rk
 from .results import OdeResult
 from .solver_utils import merge_t_args_jax, trim_t_results_jax
 
@@ -48,18 +47,14 @@ class _Tableau:
         self.n_stages = n_stages
 
 
-_DOPRI5 = _Tableau(_SciRK45.A, _SciRK45.B, _SciRK45.C, -1.0 / 5.0, _SciRK45.n_stages)
-_DOPRI5.E = np.asarray(_SciRK45.E)
+_DOPRI5 = _Tableau(_rk.DOPRI5_A, _rk.DOPRI5_B, _rk.DOPRI5_C, -1.0 / 5.0, _rk.DOPRI5_N_STAGES)
+_DOPRI5.E = _rk.DOPRI5_E
 
 _DOP853 = _Tableau(
-    _SciDOP853.A[: _SciDOP853.n_stages, : _SciDOP853.n_stages],
-    _SciDOP853.B,
-    _SciDOP853.C[: _SciDOP853.n_stages],
-    -1.0 / 8.0,
-    _SciDOP853.n_stages,
+    _rk.DOP853_A, _rk.DOP853_B, _rk.DOP853_C, -1.0 / 8.0, _rk.DOP853_N_STAGES
 )
-_DOP853.E5 = np.asarray(_SciDOP853.E5)
-_DOP853.E3 = np.asarray(_SciDOP853.E3)
+_DOP853.E5 = _rk.DOP853_E5
+_DOP853.E3 = _rk.DOP853_E3
 
 
 def _cabs(x):

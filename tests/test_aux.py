@@ -190,3 +190,30 @@ class TestCheckpointedSweep:
         out3 = checkpointed_sweep(fn, params + 1.0, path, chunk_size=4)
         np.testing.assert_allclose(out3, (params + 1.0) * 2.0)
         assert calls == [4, 4, 2]
+
+
+class TestRKTableaus:
+    def test_inlined_tableaus_match_scipy(self):
+        """The inlined Butcher tableaus must stay bit-identical to scipy's
+        (guards against transcription drift; the package itself no longer
+        imports scipy's private ``_ivp`` module)."""
+        try:
+            from scipy.integrate._ivp.rk import RK45, DOP853
+        except ImportError:
+            import pytest
+
+            pytest.skip("scipy private RK module not importable")
+        from qiskit_dynamics_tpu.ops import rk_tableaus as rk
+
+        assert np.array_equal(rk.DOPRI5_A, RK45.A)
+        assert np.array_equal(rk.DOPRI5_B, RK45.B)
+        assert np.array_equal(rk.DOPRI5_C, RK45.C)
+        assert np.array_equal(rk.DOPRI5_E, RK45.E)
+        assert rk.DOPRI5_N_STAGES == RK45.n_stages
+        ns = DOP853.n_stages
+        assert rk.DOP853_N_STAGES == ns
+        assert np.array_equal(rk.DOP853_A, DOP853.A[:ns, :ns])
+        assert np.array_equal(rk.DOP853_B, DOP853.B)
+        assert np.array_equal(rk.DOP853_C, DOP853.C[:ns])
+        assert np.array_equal(rk.DOP853_E5, DOP853.E5)
+        assert np.array_equal(rk.DOP853_E3, DOP853.E3)
