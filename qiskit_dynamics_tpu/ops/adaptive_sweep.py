@@ -42,17 +42,24 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-from scipy.integrate._ivp.rk import RK45 as _SciDOPRI5
 
+from .rk_tableaus import (
+    DOPRI5_A as _A,        # (6, 5) stage coefficients (explicit)
+    DOPRI5_B as _B,        # (6,) solution weights
+    DOPRI5_C as _C,        # (6,) stage times
+    DOPRI5_E as _E,        # (7,) error weights (incl. FSAL stage)
+    DOPRI5_N_STAGES as _N_STAGES,
+)
 from .sweep_solver import _UNROLL_N, _make_rows
+from .trig_reduce import (
+    reduced_phase,
+    split_array,
+    split_const,
+    time_add,
+    time_add_df,
+)
 
 __all__ = ["sweep_dopri5_lockstep"]
-
-_A = np.asarray(_SciDOPRI5.A)        # (6, 6) stage coefficients (explicit)
-_B = np.asarray(_SciDOPRI5.B)        # (6,) solution weights
-_C = np.asarray(_SciDOPRI5.C)        # (6,) stage times
-_E = np.asarray(_SciDOPRI5.E)        # (7,) error weights (incl. FSAL stage)
-_N_STAGES = 6
 
 
 def _kernel(
@@ -60,24 +67,27 @@ def _kernel(
     k: int,
     n_env: int,
     env_dt: float,
-    t0: float,
-    tf: float,
+    t0_pair: tuple,
+    dur_pair: tuple,
     atol: float,
     rtol: float,
     max_steps: int,
     h0: float,
     n_eval: int,
+    record_steps: bool,
     # refs (with ``n_eval > 0``, ``eval_ref`` (n_eval, 1) f32 elapsed times
     # follows envi_ref and trajectory outputs (n_eval, n, TILE_B) follow
-    # outr/outi):
+    # outr/outi; with ``record_steps``, ``rec_ref`` (max_steps, 1) f32 is the
+    # LAST output):
     *refs,
 ):
     statr_ref, stati_ref = refs[0], refs[1]       # (n, n)
     opsr_ref, opsi_ref = refs[2], refs[3]         # (k, n, n)
     omega_ref = refs[4]                           # (n, n)
-    freq_ref = refs[5]                            # (1, k) angular carriers
-    envr_ref, envi_ref = refs[6], refs[7]         # (k, n_env, TILE_B)
-    pos = 8
+    omegal_ref = refs[5]                          # (n, n) f32-split lo half
+    freq_ref = refs[6]                            # (2, k) angular carriers (hi, lo)
+    envr_ref, envi_ref = refs[7], refs[8]         # (k, n_env, TILE_B)
+    pos = 9
     eval_ref = None
     if n_eval > 0:
         eval_ref = refs[pos]                      # (n_eval, 1) elapsed times
@@ -89,6 +99,10 @@ def _kernel(
     if n_eval > 0:
         evalr_ref, evali_ref = refs[pos], refs[pos + 1]  # (n_eval, n, TILE_B)
         pos += 2
+    rec_ref = None
+    if record_steps:
+        rec_ref = refs[pos]  # (max_steps, 1) accepted step sizes, 0-padded
+        pos += 1
     # scratch
     (
         gr, gi,                    # (n, n, TILE_B) generator
@@ -97,14 +111,20 @@ def _kernel(
         wr, wi,                    # (n, TILE_B) work state (stage arg / y_new)
     ) = refs[pos:]
     inv_env_dt = 1.0 / env_dt
-    # the loop variable s runs over [0, tf - t0]; absolute time = t0 + s
-    # (signals and frame phases use absolute time, envelope tables are
-    # indexed by elapsed time)
-    duration = tf - t0
+    # the loop variable s runs over [0, tf - t0] and is tracked as an f32
+    # (hi, lo) pair (double-float, ~2^-48 relative); absolute time =
+    # t0 + s (signals and frame phases use absolute time, envelope tables
+    # are indexed by elapsed time). Phase arguments ``w t`` / ``omega t``
+    # are reduced mod 2pi with EFT products (trig_reduce.reduced_phase) —
+    # a plain f32 product loses ~ulp(|w t|) rad, the measured 1.3e-4
+    # accuracy floor at frame phases ~600 rad (dim-27 serving config).
+    dur_hi = jnp.float32(dur_pair[0])
+    dur_lo = jnp.float32(dur_pair[1])
+    t0_df = (jnp.float32(t0_pair[0]), jnp.float32(t0_pair[1]))
 
     rows = _make_rows(n)
 
-    def signal_coeff(j, s, idx):
+    def signal_coeff(j, s_pair, idx):
         # c_j(t, :) = Re[E_j(t) e^{i w t}] with E the piecewise-constant
         # per-lane complex envelope (n_env == 1: constant envelope). ``idx``
         # is the step's shared envelope cell: steps are clipped to cell
@@ -117,14 +137,14 @@ def _kernel(
         else:
             er = envr_ref[j, idx]
             ei = envi_ref[j, idx]
-        w = freq_ref[0, j]
-        t = t0 + s
-        return er * jnp.cos(w * t) - ei * jnp.sin(w * t)
+        w_pair = (freq_ref[0, j], freq_ref[1, j])
+        ph = reduced_phase(w_pair, time_add_df(t0_df, s_pair))
+        return er * jnp.cos(ph) - ei * jnp.sin(ph)
 
-    def build_generator(s, idx):
+    def build_generator(s_pair, idx):
         """gr/gi <- P(t) * (static + sum_j c_j(t) ops_j); t = t0 + s."""
-        t = t0 + s
-        coeffs = [signal_coeff(j, s, idx) for j in range(k)]
+        t_abs = time_add_df(t0_df, s_pair)
+        coeffs = [signal_coeff(j, s_pair, idx) for j in range(k)]
 
         def row(i):
             # ref dtype, not a hard f32 cast (f64 under x64 interpret)
@@ -134,7 +154,7 @@ def _kernel(
                 c = coeffs[j][None, :]
                 acc_r = acc_r + c * opsr_ref[j, i][:, None]
                 acc_i = acc_i + c * opsi_ref[j, i][:, None]
-            ph = omega_ref[i] * t
+            ph = reduced_phase((omega_ref[i], omegal_ref[i]), t_abs)  # (n,)
             cos_p = jnp.cos(ph)[:, None]
             sin_p = jnp.sin(ph)[:, None]
             gr[i] = acc_r * cos_p - acc_i * sin_p
@@ -142,9 +162,9 @@ def _kernel(
 
         rows(row)
 
-    def rhs_into_stage(s, t, idx):
+    def rhs_into_stage(s, s_pair, idx):
         """kr/ki[s] <- G(t) @ w (current work state in wr/wi)."""
-        build_generator(t, idx)
+        build_generator(s_pair, idx)
 
         def row(i):
             acc_r = jnp.zeros(wr.shape[1:], wr.dtype)
@@ -160,8 +180,15 @@ def _kernel(
         rows(row)
 
     def body(carry):
-        t, h_prop, steps, bad, eidx = carry  # t = elapsed time s
-        h = jnp.minimum(h_prop, duration - t)
+        # (s_hi, s_lo) = elapsed time; aidx = accepted-step count (recording)
+        s_hi, s_lo, h_prop, steps, bad, eidx, aidx = carry
+        s_pair = (s_hi, s_lo)
+        t = s_hi  # f32 view of the elapsed time (cells, guards, comparisons)
+        # remaining duration, df-accurate: dur_hi - s_hi is exact (operands
+        # converge), the lo terms restore the sub-ulp remainder — the final
+        # step lands on tf to ~2^-48 relative rather than f32 ulp
+        gap = (dur_hi - s_hi) + (dur_lo - s_lo)
+        h = jnp.minimum(h_prop, gap)
         if n_eval > 0:
             # clip the step to the next trajectory time so an accepted step
             # lands exactly on it (same mechanism as envelope-cell clipping)
@@ -206,7 +233,7 @@ def _kernel(
                 wi[i] = acc_i
 
             rows(stage_row)
-            rhs_into_stage(s, t + float(_C[s]) * h, step_cell)
+            rhs_into_stage(s, time_add(s_pair, float(_C[s]) * h), step_cell)
 
         # 5th-order solution y_new into wr/wi
         def ynew_row(i):
@@ -224,7 +251,8 @@ def _kernel(
         # FSAL stage: f(t+h, y_new) -> stage 6 (used only in the error
         # estimate). At a cell boundary this is the left-limit envelope —
         # correct for integrating over [t, t+h].
-        rhs_into_stage(6, t + h, step_cell)
+        s_next = time_add(s_pair, h)
+        rhs_into_stage(6, s_next, step_cell)
 
         # error estimate and shared norm
         def err_term(i):
@@ -267,7 +295,17 @@ def _kernel(
             ki[0, i] = jnp.where(accept, ki[6, i], ki[0, i])
 
         rows(accept_row)
-        t_new = jnp.where(accept, t + h, t)
+        if record_steps:
+            # the accepted-step record drives the AD replay (the backward
+            # pass re-integrates the exact primal grid with XLA ops)
+            @pl.when(accept)
+            def _record():
+                rec_ref[aidx, 0] = h
+
+            aidx = aidx + jnp.where(accept, 1, 0)
+        s_hi_new = jnp.where(accept, s_next[0], s_hi)
+        s_lo_new = jnp.where(accept, s_next[1], s_lo)
+        t_new = s_hi_new
 
         if n_env > 1:
             # FSAL stage 6 was evaluated with the OLD cell's envelope; when
@@ -278,11 +316,15 @@ def _kernel(
             new_cell = jnp.clip(
                 jnp.floor(t_new * inv_env_dt + 1e-4).astype(jnp.int32), 0, n_env - 1
             )
-            crossed = accept & (new_cell != step_cell) & (t_new < duration)
+            crossed = (
+                accept
+                & (new_cell != step_cell)
+                & (((dur_hi - s_hi_new) + (dur_lo - s_lo_new)) > 0.0)
+            )
 
             @pl.when(crossed)
             def _recompute_fsal():
-                rhs_into_stage(0, t_new, new_cell)
+                rhs_into_stage(0, (s_hi_new, s_lo_new), new_cell)
 
         # err_norm**(-1/5) via exp/log (Mosaic cannot legalize math.powf);
         # growth capped at 10 on accept, shrink-only on reject (same policy
@@ -312,27 +354,33 @@ def _kernel(
             # don't let a boundary-clipped (small) accepted step shrink the
             # controller's proposal: keep at least the pre-clip proposal
             h_new = jnp.where(accept & (h < h_prop), jnp.maximum(h_prop, h_new), h_new)
-        return t_new, h_new, steps + 1, bad, eidx
+        return s_hi_new, s_lo_new, h_new, steps + 1, bad, eidx, aidx
 
     def cond(carry):
-        t, h, steps, _, _ = carry
-        return (t < duration) & (steps < max_steps)
+        s_hi, s_lo, h, steps, _, _, _ = carry
+        return (((dur_hi - s_hi) + (dur_lo - s_lo)) > 0.0) & (steps < max_steps)
 
     yr[...] = y0r_ref[...]
     yi[...] = y0i_ref[...]
     wr[...] = y0r_ref[...]
     wi[...] = y0i_ref[...]
-    rhs_into_stage(0, jnp.float32(0.0), jnp.int32(0))  # initial FSAL stage
+    # initial FSAL stage at elapsed time 0
+    rhs_into_stage(0, (jnp.float32(0.0), jnp.float32(0.0)), jnp.int32(0))
+    if record_steps:
+        rec_ref[...] = jnp.zeros((max_steps, 1), dtype=rec_ref.dtype)
 
-    t_f, _, _, bad_f, eidx_f = jax.lax.while_loop(
+    s_hi_f, s_lo_f, _, _, bad_f, eidx_f, _ = jax.lax.while_loop(
         cond, body,
-        (jnp.float32(0.0), jnp.float32(h0), jnp.int32(0), False, jnp.int32(0)),
+        (
+            jnp.float32(0.0), jnp.float32(0.0), jnp.float32(h0),
+            jnp.int32(0), False, jnp.int32(0), jnp.int32(0),
+        ),
     )
 
     # NaN-poison if the budget ran out before reaching tf, a stalled step
     # was force-accepted with err >> tolerance, or (with trajectories) any
     # eval time was missed
-    ok = (t_f >= duration) & jnp.logical_not(bad_f)
+    ok = (((dur_hi - s_hi_f) + (dur_lo - s_lo_f)) <= 0.0) & jnp.logical_not(bad_f)
     if n_eval > 0:
         ok = ok & (eidx_f >= n_eval)
     poison = jnp.where(ok, 1.0, jnp.nan).astype(jnp.float32)
@@ -343,18 +391,51 @@ def _kernel(
         evali_ref[...] = evali_ref[...] * poison
 
 
+def sweep_dopri5_lockstep(
+    static_op, operators, frame_omega, signal_freqs, signal_amps, y0,
+    tf, t0=0.0, atol=1e-6, rtol=1e-6, max_steps=4096, h0=1e-2, tile_b=512,
+    interpret=False, env_dt=0.0, eval_ts=None, record_steps=False,
+):
+    """Public shim over :func:`_sweep_dopri5_lockstep_jit`: splits the frame
+    frequency matrix and carrier frequencies into f32 (hi, lo) pairs
+    host-side (the representation bits must be captured before the jit
+    boundary casts f64 to f32). Unlike the fixed-step kernel this one runs
+    f32 even under x64, so the split is unconditional. All arguments are
+    documented on the jitted function below."""
+
+    def _split(x):
+        try:
+            arr = np.asarray(x)
+        except Exception:  # traced value — the f64 bits are already gone
+            arr = jnp.asarray(x).astype(jnp.float32)
+            return arr, jnp.zeros_like(arr)
+        hi, lo = split_array(arr)
+        return jnp.asarray(hi), jnp.asarray(lo)
+
+    omega_hi, omega_lo = _split(frame_omega)
+    freq_hi, freq_lo = _split(signal_freqs)
+    return _sweep_dopri5_lockstep_jit(
+        static_op, operators, omega_hi, omega_lo, freq_hi, freq_lo,
+        signal_amps, y0, tf=tf, t0=t0, atol=atol, rtol=rtol,
+        max_steps=max_steps, h0=h0, tile_b=tile_b, interpret=interpret,
+        env_dt=env_dt, eval_ts=eval_ts, record_steps=record_steps,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "t0", "tf", "atol", "rtol", "max_steps", "h0", "tile_b", "interpret",
-        "env_dt", "eval_ts",
+        "env_dt", "eval_ts", "record_steps",
     ),
 )
-def sweep_dopri5_lockstep(
+def _sweep_dopri5_lockstep_jit(
     static_op,
     operators,
     frame_omega,
+    frame_omega_lo,
     signal_freqs,
+    signal_freqs_lo,
     signal_amps,
     y0,
     tf: float,
@@ -367,6 +448,7 @@ def sweep_dopri5_lockstep(
     interpret: bool = False,
     env_dt: float = 0.0,
     eval_ts=None,
+    record_steps: bool = False,
 ):
     r"""Lockstep-adaptive dopri5 sweep over ``[t0, tf]``, one fused kernel.
 
@@ -391,11 +473,15 @@ def sweep_dopri5_lockstep(
         eval_ts: optional static tuple of ELAPSED trajectory times (relative
             to ``t0``), strictly increasing, each in ``(0, tf - t0]``: steps
             clip to these boundaries and the state at each is stored.
+        record_steps: additionally return each tile's accepted step sizes as
+            an (n_tiles, max_steps) f32 array (zero-padded) — the input to
+            the AD replay (``ops/adaptive_replay.py``).
 
     Returns:
         (n, B) complex final states (frame basis); with ``eval_ts``, a tuple
         ``(final, trajectory)`` where ``trajectory`` is
-        (len(eval_ts), n, B) complex.
+        (len(eval_ts), n, B) complex. With ``record_steps``, the result is
+        wrapped as ``(result, step_record)``.
     """
     k, n, _ = operators.shape
     B = y0.shape[-1]
@@ -414,7 +500,13 @@ def sweep_dopri5_lockstep(
     opsr = jnp.real(operators).astype(f32)
     opsi = jnp.imag(operators).astype(f32)
     omega = jnp.asarray(frame_omega).astype(f32)
-    freqs = jnp.asarray(signal_freqs).astype(f32).reshape(1, k)
+    omegal = jnp.asarray(frame_omega_lo).astype(f32)
+    freqs = jnp.stack(
+        [
+            jnp.asarray(signal_freqs).astype(f32).reshape(k),
+            jnp.asarray(signal_freqs_lo).astype(f32).reshape(k),
+        ]
+    )  # (2, k)
     envr = jnp.real(signal_amps).astype(f32)
     envi = jnp.imag(signal_amps).astype(f32)
     y0r = jnp.real(y0).astype(f32)
@@ -437,18 +529,19 @@ def sweep_dopri5_lockstep(
         n_eval = ts.size
 
     kernel = functools.partial(
-        _kernel, n, k, int(n_env), float(env_dt), float(t0), float(tf), float(atol),
-        float(rtol), int(max_steps), float(h0), n_eval,
+        _kernel, n, k, int(n_env), float(env_dt), split_const(float(t0)),
+        split_const(float(tf) - float(t0)), float(atol),
+        float(rtol), int(max_steps), float(h0), n_eval, bool(record_steps),
     )
     mat = pltpu.VMEM((n, n, tile_b), f32)
     stages = pltpu.VMEM((_N_STAGES + 1, n, tile_b), f32)
     vec = pltpu.VMEM((n, tile_b), f32)
 
     in_specs = [
-        full(statr), full(stati), full(opsr), full(opsi), full(omega), full(freqs),
-        env_spec, env_spec,
+        full(statr), full(stati), full(opsr), full(opsi), full(omega),
+        full(omegal), full(freqs), env_spec, env_spec,
     ]
-    inputs = [statr, stati, opsr, opsi, omega, freqs, envr, envi]
+    inputs = [statr, stati, opsr, opsi, omega, omegal, freqs, envr, envi]
     out_specs = [lane2(n), lane2(n)]
     out_shape = [jax.ShapeDtypeStruct((n, B), f32)] * 2
     if n_eval > 0:
@@ -460,6 +553,13 @@ def sweep_dopri5_lockstep(
         )
         out_specs += [eval_spec, eval_spec]
         out_shape += [jax.ShapeDtypeStruct((n_eval, n, B), f32)] * 2
+    n_tiles = B // tile_b
+    if record_steps:
+        # per-tile accepted-step record: block row-range [b*max_steps, ...)
+        out_specs.append(
+            pl.BlockSpec((max_steps, 1), lambda b: (b, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((n_tiles * max_steps, 1), f32))
     in_specs += [lane2(n), lane2(n)]
     inputs += [y0r, y0i]
 
@@ -472,8 +572,16 @@ def sweep_dopri5_lockstep(
         scratch_shapes=[mat, mat, stages, stages, vec, vec, vec, vec],
         interpret=interpret,
     )(*inputs)
+    outs = list(outs)
+    rec = None
+    if record_steps:
+        rec = outs.pop().reshape(n_tiles, max_steps)
     if n_eval > 0:
         outr, outi, evalr, evali = outs
-        return outr + 1j * outi, evalr + 1j * evali
-    outr, outi = outs
-    return outr + 1j * outi
+        result = (outr + 1j * outi, evalr + 1j * evali)
+    else:
+        outr, outi = outs
+        result = outr + 1j * outi
+    if record_steps:
+        return result, rec
+    return result

@@ -101,10 +101,18 @@ def _bitmask_split(a):
     Pure bit surgery (truncate the low 12 stored-mantissa bits) — involves
     no FP rounding at all, unlike the Veltkamp split whose correctness
     depends on fl(4097*a) not being FMA-contracted. lo = a - hi is exact
-    (it reproduces the truncated bits)."""
+    (it reproduces the truncated bits).
+
+    Mosaic (Pallas TPU) only legalizes VECTOR bitcasts — scalars and 1-d
+    values are lifted to (1, n) around the bit ops (free relayout; the
+    arithmetic is unchanged)."""
+    ndim = jnp.ndim(a)
+    av = jnp.reshape(a, (1, -1)) if ndim < 2 else a
     hi = jax.lax.bitcast_convert_type(
-        jax.lax.bitcast_convert_type(a, jnp.int32) & _HI_MASK, jnp.float32
+        jax.lax.bitcast_convert_type(av, jnp.int32) & _HI_MASK, jnp.float32
     )
+    if ndim < 2:
+        hi = jnp.reshape(hi, jnp.shape(a))
     return hi, a - hi
 
 

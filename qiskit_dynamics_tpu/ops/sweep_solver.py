@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .trig_reduce import reduced_phase, split_const, step_time_df
+
 __all__ = ["sweep_expm_magnus2"]
 
 _GAUSS_C1 = 0.5 - np.sqrt(3) / 6
@@ -60,6 +62,27 @@ def _make_rows(n: int):
     return rows
 
 
+def _validate_eval_slots(eval_slots, T: int) -> int:
+    """Validate a trajectory slot table; returns ``n_eval``.
+
+    The non-negative entries must be exactly a permutation of
+    ``range(n_eval)`` — a duplicate or gapped slot would leave trajectory
+    slots unwritten (uninitialized VMEM in the Pallas kernel, silent zeros
+    in the XLA engine) with no NaN-poison to flag it.
+    """
+    if len(eval_slots) != T:
+        raise ValueError(f"eval_slots must have length T={T}")
+    marked = sorted(int(s) for s in eval_slots if int(s) >= 0)
+    if not marked:
+        raise ValueError("eval_slots must mark at least one step")
+    if marked != list(range(len(marked))):
+        raise ValueError(
+            "the non-negative eval_slots values must be exactly a "
+            f"permutation of range(n_eval); got {marked}."
+        )
+    return len(marked)
+
+
 def _kernel(
     n: int,
     k: int,
@@ -78,8 +101,9 @@ def _kernel(
     statr_ref, stati_ref = refs[0], refs[1]   # (n, n) static (frame basis)
     opsr_ref, opsi_ref = refs[2], refs[3]     # (k, n, n) signal operators
     omega_ref = refs[4]                       # (n, n) frame freq differences
-    coef_ref = refs[5]                        # (T, 2, k, TILE_B) Gauss signals
-    pos = 6
+    omegal_ref = refs[5]                      # (n, n) f32-split lo half
+    coef_ref = refs[6]                        # (T, 2, k, TILE_B) Gauss signals
+    pos = 7
     slot_ref = None
     if n_eval > 0:
         slot_ref = refs[pos]                  # (T, 1) int32 step -> eval slot
@@ -106,7 +130,18 @@ def _kernel(
         # match the scratch/ref dtype (f32 on chip; f64 under x64 interpret —
         # a hard f32 cast here silently truncated the static op in f64 tests)
         ftype = statr_ref.dtype
-        tau = t0 + (step.astype(ftype) + gauss_c) * dt
+        f32_mode = ftype == jnp.float32
+        if f32_mode:
+            # f32: form tau as an EFT (hi, lo) pair and reduce the frame
+            # phase mod 2pi — a plain f32 product loses ulp(|omega tau|) rad
+            # (see ops/trig_reduce.py; the dominant error at large phases)
+            tau_pair = step_time_df(
+                step.astype(ftype),
+                split_const(dt),
+                split_const(t0 + gauss_c * dt),
+            )
+        else:
+            tau = t0 + (step.astype(ftype) + gauss_c) * dt
 
         def row(i):
             # combo over operators; coefficients vary along lanes
@@ -117,7 +152,10 @@ def _kernel(
                 acc_r = acc_r + c * opsr_ref[j, i][:, None]
                 acc_i = acc_i + c * opsi_ref[j, i][:, None]
             # frame rotation: multiply by exp(i omega[i,:] tau) elementwise
-            ph = omega_ref[i] * tau  # (n,)
+            if f32_mode:
+                ph = reduced_phase((omega_ref[i], omegal_ref[i]), tau_pair)  # (n,)
+            else:
+                ph = omega_ref[i] * tau  # (n,)
             cos_p = jnp.cos(ph)[:, None]
             sin_p = jnp.sin(ph)[:, None]
             out_r[i] = acc_r * cos_p - acc_i * sin_p
@@ -274,6 +312,46 @@ def _kernel(
     outi_ref[...] = yi[...]
 
 
+def split_omega_host(frame_omega):
+    """f32 (hi, lo) split of a frequency array, host-side when possible.
+
+    Must be called BEFORE the jit boundary: without x64 JAX casts f64 inputs
+    to f32 at the boundary, losing exactly the bits the lo half preserves
+    (the representation error ``w 2^-24 t`` dominates large-phase trig).
+    Under x64, or for traced values (bits already gone), lo is zero.
+    """
+    if jax.config.jax_enable_x64:
+        om = jnp.asarray(frame_omega)
+        return om, jnp.zeros_like(om)
+    try:
+        om = np.asarray(frame_omega)
+    except Exception:  # traced value
+        om = jnp.asarray(frame_omega).astype(jnp.float32)
+        return om, jnp.zeros_like(om)
+    from .trig_reduce import split_array
+
+    hi, lo = split_array(om)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def sweep_expm_magnus2(
+    static_op, operators, frame_omega, coefficients, y0,
+    dt, t0=0.0, order=8, tile_b=512, interpret=False, hermitian=False,
+    mode="auto", eval_slots=None, frame_omega_lo=None,
+):
+    """Public shim over :func:`_sweep_expm_magnus2_jit` — splits the frame
+    frequency matrix into an f32 (hi, lo) pair host-side (see
+    :func:`split_omega_host`) then dispatches to the jitted kernel. All
+    arguments are documented on the jitted function below."""
+    if frame_omega_lo is None:
+        frame_omega, frame_omega_lo = split_omega_host(frame_omega)
+    return _sweep_expm_magnus2_jit(
+        static_op, operators, frame_omega, frame_omega_lo, coefficients, y0,
+        dt=dt, t0=t0, order=order, tile_b=tile_b, interpret=interpret,
+        hermitian=hermitian, mode=mode, eval_slots=eval_slots,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -281,10 +359,11 @@ def _kernel(
         "eval_slots",
     ),
 )
-def sweep_expm_magnus2(
+def _sweep_expm_magnus2_jit(
     static_op,
     operators,
     frame_omega,
+    frame_omega_lo,
     coefficients,
     y0,
     dt: float,
@@ -356,6 +435,7 @@ def sweep_expm_magnus2(
     opsr = jnp.real(operators).astype(f32)
     opsi = jnp.imag(operators).astype(f32)
     omega = jnp.asarray(frame_omega).astype(f32)
+    omegal = jnp.asarray(frame_omega_lo).astype(f32)
     coef = jnp.asarray(coefficients).astype(f32)
     y0r = jnp.real(y0).astype(f32)
     y0i = jnp.imag(y0).astype(f32)
@@ -381,11 +461,7 @@ def sweep_expm_magnus2(
 
     n_eval = 0
     if eval_slots is not None:
-        if len(eval_slots) != T:
-            raise ValueError(f"eval_slots must have length T={T}")
-        n_eval = int(max(eval_slots)) + 1
-        if n_eval <= 0:
-            raise ValueError("eval_slots must mark at least one step")
+        n_eval = _validate_eval_slots(eval_slots, T)
 
     kernel = functools.partial(
         _kernel, n, k, T, float(dt), float(t0), order, mode, n_eval
@@ -399,9 +475,9 @@ def sweep_expm_magnus2(
 
     in_specs = [
         full(statr), full(stati), full(opsr), full(opsi), full(omega),
-        coef_spec,
+        full(omegal), coef_spec,
     ]
-    inputs = [statr, stati, opsr, opsi, omega, coef]
+    inputs = [statr, stati, opsr, opsi, omega, omegal, coef]
     out_specs = [y_spec, y_spec]
     out_shape = [jax.ShapeDtypeStruct((n, B), f32)] * 2
     if n_eval > 0:

@@ -22,17 +22,37 @@ import jax
 import jax.numpy as jnp
 
 from .sweep_solver import _GAUSS_C1, _GAUSS_C2, _P2
+from .trig_reduce import reduced_phase, split_const, step_time_df
 
 __all__ = ["sweep_expm_magnus2_xla"]
+
+
+def sweep_expm_magnus2_xla(
+    static_op, operators, frame_omega, coefficients, y0,
+    dt, t0=0.0, order=8, hermitian=False, eval_slots=None,
+    frame_omega_lo=None,
+):
+    """Public shim over :func:`_sweep_expm_magnus2_xla_jit`: splits the frame
+    frequency matrix into an f32 (hi, lo) pair host-side (see
+    :func:`.sweep_solver.split_omega_host`). Arguments documented below."""
+    if frame_omega_lo is None:
+        from .sweep_solver import split_omega_host
+
+        frame_omega, frame_omega_lo = split_omega_host(frame_omega)
+    return _sweep_expm_magnus2_xla_jit(
+        static_op, operators, frame_omega, frame_omega_lo, coefficients, y0,
+        dt=dt, t0=t0, order=order, hermitian=hermitian, eval_slots=eval_slots,
+    )
 
 
 @functools.partial(
     jax.jit, static_argnames=("dt", "t0", "order", "hermitian", "eval_slots")
 )
-def sweep_expm_magnus2_xla(
+def _sweep_expm_magnus2_xla_jit(
     static_op,
     operators,
     frame_omega,
+    frame_omega_lo,
     coefficients,
     y0,
     dt: float,
@@ -60,6 +80,7 @@ def sweep_expm_magnus2_xla(
     static = jnp.asarray(static_op).astype(cplx)
     ops = jnp.asarray(operators).astype(cplx)
     omega = jnp.asarray(frame_omega).astype(real)
+    omega_lo = jnp.asarray(frame_omega_lo).astype(real)
     coef = jnp.asarray(coefficients).astype(real)
     T = coef.shape[0]
     y0 = jnp.asarray(y0).astype(cplx)
@@ -69,10 +90,27 @@ def sweep_expm_magnus2_xla(
     else:
         y = jnp.swapaxes(y0, 0, 1)[..., None]  # (B, n, 1)
 
-    def generator(coef_step, tau):
-        """(k, B) coefficients + time -> (B, n, n) frame-rotated generator."""
+    f32_mode = real == jnp.float32
+
+    def frame_phase(idx, gauss_c):
+        """(n, n) frame phase ``omega * tau`` at ``tau = t0 + (idx+c) dt``.
+
+        f32: EFT step time + mod-2pi reduction (ops/trig_reduce.py) — same
+        treatment as the Pallas kernels, so large absolute phases keep f32
+        trig accurate (and the AD-adjoint replay matches the primal)."""
+        if f32_mode:
+            return reduced_phase(
+                (omega, omega_lo),
+                step_time_df(
+                    idx.astype(real), split_const(dt), split_const(t0 + gauss_c * dt)
+                ),
+            )
+        return omega * (t0 + (idx.astype(real) + gauss_c) * dt)
+
+    def generator(coef_step, ph):
+        """(k, B) coefficients + (n, n) phase -> (B, n, n) rotated generator."""
         A = static[None] + jnp.einsum("kb,kij->bij", coef_step.astype(cplx), ops)
-        phase = jnp.exp(1j * (omega * tau).astype(cplx))  # (n, n)
+        phase = jnp.exp(1j * ph.astype(cplx))  # (n, n)
         return A * phase[None]
 
     c1 = 0.5 * dt
@@ -81,17 +119,16 @@ def sweep_expm_magnus2_xla(
     n_eval = 0
     slots = None
     if eval_slots is not None:
-        if len(eval_slots) != T:
-            raise ValueError(f"eval_slots must have length T={T}")
-        n_eval = int(max(eval_slots)) + 1
+        from .sweep_solver import _validate_eval_slots
+
+        n_eval = _validate_eval_slots(eval_slots, T)
         slots = jnp.asarray(np.asarray(eval_slots, dtype=np.int32))
 
     def step(carry, xs):
         y, evals = carry
         idx, coef_step = xs
-        t_step = t0 + idx.astype(real) * dt
-        G1 = generator(coef_step[0], t_step + _GAUSS_C1 * dt)
-        G2 = generator(coef_step[1], t_step + _GAUSS_C2 * dt)
+        G1 = generator(coef_step[0], frame_phase(idx, _GAUSS_C1))
+        G2 = generator(coef_step[1], frame_phase(idx, _GAUSS_C2))
         P = G2 @ G1
         if hermitian:
             # anti-Hermitian generators: G1 G2 = (G2 G1)^dagger
