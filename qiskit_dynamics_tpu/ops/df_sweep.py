@@ -4,10 +4,10 @@ High-precision counterpart of :func:`.sweep_solver.sweep_expm_magnus2` for
 hardware with no float64 (TPU). Same math — per step, assemble the
 frame-basis generator at the Gauss-Legendre nodes, combine with the Magnus
 order-4 (two-node) or order-6 (three-node) commutator rule (same rules as
-``solvers/fixed_step_solvers.py``), exponentiate, apply to the state — but every device
-operation runs in compensated double-float32 (:mod:`.df32`, unit roundoff
-~2^-48), so a few-hundred-step propagator chain keeps ~1e-12 arithmetic
-accuracy instead of the plain kernel's ~1e-6 f32 floor.
+``solvers/fixed_step_solvers.py``), exponentiate, apply to the state — but the
+accuracy-critical operations run in compensated double-float32 (:mod:`.df32`,
+unit roundoff ~2^-48), so a few-hundred-step propagator chain keeps ~1e-12
+arithmetic accuracy instead of the plain kernel's ~1e-6 f32 floor.
 
 The design exploits that fixed-step grids make every evaluation time known
 at trace time: ALL transcendental values (frame phases ``exp(i omega tau)``)
@@ -17,16 +17,26 @@ coefficients are likewise evaluated on host in float64 (the glue in
 ``solvers/fused_sweep.py`` does this; it requires concrete sweep
 parameters).
 
+Mixed precision (the round-3 speedup, on by default): in the order-6 rule the
+three commutators enter ``M`` only through terms that are O(dt^2-dt^3)
+RELATIVE corrections to the leading ``a1`` term — plain-f32 evaluation of the
+commutators therefore contributes ~``2^-24 * dt^2`` relative error per step,
+below the 1e-8 target for the usual dt, while costing 25x less than df
+matmuls (``fast_commutators``). Similarly the outer (high-``j``) Horner
+iterations of ``expm(M) y`` are damped by ``|M|^j / j!`` and run in f32, with
+only the final ``horner_df_tail`` iterations in df. Both knobs are exposed
+and the conservative full-df path remains available; BENCHMARKS.md records
+the measured accuracy of the defaults.
+
+The time grid may be NON-UNIFORM: ``dt`` accepts a per-step array, enabling
+the host-side adaptive grid builder in ``solvers/fused_sweep.py``
+(``df_grid="adaptive"``) to concentrate steps where the generator actually
+varies.
+
 Layout is batch-on-lanes ``(n, n, B)`` like the Pallas kernels, but as
 straight-line jnp code (XLA fuses the elementwise df chains); the expm is
 applied as Horner mat-VEC Taylor — the propagator itself is never formed,
 saving an O(n) factor.
-
-Cost model: ~25x the f32 Pallas kernel per step (df mul = 24 flops) plus
-the smaller dt needed to push Magnus truncation error below 1e-8 — still
-hundreds of times above the BASELINE 50x bar (see BENCHMARKS.md). The
-order-6 rule (magnus_order=3, default) costs ~2.5x per step but takes
-~10x larger steps at equal accuracy.
 """
 from __future__ import annotations
 
@@ -118,12 +128,47 @@ def _ccomm_anti(a, b, n):
     return df32.sub(c_re, t(c_re)), df32.add(c_im, t(c_im))
 
 
+# ---------------------------------------------------------------------------
+# plain-complex64 helpers for the mixed-precision fast paths
+
+
+def _c64(z):
+    """Complex df -> complex64 view (hi parts)."""
+    return jax.lax.complex(z[0][0], z[1][0])
+
+
+def _cfrom32(z32):
+    """complex64 -> complex df with zero lo."""
+    re = jnp.real(z32)
+    im = jnp.imag(z32)
+    return (re, jnp.zeros_like(re)), (im, jnp.zeros_like(im))
+
+
+def _matmul32(a, b):
+    """(n, n, B) @ (n, n, B) complex64, batch on lanes."""
+    return jnp.einsum("imb,mjb->ijb", a, b)
+
+
+def _comm32(a, b, hermitian):
+    if hermitian:
+        c = _matmul32(a, b)
+        return c - jnp.conj(jnp.swapaxes(c, 0, 1))
+    return _matmul32(a, b) - _matmul32(b, a)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("n", "k", "order", "magnus_order", "hermitian")
+    jax.jit,
+    static_argnames=(
+        "n", "k", "order", "magnus_order", "hermitian", "fast_commutators",
+        "horner_df_tail",
+    ),
 )
 def _df_scan(
     n, k, order, magnus_order, stat, ops, phases, coefs, y0, consts,
+    step_consts,
     hermitian=False,
+    fast_commutators=True,
+    horner_df_tail=6,
 ):
     """The jitted df32 time loop.
 
@@ -133,8 +178,19 @@ def _df_scan(
         phases: (cos, sin) df pair tables, each (T, n_nodes, n, n).
         coefs: real df (T, n_nodes, k, B) signal values at the Gauss points.
         y0: complex df (n, B).
-        consts: magnus-rule df scalars (see ``_magnus_consts``); the last
-            entry is ``inv_j`` of shape (order,) for the expm Horner.
+        consts: dt-free rule scalars: ``(two, twenty, inv12, inv60, inv240,
+            inv_j)`` for order 3, ``(inv_j,)`` for order 2 (df pairs;
+            ``inv_j`` shaped (order,)).
+        step_consts: per-step df (T,) arrays of the dt-dependent rule
+            scalars: order 3 ``(dt, c0*dt, c1*dt)``, order 2
+            ``(dt/2, p2*dt^2)``.
+        fast_commutators: (order 3 only) evaluate the three Magnus
+            commutators in plain complex64 — they enter M only as
+            O(dt^2)-relative corrections, so f32 keeps ~1e-9-class per-step
+            accuracy at 25x less commutator cost.
+        horner_df_tail: run Horner iterations with ``j > horner_df_tail`` in
+            complex64 (their error is damped by ``|M|^j / j!``); the final
+            ``horner_df_tail`` iterations run in df. 0 disables (full df).
     """
     inv_j = consts[-1]
     comm = _ccomm_anti if hermitian else _ccomm
@@ -156,9 +212,14 @@ def _df_scan(
         g_im = df32.add(df32.mul(acc_re, sin_b), df32.mul(acc_im, cos_b))
         return g_re, g_im
 
+    n_step_consts = len(step_consts)
+
     def step(carry, xs):
         y = _unflatten_c(carry)
-        c_hi, c_lo, cos_hi, cos_lo, sin_hi, sin_lo = xs
+        c_hi, c_lo, cos_hi, cos_lo, sin_hi, sin_lo = xs[:6]
+        sc = [
+            (xs[6 + 2 * i], xs[6 + 2 * i + 1]) for i in range(n_step_consts)
+        ]  # per-step df scalars
         g = [
             build_generator(
                 (c_hi[i], c_lo[i]), (cos_hi[i], cos_lo[i]), (sin_hi[i], sin_lo[i])
@@ -168,7 +229,7 @@ def _df_scan(
 
         if magnus_order == 2:
             # M = (dt/2)(G1 + G2) + p2 dt^2 [G2, G1]
-            half_dt, p2_dt2 = consts[:2]
+            half_dt, p2_dt2 = sc
             m_op = df32.cadd(
                 df32.cmul_real(df32.cadd(g[0], g[1]), half_dt),
                 df32.cmul_real(comm(g[1], g[0], n), p2_dt2),
@@ -176,36 +237,66 @@ def _df_scan(
         else:
             # order-6 rule (Blanes et al. 2009; same combination as
             # solvers/fixed_step_solvers.py get_exponential_take_step order 3)
-            dt_c, c0dt, c1dt, two, twenty, inv12, inv60, inv240 = consts[:8]
+            dt_c, c0dt, c1dt = sc
+            two, twenty, inv12, inv60, inv240 = consts[:5]
             a1 = df32.cmul_real(g[1], dt_c)
             a2 = df32.cmul_real(df32.csub(g[2], g[0]), c0dt)
             a3 = df32.cmul_real(
                 df32.cadd(df32.csub(g[2], g[1]), df32.csub(g[0], g[1])), c1dt
             )
-            comm1 = comm(a1, a2, n)
-            comm2 = df32.cmul_real(
-                comm(df32.cadd(df32.cmul_real(a3, two), comm1), a1, n), inv60
-            )
-            left = df32.csub(comm1, df32.cadd(df32.cmul_real(a1, twenty), a3))
-            right = df32.cadd(a2, comm2)
-            m_op = df32.cadd(
-                df32.cadd(a1, df32.cmul_real(a3, inv12)),
-                df32.cmul_real(comm(left, right, n), inv240),
-            )
+            if fast_commutators:
+                # all three commutators in complex64: they reach M only
+                # through the (1/240)[left, right] term, an O(dt^2)-relative
+                # correction — f32 error lands at ~2^-24 * dt^2 per step
+                a1_32, a2_32, a3_32 = _c64(a1), _c64(a2), _c64(a3)
+                comm1 = _comm32(a1_32, a2_32, hermitian)
+                comm2 = _comm32(2.0 * a3_32 + comm1, a1_32, hermitian) / 60.0
+                left = comm1 - (20.0 * a1_32 + a3_32)
+                right = a2_32 + comm2
+                outer = _comm32(left, right, hermitian) / 240.0
+                m_op = df32.cadd(
+                    df32.cadd(a1, df32.cmul_real(a3, inv12)), _cfrom32(outer)
+                )
+            else:
+                comm1 = comm(a1, a2, n)
+                comm2 = df32.cmul_real(
+                    comm(df32.cadd(df32.cmul_real(a3, two), comm1), a1, n), inv60
+                )
+                left = df32.csub(comm1, df32.cadd(df32.cmul_real(a1, twenty), a3))
+                right = df32.cadd(a2, comm2)
+                m_op = df32.cadd(
+                    df32.cadd(a1, df32.cmul_real(a3, inv12)),
+                    df32.cmul_real(comm(left, right, n), inv240),
+                )
 
         # y <- expm(M) y, Horner mat-vec Taylor:
         # v = y; for j = order..1: v = y + (M v) / j
-        # (fori_loop keeps the traced graph small — compile time, not math)
+        # Outer iterations (j > horner_df_tail) in complex64 — their error is
+        # damped by |M|^j / j! before reaching the result; the final
+        # iterations run in df (fori_loop keeps the traced graph small).
+        tail = order
+        v = y
+        if 0 < horner_df_tail < order:
+            tail = horner_df_tail
+            m32 = _c64(m_op)
+            y32 = _c64(y)
+            v32 = y32
+            for j in range(order, tail, -1):
+                v32 = y32 + jnp.einsum("ijb,jb->ib", m32, v32) / j
+            v = _cfrom32(v32)
+
         def horner(i, v_flat):
-            v = _unflatten_c(v_flat)
-            mv = _cmatvec(m_op, v, n)
-            inv = _dfi(inv_j, order - 1 - i)
+            vv = _unflatten_c(v_flat)
+            mv = _cmatvec(m_op, vv, n)
+            inv = _dfi(inv_j, tail - 1 - i)
             return _flatten_c(df32.cadd(y, df32.cmul_real(mv, inv)))
 
-        v = _unflatten_c(jax.lax.fori_loop(0, order, horner, _flatten_c(y)))
+        v = _unflatten_c(jax.lax.fori_loop(0, tail, horner, _flatten_c(v)))
         return _flatten_c(v), None
 
-    xs = (coefs[0], coefs[1], phases[0][0], phases[0][1], phases[1][0], phases[1][1])
+    xs = (
+        coefs[0], coefs[1], phases[0][0], phases[0][1], phases[1][0], phases[1][1],
+    ) + tuple(x for pair in step_consts for x in pair)
     out, _ = jax.lax.scan(step, _flatten_c(y0), xs)
     return out
 
@@ -217,16 +308,12 @@ MAGNUS_NODES = {
 }
 
 
-def _magnus_consts(magnus_order: int, dt: float, order: int):
-    """df scalar tables for the step rule + expm Horner."""
-    dt = np.float64(dt)
+def _rule_consts(magnus_order: int, order: int):
+    """dt-free df scalar tables for the step rule + expm Horner."""
     inv_j = df32.from_f64(1.0 / np.arange(1, order + 1, dtype=np.float64))
     if magnus_order == 2:
-        return (df32.from_f64(dt / 2), df32.from_f64(_P2 * dt**2), inv_j)
+        return (inv_j,)
     return (
-        df32.from_f64(dt),
-        df32.from_f64(np.sqrt(15.0) / 3 * dt),
-        df32.from_f64(10.0 / 3 * dt),
         df32.from_f64(2.0),
         df32.from_f64(20.0),
         df32.from_f64(1.0 / 12),
@@ -236,18 +323,32 @@ def _magnus_consts(magnus_order: int, dt: float, order: int):
     )
 
 
+def _step_consts(magnus_order: int, dts: np.ndarray):
+    """Per-step df (T,) arrays of the dt-dependent rule scalars."""
+    dts = np.asarray(dts, dtype=np.float64)
+    if magnus_order == 2:
+        return (df32.from_f64(dts / 2), df32.from_f64(_P2 * dts**2))
+    return (
+        df32.from_f64(dts),
+        df32.from_f64(np.sqrt(15.0) / 3 * dts),
+        df32.from_f64(10.0 / 3 * dts),
+    )
+
+
 def sweep_expm_magnus_df(
     static_op,
     operators,
     frame_omega,
     coefficients,
     y0,
-    dt: float,
+    dt,
     t0: float = 0.0,
     magnus_order: int = 3,
     order: int = 12,
     chunk_b: int = 2048,
     hermitian: bool = False,
+    fast_commutators: bool = True,
+    horner_df_tail: int = 6,
 ):
     r"""Fixed-step Magnus sweep (order 2 or 3 rule) in double-float32.
 
@@ -262,9 +363,10 @@ def sweep_expm_magnus_df(
         frame_omega: (n, n) real frame frequency-difference matrix.
         coefficients: (T, n_nodes, k, B) float64 real signal values at the
             Gauss-Legendre nodes of every step (absolute times
-            ``t0 + (step + MAGNUS_NODES[magnus_order]) dt``).
+            ``t_start[step] + MAGNUS_NODES[magnus_order] * dt[step]``).
         y0: (n, B) complex initial states (frame basis).
-        dt: step size.
+        dt: step size — a scalar (uniform grid) or a (T,) array of per-step
+            sizes (e.g. from the host-adaptive grid builder).
         t0: initial time (frame phases use absolute time).
         magnus_order: 2 (two-node, 4th-order rule) or 3 (three-node,
             6th-order rule — ~2.5x the per-step cost, vastly fewer steps at
@@ -274,11 +376,15 @@ def sweep_expm_magnus_df(
         chunk_b: sweep members per device dispatch (bounds the (n, n, B)
             df temporaries and the on-device table size).
         hermitian: the generators are anti-Hermitian (``G = -iH``) — every
-            Magnus commutator then costs ONE df matmul instead of two
+            Magnus commutator then costs ONE matmul instead of two
             (see ``_ccomm_anti``; caller must guarantee the property).
+        fast_commutators: (order 3) run the Magnus commutators in plain
+            complex64 (O(dt^2)-relative terms; see the module docstring).
+        horner_df_tail: Horner iterations with ``j`` above this run in
+            complex64; 0 = full df.
 
     Returns:
-        (n, B) complex128 final states (frame basis) at ``t0 + T dt``.
+        (n, B) complex128 final states (frame basis) at ``t0 + sum(dt)``.
     """
     if magnus_order not in MAGNUS_NODES:
         raise ValueError(f"magnus_order must be one of {sorted(MAGNUS_NODES)}.")
@@ -295,15 +401,22 @@ def sweep_expm_magnus_df(
             f"coefficients have {n_nodes} node samples; magnus_order="
             f"{magnus_order} needs {len(nodes)}."
         )
+    dts = np.asarray(dt, dtype=np.float64)
+    if dts.ndim == 0:
+        dts = np.full(T, float(dts))
+    if dts.shape != (T,):
+        raise ValueError(f"dt must be a scalar or shape ({T},), got {dts.shape}.")
 
     # host f64 precompute: frame phase tables at the Gauss times
-    tau = t0 + dt * (np.arange(T)[:, None] + nodes[None, :])
+    t_start = t0 + np.concatenate([[0.0], np.cumsum(dts)[:-1]])
+    tau = t_start[:, None] + dts[:, None] * nodes[None, :]
     ph = frame_omega[None, None] * tau[:, :, None, None]  # (T, n_nodes, n, n)
     phases = (df32.from_f64(np.cos(ph)), df32.from_f64(np.sin(ph)))
 
     stat = df32.cfrom_f64(static_op)
     ops = df32.cfrom_f64(operators)
-    consts = _magnus_consts(magnus_order, dt, order)
+    consts = _rule_consts(magnus_order, order)
+    step_c = _step_consts(magnus_order, dts)
 
     out = np.empty((n, B), dtype=np.complex128)
     for lo_b in range(0, B, chunk_b):
@@ -316,8 +429,9 @@ def sweep_expm_magnus_df(
             y_sl = np.concatenate([y_sl, np.repeat(y_sl[:, :1], pad, axis=-1)], axis=-1)
         res = _df_scan(
             n, k, order, magnus_order, stat, ops, phases,
-            df32.from_f64(sl), df32.cfrom_f64(y_sl), consts,
-            hermitian=hermitian,
+            df32.from_f64(sl), df32.cfrom_f64(y_sl), consts, step_c,
+            hermitian=hermitian, fast_commutators=fast_commutators,
+            horner_df_tail=horner_df_tail,
         )
         chunk = df32.cto_f64(_unflatten_c(res))
         out[:, lo_b:hi_b] = chunk[:, : hi_b - lo_b]

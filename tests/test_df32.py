@@ -192,6 +192,7 @@ class TestDfSweepPallas:
         ref = sweep_expm_magnus_df(
             static, ops, omega, coefs, y0, dt=dt, t0=t0,
             magnus_order=magnus_order, chunk_b=8,
+            fast_commutators=False, horner_df_tail=0,
         )
         out = sweep_expm_magnus_df_pallas(
             static, ops, omega, coefs, y0, dt=dt, t0=t0,
@@ -214,7 +215,10 @@ class TestDfSweepPallas:
         coefs = rng.standard_normal((1, B))[None, None] * np.cos(tau)[:, :, None, None]
         y0 = np.zeros((n, B), dtype=complex)
         y0[0] = 1.0
-        ref = sweep_expm_magnus_df(static, ops, omega, coefs, y0, dt=dt, chunk_b=8)
+        ref = sweep_expm_magnus_df(
+            static, ops, omega, coefs, y0, dt=dt, chunk_b=8,
+            fast_commutators=False, horner_df_tail=0,
+        )
         out = sweep_expm_magnus_df_pallas(
             static, ops, omega, coefs, y0, dt=dt, tile_b=8, interpret=True
         )
@@ -363,7 +367,96 @@ class TestHermitianCommutator:
         )
         y0 = np.zeros((n, B), dtype=complex)
         y0[0] = 1.0
-        kw = dict(dt=dt, t0=t0, magnus_order=magnus_order, chunk_b=8)
+        # bit-level claim holds on the full-df path (fast commutators
+        # evaluate the shortcut in f32, where the two orderings differ at
+        # f32 roundoff of the small correction terms)
+        kw = dict(
+            dt=dt, t0=t0, magnus_order=magnus_order, chunk_b=8,
+            fast_commutators=False, horner_df_tail=0,
+        )
         a = sweep_expm_magnus_df(static, ops, omega, coefs, y0, hermitian=False, **kw)
         b = sweep_expm_magnus_df(static, ops, omega, coefs, y0, hermitian=True, **kw)
         np.testing.assert_allclose(a, b, atol=1e-13)
+
+    def test_fast_path_matches_full_df(self):
+        """The mixed-precision defaults (f32 commutators + f32 Horner head)
+        must stay within ~1e-10 of the full-df engine on a representative
+        chain — the budget that keeps the 1e-8 BASELINE bar."""
+        from qiskit_dynamics_tpu.ops.df_sweep import MAGNUS_NODES, sweep_expm_magnus_df
+
+        rng = np.random.default_rng(5)
+        n, k, B = 4, 2, 8
+        H0 = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        static = -1j * (H0 + H0.conj().T) / 2 * 0.3
+        ops = np.array(
+            [
+                -1j * ((A + A.conj().T) / 2) * 0.1
+                for A in (
+                    rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+                    for _ in range(k)
+                )
+            ]
+        )
+        omega = rng.standard_normal((n, n)) * 0.5
+        omega = omega - omega.T
+        amps = rng.standard_normal((k, B))
+        freqs = np.array([1.3, 0.7])
+        t0, dt, T = 0.0, 0.2, 100  # 100 steps at the production dt
+        tau = t0 + dt * (np.arange(T)[:, None] + MAGNUS_NODES[3][None, :])
+        coefs = amps[None, None] * np.cos(
+            freqs[None, None, :, None] * tau[:, :, None, None]
+        )
+        y0 = np.zeros((n, B), dtype=complex)
+        y0[0] = 1.0
+        kw = dict(dt=dt, t0=t0, magnus_order=3, chunk_b=8, hermitian=True)
+        full = sweep_expm_magnus_df(
+            static, ops, omega, coefs, y0, fast_commutators=False,
+            horner_df_tail=0, **kw,
+        )
+        fast = sweep_expm_magnus_df(static, ops, omega, coefs, y0, **kw)
+        # measured ~2e-10 on this 100-step chain — an order below the 1e-8 bar
+        assert np.max(np.abs(fast - full)) < 1e-9
+
+    def test_per_step_dt_grid(self):
+        """A non-uniform dt grid must agree with DOP853 (the host-adaptive
+        grid path) and reject bad shapes."""
+        from scipy.integrate import solve_ivp
+
+        from qiskit_dynamics_tpu.ops.df_sweep import MAGNUS_NODES, sweep_expm_magnus_df
+
+        rng = np.random.default_rng(7)
+        n, k, B = 3, 1, 4
+        H0 = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        static = -1j * (H0 + H0.conj().T) / 2 * 0.4
+        A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        ops = np.array([-1j * (A + A.conj().T) / 2 * 0.2])
+        omega = np.zeros((n, n))
+        amps = rng.standard_normal((k, B))
+        freqs = np.array([0.9])
+        t0 = 0.25
+        dts = np.concatenate([np.full(30, 0.02), np.full(20, 0.05), np.full(10, 0.03)])
+        T = dts.size
+        t_start = t0 + np.concatenate([[0.0], np.cumsum(dts)[:-1]])
+        tau = t_start[:, None] + dts[:, None] * MAGNUS_NODES[3][None, :]
+        coefs = amps[None, None] * np.cos(
+            freqs[None, None, :, None] * tau[:, :, None, None]
+        )
+        y0 = np.zeros((n, B), dtype=complex)
+        y0[0] = 1.0
+        out = sweep_expm_magnus_df(
+            static, ops, omega, coefs, y0, dt=dts, t0=t0, magnus_order=3, chunk_b=4
+        )
+        tf = t0 + float(np.sum(dts))
+        for b in range(B):
+            ref = solve_ivp(
+                lambda t, y, b=b: (
+                    static + amps[0, b] * np.cos(freqs[0] * t) * ops[0]
+                ) @ y,
+                (t0, tf), y0[:, b], method="DOP853", rtol=1e-13, atol=1e-13,
+            ).y[:, -1]
+            assert np.max(np.abs(out[:, b] - ref)) < 1e-9
+
+        with pytest.raises(ValueError, match="shape"):
+            sweep_expm_magnus_df(
+                static, ops, omega, coefs, y0, dt=dts[:-1], t0=t0, magnus_order=3
+            )
