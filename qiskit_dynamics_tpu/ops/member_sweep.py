@@ -1,0 +1,235 @@
+r"""Member-major MXU Pallas engine for fixed-step Magnus-2 sweeps, large dims.
+
+The batch-on-lanes kernel (:mod:`.sweep_solver`) wins at small ``n`` by
+putting the sweep batch on the VPU lane dimension, but its matmuls are
+broadcast-multiply-sum VPU loops — ``O(n^3 B)`` VPU flops — and the
+batch-major XLA engine (:mod:`.xla_sweep`) is HBM-bound re-reading the
+``(B, n, n)`` Magnus matrices from HBM every Horner iteration (~2.7 GB/step
+at ``n = 64``; BENCHMARKS.md "Large-dim" section). This engine takes the
+third layout point (VERDICT r2 item 5): **grid over sweep members, n on both
+minor dims** — each program holds a small block of members' ``(n, n)``
+matrices entirely in VMEM for the whole time loop, and the O(n^3) commutator
+products run on the MXU via real ``pl.dot`` matmuls. Per step and member the
+HBM traffic is ~zero (only the per-step signal coefficients stream in), and
+the matmul cost lands on the systolic array where it belongs.
+
+Same Magnus-2 + Horner mat-vec Taylor polynomial as the other engines
+(reference math: ``/root/reference/qiskit_dynamics/solvers/fixed_step_solvers.py:321-403``),
+same frame-phase treatment (EFT-reduced trig, :mod:`.trig_reduce`), so
+results agree with ``sweep_expm_magnus2`` / ``sweep_expm_magnus2_xla`` to
+f32 roundoff.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sweep_solver import _GAUSS_C1, _GAUSS_C2, _P2, split_omega_host
+from .trig_reduce import reduced_phase, split_const, step_time_df
+
+__all__ = ["sweep_expm_magnus2_member"]
+
+
+def _kernel(
+    n: int,
+    k: int,
+    T: int,
+    dt: float,
+    t0: float,
+    order: int,
+    bm: int,
+    hermitian: bool,
+    *refs,
+):
+    (
+        statr_ref, stati_ref,          # (n, n)
+        opsr_ref, opsi_ref,            # (k, n, n)
+        omh_ref, oml_ref,              # (n, n) frame freqs (hi, lo)
+        coef_ref,                      # (T, 2, k, bm)
+        y0r_ref, y0i_ref,              # (bm, n)
+        outr_ref, outi_ref,            # (bm, n)
+        g1r, g1i, g2r, g2i,            # (bm, n, n) scratch
+        pr, pi,                        # (n, n) matmul scratch
+        cosb, sinb,                    # (n, n) phase scratch
+        yr, yi, vr, vi,                # (bm, n) state scratch
+    ) = refs
+    f = statr_ref.dtype
+
+    def phase_tables(step, gauss_c):
+        """cosb/sinb <- frame phase rotation at tau = t0 + (step+c) dt."""
+        if f == jnp.float32:
+            tau_pair = step_time_df(
+                step.astype(f), split_const(dt), split_const(t0 + gauss_c * dt)
+            )
+            ph = reduced_phase((omh_ref[...], oml_ref[...]), tau_pair)
+        else:
+            tau = t0 + (step.astype(f) + gauss_c) * dt
+            ph = omh_ref[...] * tau
+        cosb[...] = jnp.cos(ph)
+        sinb[...] = jnp.sin(ph)
+
+    def build_generators(step, gauss_idx, out_r, out_i):
+        """All members' frame-rotated generators at one Gauss point."""
+        for m in range(bm):
+            acc_r = statr_ref[...]
+            acc_i = stati_ref[...]
+            for j in range(k):
+                c = coef_ref[step, gauss_idx, j, m]
+                acc_r = acc_r + c * opsr_ref[j]
+                acc_i = acc_i + c * opsi_ref[j]
+            out_r[m] = acc_r * cosb[...] - acc_i * sinb[...]
+            out_i[m] = acc_r * sinb[...] + acc_i * cosb[...]
+
+    c1 = 0.5 * dt
+    c2 = _P2 * dt * dt
+
+    def body(step, _):
+        phase_tables(step, _GAUSS_C1)
+        build_generators(step, 0, g1r, g1i)
+        phase_tables(step, _GAUSS_C2)
+        build_generators(step, 1, g2r, g2i)
+
+        for m in range(bm):
+            # P = G2 @ G1 on the MXU (4 real matmuls)
+            a_r, a_i = g2r[m], g2i[m]
+            b_r, b_i = g1r[m], g1i[m]
+            p_r = jnp.dot(a_r, b_r, preferred_element_type=f) - jnp.dot(
+                a_i, b_i, preferred_element_type=f
+            )
+            p_i = jnp.dot(a_r, b_i, preferred_element_type=f) + jnp.dot(
+                a_i, b_r, preferred_element_type=f
+            )
+            if hermitian:
+                # anti-Hermitian generators: G1 G2 = (G2 G1)^dagger
+                comm_r = p_r - p_r.T
+                comm_i = p_i + p_i.T
+            else:
+                q_r = jnp.dot(b_r, a_r, preferred_element_type=f) - jnp.dot(
+                    b_i, a_i, preferred_element_type=f
+                )
+                q_i = jnp.dot(b_r, a_i, preferred_element_type=f) + jnp.dot(
+                    b_i, a_r, preferred_element_type=f
+                )
+                comm_r = p_r - q_r
+                comm_i = p_i - q_i
+            # M = c1 (G1 + G2) + c2 [G2, G1]; reuse g1 slots for M
+            g1r[m] = c1 * (a_r + b_r) + c2 * comm_r
+            g1i[m] = c1 * (a_i + b_i) + c2 * comm_i
+
+        # y <- expm(M) y via Horner mat-vec (M in g1, state rows (bm, n))
+        vr[...] = yr[...]
+        vi[...] = yi[...]
+        for kk in range(order, 0, -1):
+            inv = 1.0 / kk
+            for m in range(bm):
+                m_r, m_i = g1r[m], g1i[m]
+                x_r = vr[m][:, None]
+                x_i = vi[m][:, None]
+                w_r = (
+                    jnp.dot(m_r, x_r, preferred_element_type=f)
+                    - jnp.dot(m_i, x_i, preferred_element_type=f)
+                )[:, 0]
+                w_i = (
+                    jnp.dot(m_r, x_i, preferred_element_type=f)
+                    + jnp.dot(m_i, x_r, preferred_element_type=f)
+                )[:, 0]
+                vr[m] = yr[m] + inv * w_r
+                vi[m] = yi[m] + inv * w_i
+        yr[...] = vr[...]
+        yi[...] = vi[...]
+        return 0
+
+    yr[...] = y0r_ref[...]
+    yi[...] = y0i_ref[...]
+    jax.lax.fori_loop(0, T, body, 0)
+    outr_ref[...] = yr[...]
+    outi_ref[...] = yi[...]
+
+
+def sweep_expm_magnus2_member(
+    static_op, operators, frame_omega, coefficients, y0,
+    dt, t0=0.0, order=8, block_m=8, interpret=False, hermitian=False,
+    frame_omega_lo=None,
+):
+    """Public shim (host-side frequency split, see
+    :func:`.sweep_solver.split_omega_host`) over the jitted member-major
+    kernel. Args/returns match
+    :func:`~qiskit_dynamics_tpu.ops.sweep_solver.sweep_expm_magnus2`
+    (``coefficients`` (T, 2, k, B); ``y0``/result (n, B) complex, frame
+    basis); ``block_m`` = members per Pallas program."""
+    if frame_omega_lo is None:
+        frame_omega, frame_omega_lo = split_omega_host(frame_omega)
+    return _sweep_expm_magnus2_member_jit(
+        static_op, operators, frame_omega, frame_omega_lo, coefficients, y0,
+        dt=dt, t0=t0, order=order, block_m=block_m, interpret=interpret,
+        hermitian=hermitian,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dt", "t0", "order", "block_m", "interpret", "hermitian"),
+)
+def _sweep_expm_magnus2_member_jit(
+    static_op, operators, frame_omega, frame_omega_lo, coefficients, y0,
+    dt: float, t0: float = 0.0, order: int = 8, block_m: int = 8,
+    interpret: bool = False, hermitian: bool = False,
+):
+    T, _, k, B = coefficients.shape
+    n = y0.shape[0]
+    f32 = jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64
+    statr = jnp.real(static_op).astype(f32)
+    stati = jnp.imag(static_op).astype(f32)
+    opsr = jnp.real(operators).astype(f32)
+    opsi = jnp.imag(operators).astype(f32)
+    omh = jnp.asarray(frame_omega).astype(f32)
+    oml = jnp.asarray(frame_omega_lo).astype(f32)
+    coef = jnp.asarray(coefficients).astype(f32)
+    # member-major states: (B, n)
+    y0r = jnp.real(y0).astype(f32).T
+    y0i = jnp.imag(y0).astype(f32).T
+
+    pad = (-B) % block_m
+    if pad:
+        coef = jnp.concatenate(
+            [coef, jnp.broadcast_to(coef[..., :1], coef.shape[:-1] + (pad,))], axis=-1
+        )
+        y0r = jnp.concatenate([y0r, jnp.broadcast_to(y0r[:1], (pad, n))])
+        y0i = jnp.concatenate([y0i, jnp.broadcast_to(y0i[:1], (pad, n))])
+    n_blocks = (B + pad) // block_m
+
+    kernel = functools.partial(
+        _kernel, n, k, T, float(dt), float(t0), int(order), int(block_m),
+        bool(hermitian),
+    )
+    full = lambda arr: pl.BlockSpec(
+        arr.shape, lambda b: (0,) * arr.ndim, memory_space=pltpu.VMEM
+    )
+    coef_spec = pl.BlockSpec(
+        (T, 2, k, block_m), lambda b: (0, 0, 0, b), memory_space=pltpu.VMEM
+    )
+    state_spec = pl.BlockSpec(
+        (block_m, n), lambda b: (b, 0), memory_space=pltpu.VMEM
+    )
+    mat_block = pltpu.VMEM((block_m, n, n), f32)
+    mat = pltpu.VMEM((n, n), f32)
+    vec_block = pltpu.VMEM((block_m, n), f32)
+
+    outr, outi = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            full(statr), full(stati), full(opsr), full(opsi), full(omh),
+            full(oml), coef_spec, state_spec, state_spec,
+        ],
+        out_specs=[state_spec, state_spec],
+        out_shape=[jax.ShapeDtypeStruct((B + pad, n), f32)] * 2,
+        scratch_shapes=[mat_block] * 4 + [mat] * 4 + [vec_block] * 4,
+        interpret=interpret,
+    )(statr, stati, opsr, opsi, omh, oml, coef, y0r, y0i)
+    return (outr[:B] + 1j * outi[:B]).T  # back to (n, B)
