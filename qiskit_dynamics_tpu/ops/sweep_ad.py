@@ -30,36 +30,46 @@ from .xla_sweep import sweep_expm_magnus2_xla
 __all__ = ["sweep_expm_magnus2_ad"]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
 def sweep_expm_magnus2_ad(
-    static_op, operators, frame_omega, coefficients, y0,
-    dt, t0, order, hermitian, mode, tile_b, interpret,
+    static_op, operators, frame_omega, frame_omega_lo, coefficients, y0,
+    dt, t0, order, hermitian, mode, tile_b, interpret, eval_slots=None,
 ):
     """``sweep_expm_magnus2`` with gradients (positional statics for
     ``custom_vjp``; see :func:`~qiskit_dynamics_tpu.ops.sweep_solver.sweep_expm_magnus2`
-    for argument semantics)."""
+    for argument semantics). ``frame_omega_lo`` is the f32-split lo half of
+    the frame frequencies (``trig_reduce.split_array``) — it must be split
+    BEFORE this call because custom_vjp traces its array arguments (the
+    caller glue holds the host f64 values)."""
     return sweep_expm_magnus2(
         static_op, operators, frame_omega, coefficients, y0,
         dt=dt, t0=t0, order=order, hermitian=hermitian, mode=mode,
-        tile_b=tile_b, interpret=interpret,
+        tile_b=tile_b, interpret=interpret, frame_omega_lo=frame_omega_lo,
+        eval_slots=eval_slots,
     )
 
 
-def _fwd(static_op, operators, frame_omega, coefficients, y0,
-         dt, t0, order, hermitian, mode, tile_b, interpret):
+def _fwd(static_op, operators, frame_omega, frame_omega_lo, coefficients, y0,
+         dt, t0, order, hermitian, mode, tile_b, interpret, eval_slots):
     out = sweep_expm_magnus2(
         static_op, operators, frame_omega, coefficients, y0,
         dt=dt, t0=t0, order=order, hermitian=hermitian, mode=mode,
-        tile_b=tile_b, interpret=interpret,
+        tile_b=tile_b, interpret=interpret, frame_omega_lo=frame_omega_lo,
+        eval_slots=eval_slots,
     )
-    return out, (static_op, operators, frame_omega, coefficients, y0)
+    return out, (static_op, operators, frame_omega, frame_omega_lo, coefficients, y0)
 
 
-def _bwd(dt, t0, order, hermitian, mode, tile_b, interpret, residuals, cotangent):
-    def f(static_op, operators, frame_omega, coefficients, y0):
+def _bwd(dt, t0, order, hermitian, mode, tile_b, interpret, eval_slots,
+         residuals, cotangent):
+    def f(static_op, operators, frame_omega, frame_omega_lo, coefficients, y0):
+        # the XLA engine computes the identical polynomial INCLUDING the
+        # eval_slots trajectory stores, so trajectory cotangents flow too
+        # (VERDICT r2 item 6: grads of multi-time calibration objectives)
         return sweep_expm_magnus2_xla(
             static_op, operators, frame_omega, coefficients, y0,
             dt=dt, t0=t0, order=order, hermitian=hermitian,
+            frame_omega_lo=frame_omega_lo, eval_slots=eval_slots,
         )
 
     _, vjp = jax.vjp(f, *residuals)

@@ -120,6 +120,10 @@ def fused_sweep_solve(
     df_chunk_b: int = 2048,
     df_magnus_order: int = 3,
     df_engine: str = "auto",
+    df_grid: str = "uniform",
+    df_grid_tol: float = 1e-9,
+    df_fast: bool = True,
+    df_horner_tail: int = 6,
     magnus_mode: str = "auto",
     sweep_engine: str = "auto",
     t_eval=None,
@@ -154,6 +158,18 @@ def fused_sweep_solve(
         df_chunk_b: (df32 only) sweep members per device dispatch.
         df_magnus_order: (df32 only) 2 (4th-order step rule) or 3 (6th-order,
             default — much larger steps at 1e-8 accuracy).
+        df_grid: (df32 only) ``"uniform"`` (``max_dt``-sized equal steps, the
+            default) or ``"adaptive"`` — a host-f64 step-doubling walk of
+            probe members builds a non-uniform grid that concentrates steps
+            where the generator varies (see ``_adaptive_df_grid``); ``max_dt``
+            is then ignored in favor of ``df_grid_tol``.
+        df_grid_tol: (df32, adaptive grid) target total truncation error of
+            the grid walk.
+        df_fast: (df32 only) evaluate the Magnus commutators in plain
+            complex64 (they are O(dt^2)-relative corrections) — ~3x faster at
+            ~1e-10-class extra error; disable for the full-df engine.
+        df_horner_tail: (df32 only) expm Horner iterations above this index
+            run in complex64 (damped by ``|M|^j/j!``); 0 = full df.
         magnus_mode: in-kernel Magnus-2 evaluation strategy (``"auto"``
             picks by matmul cost; see
             :func:`~qiskit_dynamics_tpu.ops.sweep_solver.sweep_expm_magnus2`).
@@ -162,10 +178,10 @@ def fused_sweep_solve(
             generic fixed-step solvers applies the grid; points off the grid
             raise). When given, the return value is the full trajectory
             ``(B, len(t_eval), ...)`` instead of final states only — stored
-            in-kernel at the marked steps (near-zero overhead). Unsupported
-            with ``precision="df32"``; the pallas path with ``t_eval`` is
-            not differentiable (use ``sweep_engine="xla"`` for gradients of
-            trajectories).
+            in-kernel at the marked steps (near-zero overhead) and
+            differentiable (the custom-vjp's XLA adjoint computes the
+            identical trajectory stores). Unsupported with
+            ``precision="df32"``.
         sweep_engine: ``"pallas"`` (batch-on-lanes fused kernel — fastest for
             small dims, but Mosaic compile time grows with the unrolled
             ``n^2`` loops), ``"xla"`` (batch-major MXU matmuls under one
@@ -175,7 +191,10 @@ def fused_sweep_solve(
         df_engine: (df32 only) ``"xla"`` (fused elementwise engine — the
             default; measured ~2.3x faster than the Pallas variant on TPU,
             XLA's fusion of the df chains is excellent) or ``"pallas"``
-            (bit-identical fused-kernel alternative).
+            (fused-kernel alternative; bit-identical to the XLA engine for
+            general generators — for anti-Hermitian generators the XLA
+            engine additionally uses the one-matmul commutator shortcut,
+            so results then agree to df roundoff rather than bit-exactly).
 
     Returns:
         (B, dim) final states at ``tf`` (standard basis, in-frame values
@@ -236,10 +255,22 @@ def fused_sweep_solve(
             raise DynamicsError(
                 'fused_sweep_solve(precision="df32") does not support t_eval.'
             )
+        if df_grid == "adaptive":
+            dts = _adaptive_df_grid(
+                signals_as_list, params, static_fb, ops_fb, omega, t0, tf,
+                df_magnus_order, df_grid_tol,
+            )
+        elif df_grid == "uniform":
+            dts = np.full(n_steps, dt)
+        else:
+            raise DynamicsError(
+                f"unknown df_grid {df_grid!r}; use 'uniform' or 'adaptive'."
+            )
         return _fused_sweep_solve_df(
-            model, signals_as_list, params, n_steps, static_fb, ops_fb, omega,
-            y0_fb, vectorized_lindblad, dt, t0, expm_order, df_chunk_b,
-            df_magnus_order, df_engine,
+            model, signals_as_list, params, dts, static_fb, ops_fb, omega,
+            y0_fb, vectorized_lindblad, t0, expm_order, df_chunk_b,
+            df_magnus_order, df_engine, fast_commutators=df_fast,
+            horner_df_tail=df_horner_tail,
         )
 
     eval_slots = None
@@ -274,14 +305,29 @@ def fused_sweep_solve(
             slots[st - 1] = j
         eval_slots = tuple(int(x) for x in slots) if len(kept_steps) else None
 
+    y0_is_vector = np.asarray(y0_fb).ndim == 1
     if sweep_engine == "auto":
-        # measured (BENCHMARKS.md): the row-looped Pallas kernel compiles up
-        # to n = 64 but only ties the XLA engine there (fori rows lose the
-        # unrolled ILP); the lane kernel's win lives at small n
-        sweep_engine = "pallas" if solve_dim <= 32 else "xla"
-    if sweep_engine not in ("pallas", "xla"):
+        # measured (BENCHMARKS.md): the batch-on-lanes kernel wins at small
+        # n; above n = 32 the member-major MXU kernel keeps each member's
+        # matrices in VMEM for the whole solve (the XLA engine re-reads
+        # (B, n, n) from HBM every Horner iteration). The member kernel
+        # covers vector states without trajectory output; other shapes use
+        # the XLA engine.
+        if solve_dim <= 32:
+            sweep_engine = "pallas"
+        elif eval_slots is None and t_eval is None and y0_is_vector:
+            sweep_engine = "member"
+        else:
+            sweep_engine = "xla"
+    if sweep_engine not in ("pallas", "xla", "member"):
         raise DynamicsError(
-            f"unknown sweep_engine {sweep_engine!r}; use 'pallas', 'xla' or 'auto'."
+            f"unknown sweep_engine {sweep_engine!r}; use 'pallas', 'xla', "
+            "'member' or 'auto'."
+        )
+    if sweep_engine == "member" and (eval_slots is not None or not y0_is_vector):
+        raise DynamicsError(
+            "sweep_engine='member' supports vector initial states without "
+            "t_eval trajectories; use sweep_engine='xla' for those."
         )
     coeffs = jnp.moveaxis(
         jax.vmap(lambda p: signals_as_list(p)(jnp.asarray(gauss_times)))(params), 0, -1
@@ -325,29 +371,41 @@ def fused_sweep_solve(
             if m == 1
             else jnp.tile(jnp.asarray(y0_mat), (1, B))
         )
+    elif sweep_engine == "member":
+        from ..ops.member_sweep import sweep_expm_magnus2_member
+
+        B = coeffs.shape[-1]
+        m = 1
+        y0_cols = jnp.broadcast_to(jnp.asarray(y0_fb)[:, None], (solve_dim, B))
+        yf = sweep_expm_magnus2_member(
+            static_fb, ops_fb, omega, coeffs, y0_cols, dt=dt, t0=t0,
+            order=expm_order, interpret=interpret, hermitian=hermitian,
+        )
     else:
         if tile_b is None:
             # tile shrinks with dim to hold the (n, n, tile) VMEM scratch
             tile_b = 512 if solve_dim <= 16 else (256 if solve_dim <= 32 else 128)
         coeffs, y0_cols, B, m = _expand_lanes(coeffs, y0_fb, solve_dim, tile_b)
-        if eval_slots is not None:
-            # trajectory outputs: direct kernel call (no custom-vjp wrapper —
-            # trajectories through pallas are not differentiable)
-            yf, traj = sweep_expm_magnus2(
-                static_fb, ops_fb, omega, coeffs, y0_cols, dt=dt, t0=t0,
-                order=expm_order, tile_b=tile_b, interpret=interpret,
-                hermitian=hermitian, mode=magnus_mode, eval_slots=eval_slots,
-            )
-        else:
-            from ..ops.sweep_ad import sweep_expm_magnus2_ad
+        from ..ops.sweep_ad import sweep_expm_magnus2_ad
+        from ..ops.sweep_solver import split_omega_host
 
-            # custom-vjp wrapper: Pallas primal, XLA-engine adjoint — the
-            # whole sweep is differentiable (e.g. grad of a fidelity
-            # objective w.r.t. the sweep parameters)
-            yf = sweep_expm_magnus2_ad(
-                static_fb, ops_fb, omega, coeffs, y0_cols,
-                dt, t0, expm_order, hermitian, magnus_mode, tile_b, interpret,
-            )
+        # custom-vjp wrapper: Pallas primal, XLA-engine adjoint — the whole
+        # sweep is differentiable (e.g. grad of a fidelity objective w.r.t.
+        # the sweep parameters), INCLUDING eval_slots trajectory outputs
+        # (the XLA adjoint computes the identical stores). The
+        # frame-frequency f32 split happens here (host f64 in hand);
+        # custom_vjp traces its array args, so the shim inside could not
+        # recover the bits.
+        omega_hi, omega_lo = split_omega_host(omega)
+        out_ad = sweep_expm_magnus2_ad(
+            static_fb, ops_fb, omega_hi, omega_lo, coeffs, y0_cols,
+            dt, t0, expm_order, hermitian, magnus_mode, tile_b, interpret,
+            eval_slots,
+        )
+        if eval_slots is not None:
+            yf, traj = out_ad
+        else:
+            yf = out_ad
 
     if t_eval is not None:
         pieces = []
@@ -447,16 +505,114 @@ def _sample_coefficients_f64(signals_as_list, params, gauss_times, k, B):
     return coefs
 
 
+def _adaptive_df_grid(
+    signals_as_list, params, static_fb, ops_fb, omega, t0, tf,
+    magnus_order, tol, probes=None,
+):
+    """Host-f64 adaptive step grid for the df32 engine.
+
+    Greedy step-doubling walk of PROBE sweep members (default: first, middle
+    and last — for amplitude sweeps the stiffest member is an endpoint): per
+    trial step, the Magnus-``magnus_order`` propagator over ``[t, t+dt]`` is
+    compared against two half-steps (``err ~ C dt^(2*magnus_order+1)``), with
+    the tolerance distributed per unit time (``tol * dt / span``). The merged
+    grid takes the pointwise-minimum dt over the probes, so the full sweep
+    replays a grid that satisfied every probe. Steps concentrate where the
+    generator actually varies — on Gaussian-envelope sweeps the quiet tails
+    take much larger steps than a uniform grid sized for the peak.
+
+    Cost: O(grid * probes) host expm's of the solve dimension — negligible
+    for the small-dim sweeps the df engine targets.
+    """
+    from scipy.linalg import expm
+
+    from ..ops.df_sweep import MAGNUS_NODES
+
+    nodes = MAGNUS_NODES[magnus_order]
+    leaves = jax.tree_util.tree_leaves(params)
+    B = int(np.asarray(leaves[0]).shape[0]) if leaves else 1
+    if probes is None:
+        probes = sorted({0, B // 2, B - 1})
+    span = tf - t0
+    sqrt15 = np.sqrt(15.0)
+
+    def magnus_m(sig, t, dt):
+        g = []
+        for c in nodes:
+            tau = t + c * dt
+            cv = np.atleast_1d(np.asarray(sig(tau), dtype=float))
+            a = static_fb + np.tensordot(cv, ops_fb, axes=1)
+            g.append(a * np.exp(1j * omega * tau))
+        if magnus_order == 2:
+            return dt / 2 * (g[0] + g[1]) + _P2 * dt * dt * (
+                g[1] @ g[0] - g[0] @ g[1]
+            )
+        a1 = dt * g[1]
+        a2 = sqrt15 / 3 * dt * (g[2] - g[0])
+        a3 = 10.0 / 3 * dt * (g[2] - 2 * g[1] + g[0])
+        c1 = a1 @ a2 - a2 @ a1
+        t2 = 2 * a3 + c1
+        c2 = (t2 @ a1 - a1 @ t2) / 60
+        left = c1 - (20 * a1 + a3)
+        right = a2 + c2
+        return a1 + a3 / 12 + (left @ right - right @ left) / 240
+
+    p = 2 * magnus_order  # local error ~ dt^(p+1); tol_step ~ dt cancels one
+
+    def walk(sig):
+        t, dt, steps = t0, span / 64, []
+        for _ in range(200_000):
+            if t >= tf - 1e-12 * span:
+                return steps
+            dt = min(dt, tf - t)
+            u1 = expm(magnus_m(sig, t, dt))
+            u2 = expm(magnus_m(sig, t + dt / 2, dt / 2)) @ expm(
+                magnus_m(sig, t, dt / 2)
+            )
+            err = float(np.max(np.abs(u1 - u2)))
+            tol_step = tol * dt / span
+            if err <= tol_step or dt <= 1e-7 * span:
+                steps.append((t, dt))
+                t += dt
+            factor = 0.85 * (tol_step / max(err, 1e-300)) ** (1.0 / p)
+            dt = dt * min(max(factor, 0.3), 3.0)
+        raise DynamicsError(
+            "df_grid='adaptive' did not converge on a step grid (200k trial "
+            "steps); the tolerance may be unreachable for this generator."
+        )
+
+    def member_params(b):
+        return jax.tree_util.tree_map(lambda x: np.asarray(x)[b], params)
+
+    fns = []
+    for b in probes:
+        steps = walk(signals_as_list(member_params(b)))
+        fns.append((np.array([s[0] for s in steps]), np.array([s[1] for s in steps])))
+
+    def dt_at(t):
+        return min(float(np.interp(t, ts, ds)) for ts, ds in fns)
+
+    t, dts = t0, []
+    while t < tf - 1e-12 * span:
+        d = min(dt_at(t), tf - t)
+        dts.append(d)
+        t += d
+        if len(dts) > 500_000:
+            raise DynamicsError("df_grid='adaptive' produced a pathological grid.")
+    return np.asarray(dts)
+
+
 def _fused_sweep_solve_df(
-    model, signals_as_list, params, n_steps, static_fb, ops_fb, omega,
-    y0_fb, vectorized_lindblad, dt, t0, expm_order, chunk_b, magnus_order,
-    engine="auto",
+    model, signals_as_list, params, dts, static_fb, ops_fb, omega,
+    y0_fb, vectorized_lindblad, t0, expm_order, chunk_b, magnus_order,
+    engine="auto", fast_commutators=True, horner_df_tail=6,
 ):
     """df32 branch of :func:`fused_sweep_solve` (host-facing, float64 I/O).
 
     Signals are sampled on host in float64 (the numpy path of the signal
     machinery), then the whole sweep runs through
-    :func:`~qiskit_dynamics_tpu.ops.df_sweep.sweep_expm_magnus_df`.
+    :func:`~qiskit_dynamics_tpu.ops.df_sweep.sweep_expm_magnus_df` on the
+    (possibly non-uniform) step grid ``dts``.
     """
     import warnings
 
@@ -478,8 +634,10 @@ def _fused_sweep_solve_df(
             )
     B = int(np.asarray(leaves[0]).shape[0]) if leaves else 1
     k = ops_fb.shape[0]
-    gauss_times = t0 + dt * (
-        np.arange(n_steps)[:, None] + MAGNUS_NODES[magnus_order][None, :]
+    dts = np.asarray(dts, dtype=np.float64)
+    t_start = t0 + np.concatenate([[0.0], np.cumsum(dts)[:-1]])
+    gauss_times = (
+        t_start[:, None] + dts[:, None] * MAGNUS_NODES[magnus_order][None, :]
     )
     coefs = _sample_coefficients_f64(signals_as_list, params, gauss_times, k, B)
 
@@ -499,16 +657,22 @@ def _fused_sweep_solve_df(
     if engine == "pallas":
         from ..ops.df_sweep_pallas import sweep_expm_magnus_df_pallas
 
+        if not np.allclose(dts, dts[0]):
+            raise DynamicsError(
+                "df_engine='pallas' supports only uniform step grids; use the "
+                "xla engine with df_grid='adaptive'."
+            )
         yf = sweep_expm_magnus_df_pallas(
-            static_fb, ops_fb, omega, coefs, y0_cols, dt=dt, t0=t0,
+            static_fb, ops_fb, omega, coefs, y0_cols, dt=float(dts[0]), t0=t0,
             magnus_order=magnus_order, order=max(expm_order, 12),
             interpret=jax.default_backend() != "tpu",
         )
     else:
         yf = sweep_expm_magnus_df(
-            static_fb, ops_fb, omega, coefs, y0_cols, dt=dt, t0=t0,
+            static_fb, ops_fb, omega, coefs, y0_cols, dt=dts, t0=t0,
             magnus_order=magnus_order, order=max(expm_order, 12), chunk_b=chunk_b,
             hermitian=_all_anti_hermitian(static_fb, ops_fb),
+            fast_commutators=fast_commutators, horner_df_tail=horner_df_tail,
         )
 
     if vectorized_lindblad:
@@ -537,8 +701,20 @@ def fused_adaptive_sweep_solve(
     envelope_resolution: Optional[int] = None,
     bucket_lanes: bool = True,
     t_eval=None,
+    differentiable: bool = True,
 ):
     r"""Lockstep-adaptive dopri5 sweep solve through the fused kernel.
+
+    Differentiability (``differentiable=True``, the default): the solve sits
+    under ``jax.grad``/``jax.vjp`` via a custom VJP — the Pallas primal
+    additionally records its accepted step sequence per lane-tile, and the
+    backward pass replays that exact grid as a fixed-grid dopri5 adjoint in
+    XLA (checkpointed scan; see ``ops/adaptive_replay.py``). Gradients flow
+    through the accepted states w.r.t. the sweep parameters (envelopes/
+    amplitudes via ``signals_fn``), ``y0``, and the model operators; step-size
+    selection is non-differentiable by convention. Trajectory outputs
+    (``t_eval``) are differentiable too. Forward-only calls pay nothing.
+    Set ``differentiable=False`` to call the bare kernel (debugging).
 
     Heterogeneous sweeps: each lane-tile shares a single lockstep step
     control, so by default (``bucket_lanes=True``) sweep members are sorted
@@ -721,16 +897,36 @@ def fused_adaptive_sweep_solve(
             raise DynamicsError("t_eval must be strictly increasing.")
         if te[0] < t0 - 1e-9 or te[-1] > tf + 1e-9 * max(1.0, abs(tf)):
             raise DynamicsError(f"t_eval must lie within t_span ({t0}, {tf}).")
-        include_t0 = abs(te[0] - t0) <= 1e-12 * max(1.0, abs(t0))
+        # snap tolerance must cover the containment slack above: a te[0] in
+        # [t0 - 1e-9, t0) would otherwise produce a negative elapsed time
+        include_t0 = te[0] - t0 <= 1e-9 * max(1.0, abs(t0))
         rel = (te[1:] if include_t0 else te) - t0
         eval_ts = tuple(float(x) for x in rel) if rel.size else None
 
     amps, y0_cols, B, m = _expand_lanes(amps, y0_fb, solve_dim, tile_b)
-    out_kernel = sweep_dopri5_lockstep(
-        static_fb, ops_fb, omega, freqs, amps, y0_cols, tf=tf, t0=t0,
-        atol=atol, rtol=rtol, max_steps=max_steps, h0=h0,
-        tile_b=tile_b, interpret=interpret, env_dt=env_dt, eval_ts=eval_ts,
-    )
+    if differentiable:
+        # custom-vjp wrapper: Pallas primal (recording its accepted steps),
+        # recorded-grid XLA replay adjoint (ops/adaptive_replay.py) — the
+        # adaptive sweep is differentiable end-to-end. Frequency splits
+        # happen HERE (host f64 in hand; custom_vjp traces its args).
+        from ..ops.adaptive_replay import sweep_dopri5_lockstep_ad
+        from ..ops.sweep_solver import split_omega_host
+        from ..ops.trig_reduce import split_array
+
+        omega_hi, omega_lo = (jnp.asarray(a) for a in split_array(omega))
+        freq_hi, freq_lo = (jnp.asarray(a) for a in split_array(freqs))
+        out_kernel = sweep_dopri5_lockstep_ad(
+            static_fb, ops_fb, omega_hi, omega_lo, freq_hi, freq_lo,
+            amps, y0_cols,
+            tf, t0, atol, rtol, max_steps, h0, tile_b, env_dt, eval_ts,
+            interpret,
+        )
+    else:
+        out_kernel = sweep_dopri5_lockstep(
+            static_fb, ops_fb, omega, freqs, amps, y0_cols, tf=tf, t0=t0,
+            atol=atol, rtol=rtol, max_steps=max_steps, h0=h0,
+            tile_b=tile_b, interpret=interpret, env_dt=env_dt, eval_ts=eval_ts,
+        )
     if t_eval is not None:
         yf, traj = out_kernel if eval_ts is not None else (out_kernel, None)
         pieces = []

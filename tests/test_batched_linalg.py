@@ -802,3 +802,348 @@ class TestFusedAdaptiveLindblad:
             # solve_lmde already returns standard-basis (frame) values
             ref_rho = np.asarray(res.y[-1]).reshape((2, 2), order="F")
             np.testing.assert_allclose(np.asarray(out[i]), ref_rho, atol=2e-5)
+
+
+class TestEvalSlotsValidation:
+    def _args(self, T=6, n=2, k=1, B=8):
+        rng = np.random.default_rng(7)
+        H0 = 0.1 * (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+        ops = 0.1 * (rng.normal(size=(k, n, n)) + 1j * rng.normal(size=(k, n, n)))
+        omega = np.zeros((n, n))
+        coef = rng.normal(size=(T, 2, k, B))
+        y0 = rng.normal(size=(n, B)) + 1j * rng.normal(size=(n, B))
+        return H0, ops, omega, coef, y0
+
+    def test_duplicate_and_gapped_slots_rejected(self):
+        import pytest
+        from qiskit_dynamics_tpu.ops.sweep_solver import sweep_expm_magnus2
+        from qiskit_dynamics_tpu.ops.xla_sweep import sweep_expm_magnus2_xla
+
+        args = self._args()
+        kw = dict(dt=0.1, tile_b=8, interpret=True)
+        # duplicate slot value 0 (slot 1 written twice -> slot semantics broken)
+        with pytest.raises(ValueError, match="permutation"):
+            sweep_expm_magnus2(*args, eval_slots=(0, -1, 0, -1, -1, 1), **kw)
+        # gapped: slot 1 missing -> would return uninitialized/zero memory
+        with pytest.raises(ValueError, match="permutation"):
+            sweep_expm_magnus2(*args, eval_slots=(-1, 0, -1, -1, 2, 3), **kw)
+        with pytest.raises(ValueError, match="permutation"):
+            sweep_expm_magnus2_xla(*args, dt=0.1, eval_slots=(-1, 0, -1, -1, 2, 3))
+        # valid permutation (not sorted by step is fine) still works
+        out, traj = sweep_expm_magnus2(
+            *args, eval_slots=(1, -1, 0, -1, -1, 2), **kw
+        )
+        assert traj.shape[0] == 3
+
+
+class TestLargePhaseTrig:
+    """Phase range reduction (ops/trig_reduce.py): f32 kernels must stay
+    accurate when frame/carrier phases reach hundreds of radians
+    (T * nu >~ 100 carrier cycles — the dim-27 serving regime; VERDICT r2
+    item 3). Without the EFT mod-2pi reduction these configs measured
+    ~4e-3 error; with it they sit at the f32 arithmetic floor (~4e-6)."""
+
+    def _config(self):
+        rng = np.random.default_rng(3)
+        n, k, T, B = 4, 1, 40, 8
+        dt, t0 = 0.5, 100.0  # absolute times ~100-120, omega ~30 -> ~3600 rad
+        ah = lambda a: (a - a.conj().T) / 2
+        H0 = ah(rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+        ops = np.array([ah(rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))])
+        w = rng.normal(size=n) * 30.0
+        omega = w[None, :] - w[:, None]
+        coef = rng.normal(size=(T, 2, k, B))
+        y0 = rng.normal(size=(n, B)) + 1j * rng.normal(size=(n, B))
+        return H0, ops, omega, coef, y0, dt, t0, T
+
+    def _f64_reference(self, H0, ops, omega, coef, y0, dt, t0, T, order=10):
+        from qiskit_dynamics_tpu.ops.sweep_solver import _GAUSS_C1, _GAUSS_C2, _P2
+
+        y = y0.astype(complex)
+        for s in range(T):
+            Gs = []
+            for gi, c in enumerate((_GAUSS_C1, _GAUSS_C2)):
+                tau = t0 + (s + c) * dt
+                A = H0 + np.einsum("kb,kij->bij", coef[s, gi], ops)
+                Gs.append(A * np.exp(1j * omega * tau)[None])
+            G1, G2 = Gs
+            M = 0.5 * dt * (G1 + G2) + _P2 * dt * dt * (G2 @ G1 - G1 @ G2)
+            v = y.copy()
+            for kk in range(order, 0, -1):
+                v = y + np.einsum("bij,jb->ib", M, v) / kk
+            y = v
+        return y
+
+    def test_fixed_step_f32_kernels_match_f64_polynomial(self):
+        # must run WITHOUT x64 so the kernels take the f32 reduction path
+        import subprocess, sys, os
+
+        code = (
+            "import numpy as np\n"
+            "from tests.test_batched_linalg import TestLargePhaseTrig\n"
+            "t = TestLargePhaseTrig()\n"
+            "H0, ops, omega, coef, y0, dt, t0, T = t._config()\n"
+            "r = t._f64_reference(H0, ops, omega, coef, y0, dt, t0, T)\n"
+            "from qiskit_dynamics_tpu.ops.sweep_solver import sweep_expm_magnus2\n"
+            "from qiskit_dynamics_tpu.ops.xla_sweep import sweep_expm_magnus2_xla\n"
+            "a = np.asarray(sweep_expm_magnus2(H0, ops, omega, coef, y0, dt=dt,"
+            " t0=t0, order=10, tile_b=8, interpret=True))\n"
+            "b = np.asarray(sweep_expm_magnus2_xla(H0, ops, omega, coef, y0,"
+            " dt=dt, t0=t0, order=10))\n"
+            "ea, eb = np.max(np.abs(a - r)), np.max(np.abs(b - r))\n"
+            "assert ea < 2e-5, f'pallas kernel large-phase error {ea:.2e}'\n"
+            "assert eb < 2e-5, f'xla engine large-phase error {eb:.2e}'\n"
+            "print('OK', ea, eb)\n"
+        )
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            JAX_ENABLE_X64="0",
+            PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        env.pop("XLA_FLAGS", None)
+        res = subprocess.run(
+            [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+            timeout=600,
+        )
+        assert res.returncode == 0, res.stdout + res.stderr
+
+    def test_adaptive_kernel_large_phase(self):
+        # adaptive kernel is f32 even under x64: direct interpret-mode check
+        from qiskit_dynamics_tpu.ops.adaptive_sweep import sweep_dopri5_lockstep
+        from qiskit_dynamics_tpu.solvers.adaptive import tpu_dopri5
+
+        rng = np.random.default_rng(11)
+        n, B = 4, 8
+        t0, tf = 200.0, 204.0
+        ah = lambda a: (a - a.conj().T) / 2
+        H0 = 0.4 * ah(rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+        op = 0.4 * ah(rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+        w = rng.normal(size=n) * 25.0  # phases ~ 25 * 204 ~ 5000 rad
+        omega = w[None, :] - w[:, None]
+        nu = 7.3  # carrier: ~ 1490 cycles by t = 204
+        amps = (0.3 + 0.5 * rng.random(B)) * np.exp(2j * np.pi * rng.random(B))
+        y0 = np.zeros((n, B), dtype=complex)
+        y0[0] = 1.0
+
+        out = np.asarray(
+            sweep_dopri5_lockstep(
+                H0, op[None], omega, np.array([2 * np.pi * nu]), amps[None, :],
+                y0, tf=tf, t0=t0, atol=1e-8, rtol=1e-8, tile_b=8,
+                interpret=True, h0=0.01,
+            )
+        )
+
+        def rhs_factory(amp):
+            def rhs(t, y):
+                c = jnp.real(amp * jnp.exp(2j * jnp.pi * nu * t))
+                G = (jnp.asarray(H0) + c * jnp.asarray(op)) * jnp.exp(
+                    1j * jnp.asarray(omega) * t
+                )
+                return G @ y
+
+            return rhs
+
+        errs = []
+        for b in range(B):
+            res = tpu_dopri5(
+                rhs_factory(amps[b]), (t0, tf), y0[:, b].astype(complex),
+                rtol=1e-12, atol=1e-12,
+            )
+            errs.append(np.max(np.abs(out[:, b] - np.asarray(res.y[-1]))))
+        # pre-reduction this config measured ~1e-3; floor is f32 arithmetic
+        assert max(errs) < 3e-5, f"adaptive kernel large-phase error {max(errs):.2e}"
+
+
+class TestMemberMajorEngine:
+    """Member-major MXU kernel (ops/member_sweep.py): identical Magnus-2
+    polynomial as the lane kernel / XLA engine, per-member matrices resident
+    in VMEM with MXU matmuls (the large-dim layout; VERDICT r2 item 5)."""
+
+    def _problem(self, n=6, k=2, T=12, B=11, seed=5, anti_hermitian=False):
+        rng = np.random.default_rng(seed)
+        mk = (lambda a: (a - a.conj().T) / 2) if anti_hermitian else (lambda a: 0.3 * a)
+        H0 = mk(rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+        ops = np.array(
+            [mk(rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))) for _ in range(k)]
+        ) * (1.0 if anti_hermitian else 1.0)
+        w = rng.normal(size=n)
+        omega = w[None, :] - w[:, None]
+        coef = rng.normal(size=(T, 2, k, B))
+        y0 = rng.normal(size=(n, B)) + 1j * rng.normal(size=(n, B))
+        return H0, ops, omega, coef, y0
+
+    def test_matches_xla_engine(self):
+        from qiskit_dynamics_tpu.ops.member_sweep import sweep_expm_magnus2_member
+        from qiskit_dynamics_tpu.ops.xla_sweep import sweep_expm_magnus2_xla
+
+        args = self._problem()
+        kw = dict(dt=0.04, t0=0.1, order=10)
+        a = sweep_expm_magnus2_member(*args, interpret=True, block_m=4, **kw)
+        b = sweep_expm_magnus2_xla(*args, **kw)
+        # B=11 is not a multiple of block_m=4: exercises the pad/trim path
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+    def test_hermitian_shortcut(self):
+        from qiskit_dynamics_tpu.ops.member_sweep import sweep_expm_magnus2_member
+
+        args = self._problem(anti_hermitian=True, B=8)
+        kw = dict(dt=0.04, t0=0.0, order=10, interpret=True, block_m=8)
+        a = sweep_expm_magnus2_member(*args, hermitian=False, **kw)
+        b = sweep_expm_magnus2_member(*args, hermitian=True, **kw)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+    def test_glue_member_engine(self):
+        # through fused_sweep_solve with sweep_engine="member"
+        import jax
+        from qiskit_dynamics_tpu import Signal
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+
+        solver, w1 = cr_solver(dim=2)
+        y0 = np.zeros(4, dtype=complex)
+        y0[0] = 1.0
+        amps = jnp.array([0.3, 0.75, 1.0])
+        sig_fn = lambda a: [Signal(lambda t: a * 0.02, carrier_freq=w1)]
+        kw = dict(
+            t_span=(0.0, 2.0), max_dt=0.25, y0=y0,
+            rwa_signal_map=solver._rwa_signal_map, interpret=True,
+        )
+        out_m = fused_sweep_solve(
+            solver.model, sig_fn, amps, sweep_engine="member", **kw
+        )
+        out_x = fused_sweep_solve(solver.model, sig_fn, amps, sweep_engine="xla", **kw)
+        np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_x), atol=1e-12)
+
+
+class TestAdaptiveDifferentiable:
+    """Differentiable lockstep-adaptive sweeps (VERDICT r2 items 2 and 6):
+    Pallas primal with recorded steps, fixed-grid XLA replay adjoint
+    (ops/adaptive_replay.py)."""
+
+    def _setup(self, T=2.5):
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+
+        solver, w1 = cr_solver(dim=2)
+        y0 = np.zeros(4, dtype=complex)
+        y0[0] = 1.0
+        sig_fn = lambda a: [__import__("qiskit_dynamics_tpu").Signal(
+            lambda t: a * 0.02, carrier_freq=w1)]
+        return solver, sig_fn, y0, T
+
+    def test_primal_identical_through_ad_wrapper(self):
+        from qiskit_dynamics_tpu.solvers import fused_adaptive_sweep_solve
+
+        solver, sig_fn, y0, T = self._setup()
+        amps = jnp.array([0.4, 0.7, 0.9, 1.0, 0.5, 0.3, 0.6, 0.8])
+        kw = dict(
+            t_span=(0.0, T), y0=y0, tile_b=8, interpret=True,
+            rwa_signal_map=solver._rwa_signal_map,
+        )
+        a = fused_adaptive_sweep_solve(solver.model, sig_fn, amps, **kw)
+        b = fused_adaptive_sweep_solve(
+            solver.model, sig_fn, amps, differentiable=False, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_replay_reproduces_kernel(self):
+        # the adjoint's forward replay must track the Pallas primal to f32
+        # roundoff — that is what makes the VJP the primal's adjoint
+        from qiskit_dynamics_tpu.ops.adaptive_sweep import sweep_dopri5_lockstep
+        from qiskit_dynamics_tpu.ops.adaptive_replay import dopri5_replay
+        from qiskit_dynamics_tpu.ops.trig_reduce import split_array
+
+        rng = np.random.default_rng(2)
+        n, B = 4, 8
+        t0, tf = 0.5, 3.0
+        ah = lambda a: (a - a.conj().T) / 2
+        H0 = 0.5 * ah(rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+        op = 0.5 * ah(rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+        w = rng.normal(size=n) * 3.0
+        omega = w[None, :] - w[:, None]
+        freqs = np.array([2 * np.pi * 1.1])
+        amps = (0.2 + 0.5 * rng.random(B)) * np.exp(2j * np.pi * rng.random(B))
+        y0 = rng.normal(size=(n, B)) + 1j * rng.normal(size=(n, B))
+
+        out, rec = sweep_dopri5_lockstep(
+            H0, op[None], omega, freqs, amps[None, :], y0, tf=tf, t0=t0,
+            atol=1e-7, rtol=1e-7, tile_b=8, interpret=True, h0=0.05,
+            record_steps=True, max_steps=512,
+        )
+        o_hi, o_lo = split_array(omega)
+        f_hi, f_lo = split_array(freqs)
+        replay = dopri5_replay(
+            H0, op[None], o_hi, o_lo, f_hi, f_lo, amps[None, None, :], y0,
+            rec, t0=t0, env_dt=tf - t0,
+        )
+        assert np.asarray(rec).max() > 0  # steps actually recorded
+        err = np.max(np.abs(np.asarray(out) - np.asarray(replay)))
+        assert err < 5e-6, f"replay deviates from kernel by {err:.2e}"
+
+    def test_gradient_matches_finite_differences(self):
+        import jax
+
+        from qiskit_dynamics_tpu.solvers import fused_adaptive_sweep_solve
+
+        solver, sig_fn, y0, T = self._setup()
+        amps0 = jnp.array([0.4, 0.7, 0.9, 1.0, 0.5, 0.3, 0.6, 0.8])
+
+        def loss(amps):
+            out = fused_adaptive_sweep_solve(
+                solver.model, sig_fn, amps, t_span=(0.0, T), y0=y0, tile_b=8,
+                interpret=True, rwa_signal_map=solver._rwa_signal_map,
+            )
+            return jnp.mean(jnp.abs(out[:, 1]) ** 2)
+
+        g = np.asarray(jax.grad(loss)(amps0))
+        eps = 3e-4
+        for i in (0, 3):
+            fd = (loss(amps0.at[i].add(eps)) - loss(amps0.at[i].add(-eps))) / (2 * eps)
+            assert abs(g[i] - fd) <= 5e-3 * max(abs(fd), 1e-9), (i, g[i], float(fd))
+
+    def test_trajectory_gradient(self):
+        # multi-time calibration objective: grads flow through t_eval stores
+        import jax
+
+        from qiskit_dynamics_tpu.solvers import fused_adaptive_sweep_solve
+
+        solver, sig_fn, y0, T = self._setup(T=2.0)
+        amps0 = jnp.array([0.5, 0.8, 1.0, 0.4, 0.6, 0.9, 0.3, 0.7])
+        t_eval = [0.9, 1.5, 2.0]
+
+        def loss(amps):
+            traj = fused_adaptive_sweep_solve(
+                solver.model, sig_fn, amps, t_span=(0.0, T), y0=y0, tile_b=8,
+                interpret=True, rwa_signal_map=solver._rwa_signal_map,
+                t_eval=t_eval,
+            )  # (B, n_eval, dim)
+            return jnp.mean(jnp.abs(traj[:, :, 1]) ** 2)
+
+        g = np.asarray(jax.grad(loss)(amps0))
+        eps = 3e-4
+        i = 2
+        fd = (loss(amps0.at[i].add(eps)) - loss(amps0.at[i].add(-eps))) / (2 * eps)
+        assert abs(g[i] - fd) <= 5e-3 * max(abs(fd), 1e-9), (g[i], float(fd))
+
+    def test_fixed_step_trajectory_gradient(self):
+        # eval_slots now flow through the fixed-step custom VJP too
+        import jax
+
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+
+        solver, sig_fn, y0, T = self._setup(T=2.0)
+        amps0 = jnp.array([0.5, 0.8, 1.0, 0.4])
+
+        def loss(amps):
+            traj = fused_sweep_solve(
+                solver.model, sig_fn, amps, t_span=(0.0, T), max_dt=0.25,
+                y0=y0, tile_b=128, interpret=True,
+                rwa_signal_map=solver._rwa_signal_map, t_eval=[1.0, 2.0],
+            )
+            return jnp.mean(jnp.abs(traj[:, :, 1]) ** 2)
+
+        g = np.asarray(jax.grad(loss)(amps0))
+        eps = 1e-3
+        i = 1
+        fd = (loss(amps0.at[i].add(eps)) - loss(amps0.at[i].add(-eps))) / (2 * eps)
+        assert abs(g[i] - fd) <= 5e-3 * max(abs(fd), 1e-9), (g[i], float(fd))
