@@ -43,7 +43,7 @@ from ..quantum_info import (
     QuantumChannel,
     SuperOp,
 )
-from ..utils.jit_tools import cjit, to_host
+from ..utils.jit_tools import cjit
 from .results import OdeResult
 from .solver_functions import solve_lmde, _is_jax_method
 from .solver_utils import (
@@ -336,11 +336,17 @@ class Solver:
                 (``Statevector``/``DensityMatrix``); converted to its array.
             method: ``"fused_dopri5"`` (lockstep-adaptive; supports
                 ``t_eval`` trajectories at arbitrary times; see
-                :func:`~qiskit_dynamics_tpu.solvers.fused_sweep.fused_adaptive_sweep_solve`)
-                or ``"fused_magnus2"`` (fixed-step; requires ``max_dt``,
+                :func:`~qiskit_dynamics_tpu.solvers.fused_sweep.fused_adaptive_sweep_solve`),
+                ``"fused_magnus2"`` (fixed-step; requires ``max_dt``,
                 supports ``precision="df32"``, on-grid ``t_eval``
                 trajectories, and gradients; see
-                :func:`~qiskit_dynamics_tpu.solvers.fused_sweep.fused_sweep_solve`).
+                :func:`~qiskit_dynamics_tpu.solvers.fused_sweep.fused_sweep_solve`),
+                or ``"chebyshev"`` (adaptive Chebyshev interpolation over a
+                1-d scalar sweep: solves ~tens of nodes with the df32 engine
+                and reconstructs the whole sweep with a certified
+                interpolant — 1e-8-class accuracy at fused-sweep speed for
+                smooth parameter dependence; see
+                :func:`~qiskit_dynamics_tpu.solvers.sweep_interpolation.interpolated_sweep_solve`).
             kwargs: forwarded to the chosen fused solver.
 
         Returns:
@@ -362,9 +368,16 @@ class Solver:
                 self.model, signals_fn, params, t_span=t_span, y0=y0,
                 rwa_signal_map=rwa_signal_map, **kwargs,
             )
+        if method == "chebyshev":
+            from .sweep_interpolation import interpolated_sweep_solve
+
+            return interpolated_sweep_solve(
+                self.model, signals_fn, params, t_span=t_span, y0=y0,
+                rwa_signal_map=rwa_signal_map, **kwargs,
+            )
         raise DynamicsError(
-            f"unknown solve_sweep method {method!r}; use 'fused_dopri5' or "
-            "'fused_magnus2'."
+            f"unknown solve_sweep method {method!r}; use 'fused_dopri5', "
+            "'fused_magnus2' or 'chebyshev'."
         )
 
     def _solve_list(self, t_span_list, y0_list, signals_list, convert_results=True, **kwargs):

@@ -1,0 +1,167 @@
+"""Tests for Chebyshev-interpolated parameter sweeps
+(solvers/sweep_interpolation.py).
+
+The method's promise: for a solution smooth in the swept scalar, a few dozen
+solved Chebyshev-Lobatto nodes reconstruct the whole sweep to a CERTIFIED
+tolerance. These tests check the machinery (nesting, coefficients,
+certification) and the physics-level agreement against direct per-point
+solves.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qiskit_dynamics_tpu import Signal, Solver
+from qiskit_dynamics_tpu.exceptions import DynamicsError
+from qiskit_dynamics_tpu.solvers.sweep_interpolation import (
+    SweepInterpolationInfo,
+    _chebyshev_matrix,
+    _lobatto_params,
+    _lobatto_to_cheb_coeffs,
+    interpolated_sweep_solve,
+)
+
+
+class TestChebyshevMachinery:
+    def test_lobatto_nesting(self):
+        # doubling the level keeps every old node (even indices)
+        p4 = _lobatto_params(4, -1.5, 2.0)
+        p5 = _lobatto_params(5, -1.5, 2.0)
+        np.testing.assert_allclose(p5[0::2], p4, atol=1e-14)
+        assert p4.size == 17 and p5.size == 33
+
+    def test_coefficients_reconstruct_polynomial(self):
+        # exact for polynomials of degree <= N
+        n = 16
+        x = np.cos(np.pi * np.arange(n + 1) / n)
+        vals = 3.0 - 2.0 * x + 0.25 * x**3 + 1e-2 * x**8
+        coef = _lobatto_to_cheb_coeffs(vals[:, None])[:, 0]
+        xx = np.linspace(-1, 1, 201)
+        recon = np.polynomial.chebyshev.chebval(xx, coef)
+        expected = 3.0 - 2.0 * xx + 0.25 * xx**3 + 1e-2 * xx**8
+        np.testing.assert_allclose(recon, expected, atol=1e-13)
+
+    def test_vandermonde_matches_chebval(self):
+        rng = np.random.default_rng(0)
+        coef = rng.normal(size=7)
+        pts = rng.uniform(2.0, 5.0, size=11)
+        v = _chebyshev_matrix(pts, 2.0, 5.0, 7) @ coef
+        x = 2.0 * (pts - 2.0) / 3.0 - 1.0
+        np.testing.assert_allclose(v, np.polynomial.chebyshev.chebval(x, coef), atol=1e-13)
+
+    def test_analytic_function_interpolation(self):
+        # end-to-end machinery on a known analytic function via node_solver
+        calls = []
+
+        def node_solver(ps):
+            calls.append(len(ps))
+            return np.exp(1j * 3.0 * np.asarray(ps))[:, None] * np.array([[1.0, 0.5]])
+
+        params = np.linspace(0.0, 2.0, 500)
+        out, info = interpolated_sweep_solve(
+            model=None, signals_fn=None, params=params, t_span=(0, 1), y0=None,
+            tol=1e-10, min_level=3, node_solver=node_solver, full_output=True,
+        )
+        expected = np.exp(1j * 3.0 * params)[:, None] * np.array([[1.0, 0.5]])
+        assert np.max(np.abs(out - expected)) < 1e-9
+        assert info.converged and info.est_error < 1e-10
+        # adaptive: solved far fewer nodes than sweep points
+        assert sum(calls) == info.n_nodes < 70
+
+    def test_non_smooth_fails_loudly(self):
+        # a parameter-discontinuous "solution" must raise, not return garbage
+        def node_solver(ps):
+            return np.where(np.asarray(ps)[:, None] > 0.5, 1.0, -1.0).astype(complex)
+
+        with pytest.raises(DynamicsError, match="did not reach tol"):
+            interpolated_sweep_solve(
+                model=None, signals_fn=None, params=np.linspace(0, 1, 50),
+                t_span=(0, 1), y0=None, tol=1e-8, min_level=2, max_level=5,
+                node_solver=node_solver,
+            )
+
+    def test_validations(self):
+        ns = lambda ps: np.ones((len(ps), 1), dtype=complex)
+        with pytest.raises(DynamicsError, match="1-d"):
+            interpolated_sweep_solve(
+                None, None, np.ones((3, 2)), (0, 1), None, node_solver=ns
+            )
+        with pytest.raises(DynamicsError, match="nonzero interval"):
+            interpolated_sweep_solve(
+                None, None, np.array([1.0, 1.0]), (0, 1), None, node_solver=ns
+            )
+        with pytest.raises(DynamicsError, match="min_level < max_level"):
+            interpolated_sweep_solve(
+                None, None, np.array([0.0, 1.0]), (0, 1), None,
+                min_level=4, max_level=4, node_solver=ns,
+            )
+        with pytest.raises(DynamicsError, match="concrete"):
+            jax.jit(
+                lambda p: interpolated_sweep_solve(
+                    None, None, p, (0, 1), None, node_solver=ns
+                )
+            )(jnp.linspace(0, 1, 8))
+
+
+def _rabi_solver():
+    """2-level qubit in the rotating frame, drive amplitude sweep."""
+    nu = 5.0
+    X = np.array([[0.0, 1.0], [1.0, 0.0]])
+    Z = np.array([[1.0, 0.0], [0.0, -1.0]])
+    static = 2 * np.pi * nu * Z / 2
+    solver = Solver(
+        static_hamiltonian=static,
+        hamiltonian_operators=[2 * np.pi * X / 2],
+        rotating_frame=static,
+        rwa_cutoff_freq=1.5 * nu,
+    )
+    return solver, nu
+
+
+class TestInterpolatedSweepPhysics:
+    def test_matches_direct_sweep(self):
+        solver, nu = _rabi_solver()
+        y0 = np.array([1.0, 0.0], dtype=complex)
+        T = 4.0
+
+        def signals_fn(amp):
+            return [Signal(lambda t: amp * 0.05, carrier_freq=nu)]
+
+        params = np.linspace(0.1, 1.0, 200)
+        out, info = interpolated_sweep_solve(
+            solver.model, signals_fn, params, t_span=(0.0, T), y0=y0,
+            tol=1e-9, min_level=3, rwa_signal_map=solver._rwa_signal_map,
+            max_dt=0.02, full_output=True,
+        )
+        assert info.converged
+        assert out.shape == (200, 2)
+
+        # direct per-point reference (DOP853 at 1e-12)
+        idx = [0, 57, 123, 199]
+        for i in idx:
+            res = solver.solve(
+                t_span=[0.0, T], y0=y0,
+                signals=[Signal(lambda t, a=params[i]: a * 0.05, carrier_freq=nu)],
+                method="DOP853", atol=1e-12, rtol=1e-12,
+            )
+            err = np.max(np.abs(out[i] - np.asarray(res.y[-1])))
+            assert err < 5e-8, f"point {i}: {err:.2e}"
+
+    def test_solver_solve_sweep_chebyshev_method(self):
+        solver, nu = _rabi_solver()
+        y0 = np.array([1.0, 0.0], dtype=complex)
+
+        def signals_fn(amp):
+            return [Signal(lambda t: amp * 0.05, carrier_freq=nu)]
+
+        params = np.linspace(0.2, 0.8, 64)
+        out = solver.solve_sweep(
+            signals_fn, params, t_span=(0.0, 2.0), y0=y0, method="chebyshev",
+            tol=1e-8, min_level=3, max_dt=0.1,
+        )
+        direct = solver.solve_sweep(
+            signals_fn, params, t_span=(0.0, 2.0), y0=y0,
+            method="fused_magnus2", max_dt=0.1, precision="df32",
+        )
+        assert np.max(np.abs(out - np.asarray(direct))) < 1e-7
