@@ -464,6 +464,16 @@ class DynamicsBackend:
         result_function = (
             self.options.experiment_result_function or default_experiment_result_function
         )
+        if result_function is default_experiment_result_function:
+            # ONE device->host transfer for all experiments: the
+            # per-experiment transfers inside the result function are
+            # latency-bound (~30 ms each through the axon tunnel) and
+            # dominated `run` end-to-end — measured 16 experiments/s vs
+            # 2,147 solves/s for the same batch (VERDICT r2 item 4). After
+            # prefetch, the result-function transfers are no-ops. Custom
+            # result functions keep the untouched results (their contract
+            # may read more than y[-1]).
+            solver_results = _prefetch_final_states(solver_results)
         rng = np.random.default_rng(self.options.seed_simulator)
         experiment_results = []
         for (
@@ -738,6 +748,56 @@ def _resolve_backend_channel_freqs(target, config, defaults, channels) -> Dict[s
     if missing:
         raise DynamicsError(f"No carrier frequency found for channel(s) {missing}.")
     return freqs
+
+
+def _prefetch_final_states(solver_results: list) -> list:
+    """Batch the device->host transfer of all experiments' final states.
+
+    Groups the final states (and final times) by shape, stacks each group on
+    device, and moves it in ONE complex-safe transfer (``utils.to_host``),
+    then rebuilds lightweight :class:`OdeResult` views holding host arrays.
+    Only ``y[-1]``/``t[-1]`` are materialized — exactly what the default
+    measurement pipeline consumes; all other result fields pass through.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils.jit_tools import to_host
+
+    datas, wrappers, t_lasts = [], [], []
+    for res in solver_results:
+        yf = res.y[-1]
+        if hasattr(yf, "data") and hasattr(yf, "dims"):
+            wrappers.append((type(yf), yf.dims()))
+            datas.append(yf.data)
+        else:
+            wrappers.append((None, None))
+            datas.append(yf)
+        t_lasts.append(res.t[-1])
+
+    def batch_transfer(values):
+        by_shape = {}
+        for i, v in enumerate(values):
+            if isinstance(v, jax.Array):
+                by_shape.setdefault((v.shape, str(v.dtype)), []).append(i)
+        out = list(values)
+        for idxs in by_shape.values():
+            stacked = to_host(jnp.stack([values[i] for i in idxs]))
+            for j, i in enumerate(idxs):
+                out[i] = stacked[j]
+        return out
+
+    datas = batch_transfer(datas)
+    t_lasts = batch_transfer(t_lasts)
+
+    prefetched = []
+    for res, (cls, dims), data, t_last in zip(solver_results, wrappers, datas, t_lasts):
+        yf = cls(data, dims=dims) if cls is not None else data
+        new = OdeResult(res)
+        new["y"] = [yf]
+        new["t"] = [to_host(t_last)]
+        prefetched.append(new)
+    return prefetched
 
 
 def default_experiment_result_function(
