@@ -91,6 +91,10 @@ class GeneratorModel(BaseGeneratorModel):
                 "operators to be specified at construction."
             )
 
+        from ..unified import dequtip
+
+        static_operator = dequtip(static_operator)
+        operators = dequtip(operators)
         self._rotating_frame = RotatingFrame(rotating_frame)
         self._in_frame_basis = in_frame_basis
 

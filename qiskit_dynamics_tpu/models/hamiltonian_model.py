@@ -39,6 +39,10 @@ class HamiltonianModel(GeneratorModel):
         array_library: Optional[str] = None,
         validate: bool = True,
     ):
+        from ..unified import dequtip
+
+        static_operator = dequtip(static_operator)
+        operators = dequtip(operators)
         if static_operator is not None:
             if validate and not is_hermitian(static_operator):
                 raise DynamicsError("HamiltonianModel static_operator must be Hermitian.")

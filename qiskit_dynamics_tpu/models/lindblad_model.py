@@ -71,6 +71,12 @@ class LindbladModel(BaseGeneratorModel):
                 "hamiltonian_operators, static_dissipators, or dissipator_operators "
                 "to be specified at construction."
             )
+        from ..unified import dequtip
+
+        static_hamiltonian = dequtip(static_hamiltonian)
+        hamiltonian_operators = dequtip(hamiltonian_operators)
+        static_dissipators = dequtip(static_dissipators)
+        dissipator_operators = dequtip(dissipator_operators)
         if validate:
             if static_hamiltonian is not None and not is_hermitian(static_hamiltonian):
                 raise DynamicsError("LindbladModel static_hamiltonian must be Hermitian.")

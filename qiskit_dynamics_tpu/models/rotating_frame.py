@@ -114,6 +114,8 @@ class RotatingFrame:
     def __init__(self, frame_operator, atol: float = 1e-10, rtol: float = 1e-10):
         if isinstance(frame_operator, RotatingFrame):
             frame_operator = frame_operator.frame_operator
+        if type(frame_operator).__name__ == "Qobj" and hasattr(frame_operator, "full"):
+            frame_operator = frame_operator.full()  # qutip coercion
         self._frame_operator = frame_operator
 
         if frame_operator is None:

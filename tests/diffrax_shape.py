@@ -66,6 +66,26 @@ def build_module() -> types.ModuleType:
     mod.PIDController = PIDController
     mod.Dopri5 = Dopri5
     mod.diffeqsolve = diffeqsolve
+
+    # contract hardening: the pinned surface is exactly the names above
+    # (upstream API: https://docs.kidger.site/diffrax — ODETerm, SaveAt,
+    # PIDController, solver classes, diffeqsolve; consumed by
+    # solvers/diffrax_solver.py, mirroring reference
+    # /root/reference/qiskit_dynamics/solvers/diffrax_solver.py:61-114).
+    # Accessing anything else fails LOUDLY as AssertionError — an
+    # AttributeError could be silently swallowed by a duck-typing fallback
+    # in package code (PEP 562 module __getattr__).
+    def _contract_violation(name):
+        if name.startswith("__"):
+            raise AttributeError(name)
+        raise AssertionError(
+            f"diffrax contract violation: package accessed diffrax.{name}, "
+            "which the pinned fake surface does not model. Either package "
+            "code drifted from the documented diffrax API subset or the "
+            "contract needs a deliberate extension (tests/diffrax_shape.py)."
+        )
+
+    mod.__getattr__ = _contract_violation
     return mod
 
 

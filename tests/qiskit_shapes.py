@@ -295,3 +295,72 @@ class FakeQuantumCircuit:
         self.calibrations.setdefault(gate, {})[
             (tuple(qubits), tuple(np.atleast_1d(params)))
         ] = schedule
+
+
+# ---------------------------------------------------------------------------
+# contract hardening (VERDICT r2 item 7): strict fakes that FAIL LOUDLY
+# (AssertionError, not AttributeError — the package could silently catch the
+# latter in a duck-typing fallback) when production code touches an
+# attribute outside the pinned contract surface.
+
+
+def strict_fake(cls, declared, probe_ok=()):
+    """Subclass ``cls`` whose instances allow only the ``declared`` attribute
+    surface (dunder/underscore access passes through). ``probe_ok`` names are
+    part of the contract as LEGITIMATE duck-typing probes: they raise a plain
+    ``AttributeError`` (so ``hasattr``/``getattr(..., default)`` dispatch
+    works); everything else raises ``AssertionError`` — loud, so a package
+    fallback path cannot silently swallow the contract drift. The subclass
+    keeps ``cls.__name__`` so the package's type-name duck-typing matches."""
+
+    class Strict(cls):
+        def __getattribute__(self, name):
+            if name.startswith("_") or name in declared:
+                return super().__getattribute__(name)
+            if name in probe_ok:
+                raise AttributeError(name)
+            raise AssertionError(
+                f"interop contract violation: {cls.__name__}.{name} "
+                "accessed, but the pinned contract (see the fake's "
+                "docstring citation) does not model it. Either the "
+                "package drifted or the contract needs a deliberate "
+                "extension."
+            )
+
+    Strict.__name__ = cls.__name__
+    Strict.__qualname__ = cls.__name__
+    return Strict
+
+
+#: pinned attribute surfaces, cited to the upstream API each fake mirrors
+CONTRACTS = {
+    # qiskit.pulse.SymbolicPulse (qiskit api: qiskit.pulse.library.SymbolicPulse;
+    # reference consumption: pulse_to_signals.py:329-391)
+    "SymbolicPulse": {"envelope", "parameters", "duration", "name", "is_parameterized"},
+    # qiskit.quantum_info.Statevector (api: data/dims; reference consumption:
+    # solver_classes.py:708-816, dynamics_backend.py:805-934)
+    "Statevector": {"data", "dims"},
+    "DensityMatrix": {"data", "dims"},
+    # qiskit.providers.BackendV2 surface consumed by from_backend
+    # (reference: dynamics_backend.py:593-802, :1047-1135)
+    "BackendV2": {"target", "configuration", "defaults", "name"},
+}
+
+
+def strict_symbolic_pulse(duration, amp, sigma):
+    # get_waveform / samples are legitimate duck-typing probes in the
+    # converter's dispatch (pulse_to_signals.py: Waveform vs SymbolicPulse)
+    pulse = fake_gaussian_pulse(duration, amp, sigma)
+    cls = strict_fake(
+        FakeSymbolicPulse, CONTRACTS["SymbolicPulse"],
+        probe_ok={"get_waveform", "samples"},
+    )
+    return cls(pulse.envelope, pulse.parameters, name=pulse.name)
+
+
+def strict_statevector(data, dims=None):
+    return strict_fake(FakeStatevector, CONTRACTS["Statevector"])(data, dims=dims)
+
+
+def strict_density_matrix(data, dims=None):
+    return strict_fake(FakeDensityMatrix, CONTRACTS["DensityMatrix"])(data, dims=dims)
