@@ -30,6 +30,18 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def median_time(fn, repeats=3):
+    """Median of ``repeats`` steady-state timings (shared-chip session
+    variance measured up to ~2x for identical code — single measurements
+    made BENCH_r*.json untrustworthy round-over-round)."""
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    return float(np.median(times))
+
+
 def main():
     from qiskit_dynamics_tpu.benchmarks import cr_solver
     from qiskit_dynamics_tpu.solvers import fused_adaptive_sweep_solve
@@ -67,13 +79,9 @@ def main():
     out = np.asarray(sweep(amps))
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
-    best = np.inf
-    for _ in range(2):
-        t0 = time.time()
-        out = np.asarray(sweep(amps))
-        best = min(best, time.time() - t0)
-    device_throughput = sweep_size / best
-    log(f"device: {best:.3f}s for {sweep_size} sims -> {device_throughput:.1f} sims/sec")
+    steady = median_time(lambda: np.asarray(sweep(amps)))
+    device_throughput = sweep_size / steady
+    log(f"device: {steady:.3f}s (median of 3) for {sweep_size} sims -> {device_throughput:.1f} sims/sec")
 
     # single-core NumPy/SciPy DOP853 baseline at matched accuracy, extrapolated
     check_idx = np.linspace(0, sweep_size - 1, n_baseline).astype(int)
@@ -113,11 +121,11 @@ def main():
         t0 = time.time()
         df_out = fused_sweep_solve(solver.model, signals_fn, df_amps, **df_kwargs)
         log(f"df32 compile+first run: {time.time() - t0:.1f}s")
-        t0 = time.time()
-        df_out = fused_sweep_solve(solver.model, signals_fn, df_amps, **df_kwargs)
-        df_time = time.time() - t0
+        df_time = median_time(
+            lambda: fused_sweep_solve(solver.model, signals_fn, df_amps, **df_kwargs)
+        )
         df_throughput = df_sweep_size / df_time
-        log(f"df32 device: {df_time:.2f}s for {df_sweep_size} sims -> {df_throughput:.1f} sims/sec")
+        log(f"df32 device: {df_time:.2f}s (median of 3) for {df_sweep_size} sims -> {df_throughput:.1f} sims/sec")
 
         df_idx = np.linspace(0, df_sweep_size - 1, n_baseline).astype(int)
         df_err = 0.0
@@ -134,6 +142,51 @@ def main():
             "df32_vs_baseline": round(df_throughput / numpy_throughput, 2),
             "df32_max_err": float(f"{df_err:.3g}"),
         }
+
+    # --- chebyshev row: certified interpolated sweep (1e-8-class accuracy
+    # at fused speed; sweep-LEVEL algorithm — solves ~tens of nodes with the
+    # df32 engine and reconstructs all points; solvers/sweep_interpolation) ---
+    cheb_metrics = {}
+    if os.environ.get("BENCH_CHEB", "1") == "1":
+        try:
+            from qiskit_dynamics_tpu.solvers import interpolated_sweep_solve
+
+            cheb_amps = np.linspace(0.25, 1.0, sweep_size)
+            cheb_kwargs = dict(
+                t_span=(0.0, T), y0=y0, tol=1e-9, min_level=4,
+                rwa_signal_map=solver._rwa_signal_map, max_dt=0.2,
+                full_output=True,
+            )
+            t0 = time.time()
+            cheb_out, cheb_info = interpolated_sweep_solve(
+                solver.model, signals_fn, cheb_amps, **cheb_kwargs
+            )
+            log(f"cheb compile+first: {time.time() - t0:.1f}s "
+                f"(nodes={cheb_info.n_nodes}, certified {cheb_info.est_error:.1e})")
+            cheb_time = median_time(
+                lambda: interpolated_sweep_solve(
+                    solver.model, signals_fn, cheb_amps, **cheb_kwargs
+                )
+            )
+            cheb_tp = sweep_size / cheb_time
+            log(f"cheb steady (median of 3): {cheb_time:.2f}s -> {cheb_tp:.0f} sims/s")
+            cheb_err = 0.0
+            for i in np.linspace(0, sweep_size - 1, n_baseline).astype(int):
+                r = solver.solve(
+                    t_span=[0.0, T], y0=y0,
+                    signals=[Signal(lambda t, a=cheb_amps[i]: a * amp_scale, carrier_freq=w1)],
+                    method="DOP853", atol=1e-12, rtol=1e-12,
+                )
+                cheb_err = max(cheb_err, float(np.max(np.abs(cheb_out[i] - np.asarray(r.y[-1])))))
+            log(f"cheb max |state - DOP853(1e-12)| over {n_baseline} probes: {cheb_err:.2e}")
+            cheb_metrics = {
+                "cheb_sweep_throughput": round(cheb_tp, 1),
+                "cheb_vs_baseline": round(cheb_tp / numpy_throughput, 1),
+                "cheb_max_err": float(f"{cheb_err:.3g}"),
+                "cheb_nodes": int(cheb_info.n_nodes),
+            }
+        except Exception as exc:  # never let a row kill the bench JSON
+            log(f"cheb row failed: {exc!r}")
 
     # --- gradient row: whole-sweep gradient through the fused fixed-step
     # kernel (custom vjp: Pallas primal, checkpointed XLA adjoint) ---
@@ -154,11 +207,9 @@ def main():
             t0 = time.time()
             np.asarray(gradfn(g_amps))
             log(f"grad compile+first: {time.time() - t0:.1f}s")
-            t0 = time.time()
-            np.asarray(gradfn(g_amps))
-            grad_time = time.time() - t0
+            grad_time = median_time(lambda: np.asarray(gradfn(g_amps)))
             log(
-                f"grad steady: {grad_time:.2f}s for {sweep_size}-point sweep "
+                f"grad steady (median of 3): {grad_time:.2f}s for {sweep_size}-point sweep "
                 f"-> {sweep_size / grad_time:.0f} grad-sims/s"
             )
             grad_metrics = {"grad_sims_per_sec": round(sweep_size / grad_time, 1)}
@@ -180,14 +231,68 @@ def main():
         t0 = time.time()
         backend.solve(scheds)
         log(f"schedule batch compile+first: {time.time() - t0:.1f}s")
-        t0 = time.time()
-        backend.solve(scheds)
-        sched_time = time.time() - t0
+        sched_time = median_time(lambda: backend.solve(scheds))
         log(
-            f"schedule batch steady: {sched_time:.3f}s for {n_sched} schedules "
+            f"schedule batch steady (median of 3): {sched_time:.3f}s for {n_sched} schedules "
             f"-> {n_sched / sched_time:.1f} schedules/s"
         )
         sched_metrics = {"schedules_per_sec_dim27": round(n_sched / sched_time, 1)}
+        # run -> counts rate (batched measurement pipeline: one device->host
+        # transfer for the whole batch)
+        try:
+            t0 = time.time()
+            backend.run(scheds).result()
+            log(f"run compile+first: {time.time() - t0:.1f}s")
+            run_time = median_time(lambda: backend.run(scheds).result())
+            log(
+                f"backend.run steady (median of 3): {run_time:.2f}s "
+                f"-> {n_sched / run_time:.1f} experiments/s"
+            )
+            sched_metrics["run_experiments_per_sec"] = round(n_sched / run_time, 1)
+        except Exception as exc:
+            log(f"run row failed: {exc!r}")
+
+    # --- large-dim row: dim-8 vectorized Lindblad sweep (solve dim 64)
+    # through the member-major MXU engine (ops/member_sweep.py) ---
+    lind_metrics = {}
+    if os.environ.get("BENCH_LINDBLAD8", "1") == "1":
+        try:
+            from qiskit_dynamics_tpu.models import LindbladModel
+            from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+
+            dim8 = 8
+            a_op = np.diag(np.sqrt(np.arange(1, dim8)), 1)
+            N_op = np.diag(np.arange(dim8, dtype=float))
+            H0 = 2 * np.pi * (5.0 * N_op - 0.33 / 2 * (N_op @ N_op - N_op))
+            Hd = 2 * np.pi * 0.02 * (a_op + a_op.conj().T)
+            lmodel = LindbladModel(
+                static_hamiltonian=H0, hamiltonian_operators=[Hd],
+                static_dissipators=[np.sqrt(0.01) * a_op],
+                rotating_frame=np.diag(H0), vectorized=True,
+            )
+            rho0 = np.zeros((dim8, dim8), dtype=complex)
+            rho0[1, 1] = 1.0
+            l_amps = jnp.linspace(0.2, 1.0, 10240)
+            l_sig = lambda amp: ([Signal(lambda t: amp, carrier_freq=5.0)], None)
+            l_run = jax.jit(
+                lambda a: jnp.abs(
+                    fused_sweep_solve(
+                        lmodel, l_sig, a, t_span=(0.0, 20.0), max_dt=0.02,
+                        y0=rho0,
+                    )
+                ) ** 2
+            )
+            t0 = time.time()
+            np.asarray(l_run(l_amps))
+            log(f"lindblad8 compile+first: {time.time() - t0:.1f}s")
+            l_time = median_time(lambda: np.asarray(l_run(l_amps)))
+            log(
+                f"lindblad8 steady (median of 3): {l_time:.2f}s "
+                f"-> {10240 / l_time:.0f} sims/s"
+            )
+            lind_metrics = {"lindblad_dim8_sims_per_sec": round(10240 / l_time, 1)}
+        except Exception as exc:
+            log(f"lindblad8 row failed: {exc!r}")
 
     print(
         json.dumps(
@@ -197,8 +302,10 @@ def main():
                 "unit": "sims/sec",
                 "vs_baseline": round(device_throughput / numpy_throughput, 2),
                 **df_metrics,
+                **cheb_metrics,
                 **grad_metrics,
                 **sched_metrics,
+                **lind_metrics,
             }
         )
     )
