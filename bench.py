@@ -216,6 +216,32 @@ def main():
         except Exception as exc:  # never let the grad row kill the bench JSON
             log(f"grad row failed: {exc!r}")
 
+        # adaptive-kernel gradient (recorded-grid replay adjoint): gradients
+        # at adaptive-primal accuracy through the headline solver
+        try:
+            def adgrad_loss(amps_in):
+                yf = fused_adaptive_sweep_solve(
+                    solver.model, signals_fn, amps_in, t_span=(0.0, T), y0=y0,
+                    atol=1e-6, rtol=1e-6, h0=0.1,
+                    rwa_signal_map=solver._rwa_signal_map,
+                )
+                return jnp.mean(jnp.abs(yf[:, 1]) ** 2)
+
+            adgradfn = jax.jit(jax.grad(adgrad_loss))
+            t0 = time.time()
+            np.asarray(adgradfn(g_amps))
+            log(f"adaptive-grad compile+first: {time.time() - t0:.1f}s")
+            adgrad_time = median_time(lambda: np.asarray(adgradfn(g_amps)))
+            log(
+                f"adaptive-grad steady (median of 3): {adgrad_time:.2f}s "
+                f"-> {sweep_size / adgrad_time:.0f} grad-sims/s"
+            )
+            grad_metrics["adaptive_grad_sims_per_sec"] = round(
+                sweep_size / adgrad_time, 1
+            )
+        except Exception as exc:
+            log(f"adaptive-grad row failed: {exc!r}")
+
     # --- config-5 row: 3-transmon schedule batch through the fused kernel ---
     sched_metrics = {}
     if os.environ.get("BENCH_SCHEDULES", "1") == "1":

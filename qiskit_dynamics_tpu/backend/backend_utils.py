@@ -124,7 +124,35 @@ def _sample_probability_dict(
     probs = np.array(probs)
     if normalize_probabilities:
         probs = probs / probs.sum()
-    return list(rng.choice(alphabet, size=shots, replace=True, p=probs))
+    # sample INDICES then map — rng.choice on a unicode array pays fancy
+    # string indexing per shot; the index stream is identical
+    idx = rng.choice(len(alphabet), size=shots, replace=True, p=probs)
+    return [alphabet[i] for i in idx]
+
+
+def _sample_outcomes(
+    probability_dict: Dict[str, float],
+    shots: int,
+    normalize_probabilities: bool = True,
+    seed: Optional[int] = None,
+    with_memory: bool = True,
+):
+    """One index draw -> (ordered sample list or None, counts dict).
+
+    Same random stream as :func:`_sample_probability_dict` (identical index
+    draws); counts come from a bincount over the indices instead of a
+    unique/sort over per-shot strings — the measured hot spot of the
+    per-experiment measurement pipeline."""
+    rng = np.random.default_rng(seed=seed)
+    alphabet, probs = zip(*probability_dict.items())
+    probs = np.array(probs)
+    if normalize_probabilities:
+        probs = probs / probs.sum()
+    idx = rng.choice(len(alphabet), size=shots, replace=True, p=probs)
+    counts_arr = np.bincount(idx, minlength=len(alphabet))
+    counts = {str(a): int(c) for a, c in zip(alphabet, counts_arr) if c}
+    samples = [alphabet[i] for i in idx] if with_memory else None
+    return samples, counts
 
 
 def _get_counts_from_samples(samples: list) -> Dict[str, int]:

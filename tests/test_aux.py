@@ -217,3 +217,55 @@ class TestRKTableaus:
         assert np.array_equal(rk.DOP853_C, DOP853.C[:ns])
         assert np.array_equal(rk.DOP853_E5, DOP853.E5)
         assert np.array_equal(rk.DOP853_E3, DOP853.E3)
+
+
+class TestTrigReduce:
+    """EFT phase reduction primitives (ops/trig_reduce.py)."""
+
+    def test_reduced_phase_accuracy_large_args(self):
+        from qiskit_dynamics_tpu.ops.trig_reduce import reduced_phase, split_array, split_const
+
+        rng = np.random.default_rng(0)
+        w64 = rng.uniform(-60, 60, size=512)
+        w_hi, w_lo = split_array(w64)
+        max_err = 0.0
+        for t in (13.7, 512.25, 1999.0):
+            t_hi, t_lo = split_const(t)
+            r = np.asarray(
+                reduced_phase(
+                    (jnp.asarray(w_hi), jnp.asarray(w_lo)),
+                    (jnp.float32(t_hi), jnp.float32(t_lo)),
+                )
+            )
+            exact = np.float64(w64) * (np.float64(t_hi) + np.float64(t_lo))
+            d = np.abs(np.angle(np.exp(1j * (np.float64(r) - exact))))
+            max_err = max(max_err, float(d.max()))
+            assert np.all(np.abs(r) <= np.pi + 1e-4)
+        # naive f32 at |w t| ~ 1e5 loses ~6e-5 rad; the reduction holds ulps
+        assert max_err < 1e-6, max_err
+
+    def test_split_array_exact(self):
+        from qiskit_dynamics_tpu.ops.trig_reduce import split_array
+
+        rng = np.random.default_rng(1)
+        w = rng.uniform(-100, 100, size=256)
+        hi, lo = split_array(w)
+        # hi + lo reproduces the f64 value to ~2^-49 relative (the residual
+        # below the second f32's mantissa; an exact 2-term split needs 48
+        # bits, f64 has 53)
+        err = np.abs(hi.astype(np.float64) + lo.astype(np.float64) - w)
+        assert np.max(err / np.abs(w)) < 2.0**-45
+
+    def test_step_time_df(self):
+        from qiskit_dynamics_tpu.ops.trig_reduce import split_const, step_time_df
+
+        dt, off = 0.12345678912345, 100.987654321
+        for idx in (0, 7, 999, 30001):
+            hi, lo = step_time_df(
+                jnp.float32(idx), split_const(dt), split_const(off)
+            )
+            got = np.float64(np.asarray(hi)) + np.float64(np.asarray(lo))
+            # operands are f32 pairs: compare against the f64 value of those pairs
+            dt64 = sum(np.float64(x) for x in split_const(dt))
+            off64 = sum(np.float64(x) for x in split_const(off))
+            assert abs(got - (idx * dt64 + off64)) < 1e-5 * max(1.0, idx * dt)
