@@ -419,9 +419,16 @@ def sweep_expm_magnus_df(
     step_c = _step_consts(magnus_order, dts)
 
     out = np.empty((n, B), dtype=np.complex128)
+    # chunk widths are quantized (multiples of 256, capped at chunk_b) so
+    # different sweep sizes reuse the same compiled shapes — the chebyshev
+    # node batches (17, 16, 32, ... members) otherwise paid one slow axon
+    # compile PER refinement level
+    quantum = min(256, chunk_b)
     for lo_b in range(0, B, chunk_b):
         hi_b = min(lo_b + chunk_b, B)
-        pad = chunk_b - (hi_b - lo_b) if B >= chunk_b else 0
+        width = hi_b - lo_b
+        padded_width = min(chunk_b, -(-width // quantum) * quantum)
+        pad = padded_width - width
         sl = coefficients[..., lo_b:hi_b]
         y_sl = y0[:, lo_b:hi_b]
         if pad:
