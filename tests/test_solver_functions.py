@@ -196,3 +196,54 @@ def test_tpu_adaptive_accuracy_vs_scipy():
 def test_tpu_adaptive_max_steps_nan_poisons():
     res = solve_ode(const_rhs, [0.0, 100.0], Y0, method="tpu_dopri5", max_steps=4)
     assert np.all(np.isnan(np.real(res.y[-1])))
+
+
+def test_custom_odesolver_subclass_method():
+    """An arbitrary scipy ``OdeSolver`` subclass passes straight through as
+    ``method=`` (reference solver_functions.py:129-217 accepts any
+    ``OdeSolver`` type, not just the named scipy strings)."""
+    from scipy.integrate import RK45
+
+    calls = {"n": 0}
+
+    class CountingRK45(RK45):
+        def __init__(self, *args, **kwargs):
+            calls["n"] += 1
+            super().__init__(*args, **kwargs)
+
+    ham = HamiltonianModel(
+        static_operator=5 * Z, operators=[X],
+        signals=[Signal(0.5, carrier_freq=5.0 / np.pi)],
+        rotating_frame=5 * Z,
+    )
+    res = solve_ode(
+        ham, [0, 1.0], Y0, method=CountingRK45, atol=1e-10, rtol=1e-10
+    )
+    assert calls["n"] == 1  # the subclass itself was instantiated
+    ref = solve_ode(ham, [0, 1.0], Y0, method="RK45", atol=1e-10, rtol=1e-10)
+    np.testing.assert_allclose(res.y[-1], ref.y[-1], atol=1e-8, rtol=1e-8)
+
+
+def test_custom_odesolver_subclass_through_solver_class():
+    """The Solver front end forwards OdeSolver subclasses too."""
+    from scipy.integrate import DOP853
+    from qiskit_dynamics_tpu import Solver
+
+    class MyDOP853(DOP853):
+        pass
+
+    solver = Solver(
+        static_hamiltonian=5 * Z, hamiltonian_operators=[X],
+        rotating_frame=5 * Z,
+    )
+    res = solver.solve(
+        t_span=[0, 1.0], y0=Y0,
+        signals=[Signal(0.5, carrier_freq=5.0 / np.pi)],
+        method=MyDOP853, atol=1e-10, rtol=1e-10,
+    )
+    ref = solver.solve(
+        t_span=[0, 1.0], y0=Y0,
+        signals=[Signal(0.5, carrier_freq=5.0 / np.pi)],
+        method="DOP853", atol=1e-10, rtol=1e-10,
+    )
+    np.testing.assert_allclose(res.y[-1], ref.y[-1], atol=1e-8, rtol=1e-8)
