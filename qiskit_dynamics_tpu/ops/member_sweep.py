@@ -6,12 +6,29 @@ broadcast-multiply-sum VPU loops — ``O(n^3 B)`` VPU flops — and the
 batch-major XLA engine (:mod:`.xla_sweep`) is HBM-bound re-reading the
 ``(B, n, n)`` Magnus matrices from HBM every Horner iteration (~2.7 GB/step
 at ``n = 64``; BENCHMARKS.md "Large-dim" section). This engine takes the
-third layout point (VERDICT r2 item 5): **grid over sweep members, n on both
-minor dims** — each program holds a small block of members' ``(n, n)``
-matrices entirely in VMEM for the whole time loop, and the O(n^3) commutator
-products run on the MXU via real ``pl.dot`` matmuls. Per step and member the
-HBM traffic is ~zero (only the per-step signal coefficients stream in), and
-the matmul cost lands on the systolic array where it belongs.
+third layout point (VERDICT r2 item 5): **grid over sweep members** — each
+program holds a small block of members' ``(n, n)`` matrices entirely in VMEM
+for the whole time loop, so per step and member the HBM traffic is ~zero
+(only the per-step signal coefficients stream in).
+
+Complex products use the **wide-product real form**: with tall
+``[Ar; Ai] (2n, n)`` and wide ``[Br | Bi] (n, 2n)`` operands, ONE real
+matmul of shape ``(2n, n, 2n)`` yields all four real block-products of
+``A @ B`` — full MXU shape utilization at ``n >= 64`` (vs four ``n^3``
+matmuls at ~(n/128)^2 utilization). The Magnus matrix is then assembled
+once per member and step. The whole solve runs in TRANSPOSED space (the
+host ships ``static^T``/``ops^T``/``omega^T`` and flips the commutator
+sign — ``[G2, G1]^T = -[G2^T, G1^T]``), so the scratch holds the
+transposed real representation ``(M_rr)^T = [[Mr^T, Mi^T], [-Mi^T, Mr^T]]``
+and states are ``(bm, 2n)`` rows ``[yr | yi]`` (Mosaic requires blocked
+minor dims to be 128-divisible, so the member block must ride the leading
+dim). Two Horner ``expm`` mat-vec variants:
+
+- ``horner="mxu"``: one row-side ``(1, 2n) @ (2n, 2n)`` MXU pass per
+  Taylor iteration (one pass instead of the four quarter-shape passes of
+  the first-generation kernel).
+- ``horner="vpu"``: elementwise multiply + sublane reduction on the VPU —
+  no MXU pass at all; costs one row->column vector relayout per iteration.
 
 Same Magnus-2 + Horner mat-vec Taylor polynomial as the other engines
 (reference math: ``/root/reference/qiskit_dynamics/solvers/fixed_step_solvers.py:321-403``),
@@ -44,22 +61,34 @@ def _kernel(
     order: int,
     bm: int,
     hermitian: bool,
+    horner: str,
+    c2_sign: float,
+    resident: bool,
     *refs,
 ):
     (
         statr_ref, stati_ref,          # (n, n)
         opsr_ref, opsi_ref,            # (k, n, n)
         omh_ref, oml_ref,              # (n, n) frame freqs (hi, lo)
-        coef_ref,                      # (T, 2, k, bm)
-        y0r_ref, y0i_ref,              # (bm, n)
-        outr_ref, outi_ref,            # (bm, n)
-        g1r, g1i, g2r, g2i,            # (bm, n, n) scratch
-        cosb, sinb,                    # (n, n) phase scratch
-        yr, yi, vr, vi,                # (bm, n) state scratch
+        coef_ref,                      # (bm, T, 2*k): member on the blocked
+                                       # leading dim (blocked lane dims must
+                                       # be 128-divisible in Mosaic, so the
+                                       # member block can't ride a minor
+                                       # dim), the dynamic step index on the
+                                       # SUBLANE dim, gauss*k+j static lanes
+        y0_ref,                        # (bm, 2n) real row states [yr | yi]
+        out_ref,                       # (bm, 2n)
+        g1r, g1i, g2r, g2i,            # (bm or 1, n, n) scratch
+        mrr,                           # (bm or 1, 2n, 2n) transposed-real-rep
+        tall_s,                        # (2n, n) wide-product operand
+        wide_s,                        # (n, 2n)
+        cos1, sin1, cos2, sin2,        # (n, n) Gauss-point phase scratch
+        y_s, v_s,                      # (bm, 2n) state scratch
     ) = refs
     f = statr_ref.dtype
+    n2 = 2 * n
 
-    def phase_tables(step, gauss_c):
+    def phase_tables(step, gauss_c, cosb, sinb):
         """cosb/sinb <- frame phase rotation at tau = t0 + (step+c) dt."""
         if f == jnp.float32:
             tau_pair = step_time_df(
@@ -72,112 +101,155 @@ def _kernel(
         cosb[...] = jnp.cos(ph)
         sinb[...] = jnp.sin(ph)
 
-    def build_generators(step, gauss_idx, out_r, out_i):
-        """All members' frame-rotated generators at one Gauss point."""
-        for m in range(bm):
-            acc_r = statr_ref[...]
-            acc_i = stati_ref[...]
-            for j in range(k):
-                c = coef_ref[step, gauss_idx, j, m]
-                acc_r = acc_r + c * opsr_ref[j]
-                acc_i = acc_i + c * opsi_ref[j]
-            out_r[m] = acc_r * cosb[...] - acc_i * sinb[...]
-            out_i[m] = acc_r * sinb[...] + acc_i * cosb[...]
+    def build_one(step, gauss_idx, m, slot, out_r, out_i, cosb, sinb):
+        """Member ``m``'s frame-rotated generator into scratch index ``slot``."""
+        acc_r = statr_ref[...]
+        acc_i = stati_ref[...]
+        for j in range(k):
+            c = coef_ref[m, step, gauss_idx * k + j]
+            acc_r = acc_r + c * opsr_ref[j]
+            acc_i = acc_i + c * opsi_ref[j]
+        out_r[slot] = acc_r * cosb[...] - acc_i * sinb[...]
+        out_i[slot] = acc_r * sinb[...] + acc_i * cosb[...]
 
     c1 = 0.5 * dt
-    c2 = _P2 * dt * dt
+    c2 = c2_sign * _P2 * dt * dt
+
+    def wide_product(ar_ref, ai_ref, br_ref, bi_ref, slot):
+        """(pr, pi) of A @ B via one (2n, n, 2n) MXU pass."""
+        tall_s[0:n, :] = ar_ref[slot]
+        tall_s[n:n2, :] = ai_ref[slot]
+        wide_s[:, 0:n] = br_ref[slot]
+        wide_s[:, n:n2] = bi_ref[slot]
+        W = jnp.dot(tall_s[...], wide_s[...], preferred_element_type=f)
+        pr = W[0:n, 0:n] - W[n:n2, n:n2]
+        pi = W[0:n, n:n2] + W[n:n2, 0:n]
+        return pr, pi
+
+    def assemble_mrr(slot):
+        """Commutator + Magnus assembly for the generator pair in ``slot``.
+
+        Transposed-space inputs: the computed blocks ARE Mr^T/Mi^T, so this
+        assembles (M_rr)^T = [[Mr^T, Mi^T], [-Mi^T, Mr^T]]."""
+        pr, pi = wide_product(g2r, g2i, g1r, g1i, slot)
+        if hermitian:
+            # anti-Hermitian generators: G1 G2 = (G2 G1)^dagger
+            comm_r = pr - pr.T
+            comm_i = pi + pi.T
+        else:
+            qr, qi = wide_product(g1r, g1i, g2r, g2i, slot)
+            comm_r = pr - qr
+            comm_i = pi - qi
+        m_r = c1 * (g1r[slot] + g2r[slot]) + c2 * comm_r
+        m_i = c1 * (g1i[slot] + g2i[slot]) + c2 * comm_i
+        mrr[slot, 0:n, 0:n] = m_r
+        mrr[slot, 0:n, n:n2] = m_i
+        mrr[slot, n:n2, 0:n] = -m_i
+        mrr[slot, n:n2, n:n2] = m_r
+
+    def horner_iter(slot, m, inv):
+        """One Taylor iteration v[m] <- y[m] + M v[m] / kk:
+        w[i] = sum_j M_rr[i, j] v[j] = sum_j v[j] (M_rr)^T[j, i]."""
+        if horner == "mxu":
+            w = jnp.dot(
+                v_s[m : m + 1, :], mrr[slot], preferred_element_type=f
+            )  # (1, 2n) row-side MXU pass
+        else:
+            # elementwise multiply + sublane reduction, no MXU pass
+            prod = mrr[slot] * v_s[m][:, None]
+            w = jnp.sum(prod, axis=0, keepdims=True)  # (1, 2n)
+        v_s[m : m + 1, :] = y_s[m : m + 1, :] + inv * w
 
     def body(step, _):
-        phase_tables(step, _GAUSS_C1)
-        build_generators(step, 0, g1r, g1i)
-        phase_tables(step, _GAUSS_C2)
-        build_generators(step, 1, g2r, g2i)
-
-        for m in range(bm):
-            # P = G2 @ G1 on the MXU (4 real matmuls)
-            a_r, a_i = g2r[m], g2i[m]
-            b_r, b_i = g1r[m], g1i[m]
-            p_r = jnp.dot(a_r, b_r, preferred_element_type=f) - jnp.dot(
-                a_i, b_i, preferred_element_type=f
-            )
-            p_i = jnp.dot(a_r, b_i, preferred_element_type=f) + jnp.dot(
-                a_i, b_r, preferred_element_type=f
-            )
-            if hermitian:
-                # anti-Hermitian generators: G1 G2 = (G2 G1)^dagger
-                comm_r = p_r - p_r.T
-                comm_i = p_i + p_i.T
-            else:
-                q_r = jnp.dot(b_r, a_r, preferred_element_type=f) - jnp.dot(
-                    b_i, a_i, preferred_element_type=f
-                )
-                q_i = jnp.dot(b_r, a_i, preferred_element_type=f) + jnp.dot(
-                    b_i, a_r, preferred_element_type=f
-                )
-                comm_r = p_r - q_r
-                comm_i = p_i - q_i
-            # M = c1 (G1 + G2) + c2 [G2, G1]; reuse g1 slots for M
-            g1r[m] = c1 * (a_r + b_r) + c2 * comm_r
-            g1i[m] = c1 * (a_i + b_i) + c2 * comm_i
-
-        # y <- expm(M) y via Horner mat-vec (M in g1, state rows (bm, n))
-        vr[...] = yr[...]
-        vi[...] = yi[...]
-        for kk in range(order, 0, -1):
-            inv = 1.0 / kk
+        phase_tables(step, _GAUSS_C1, cos1, sin1)
+        phase_tables(step, _GAUSS_C2, cos2, sin2)
+        if resident:
+            # all bm members' M matrices live at once; the Horner loop
+            # interleaves members within each Taylor iteration so the MXU
+            # pipelines independent mat-vec passes
             for m in range(bm):
-                m_r, m_i = g1r[m], g1i[m]
-                x_r = vr[m][:, None]
-                x_i = vi[m][:, None]
-                w_r = (
-                    jnp.dot(m_r, x_r, preferred_element_type=f)
-                    - jnp.dot(m_i, x_i, preferred_element_type=f)
-                )[:, 0]
-                w_i = (
-                    jnp.dot(m_r, x_i, preferred_element_type=f)
-                    + jnp.dot(m_i, x_r, preferred_element_type=f)
-                )[:, 0]
-                vr[m] = yr[m] + inv * w_r
-                vi[m] = yi[m] + inv * w_i
-        yr[...] = vr[...]
-        yi[...] = vi[...]
+                build_one(step, 0, m, m, g1r, g1i, cos1, sin1)
+                build_one(step, 1, m, m, g2r, g2i, cos2, sin2)
+            for m in range(bm):
+                assemble_mrr(m)
+            v_s[...] = y_s[...]
+            for kk in range(order, 0, -1):
+                inv = 1.0 / kk
+                for m in range(bm):
+                    horner_iter(m, m, inv)
+        else:
+            # large n: one member's scratch at a time (VMEM-bounded); the
+            # serialized mat-vec chain is throughput-bound at large K so
+            # losing the cross-member interleave costs little
+            for m in range(bm):
+                build_one(step, 0, m, 0, g1r, g1i, cos1, sin1)
+                build_one(step, 1, m, 0, g2r, g2i, cos2, sin2)
+                assemble_mrr(0)
+                v_s[m : m + 1, :] = y_s[m : m + 1, :]
+                for kk in range(order, 0, -1):
+                    horner_iter(0, m, 1.0 / kk)
+        y_s[...] = v_s[...]
         return 0
 
-    yr[...] = y0r_ref[...]
-    yi[...] = y0i_ref[...]
+    y_s[...] = y0_ref[...]
     jax.lax.fori_loop(0, T, body, 0)
-    outr_ref[...] = yr[...]
-    outi_ref[...] = yi[...]
+    out_ref[...] = y_s[...]
 
 
 def sweep_expm_magnus2_member(
     static_op, operators, frame_omega, coefficients, y0,
     dt, t0=0.0, order=8, block_m=8, interpret=False, hermitian=False,
-    frame_omega_lo=None,
+    frame_omega_lo=None, horner="mxu", resident=None,
 ):
     """Public shim (host-side frequency split, see
     :func:`.sweep_solver.split_omega_host`) over the jitted member-major
     kernel. Args/returns match
     :func:`~qiskit_dynamics_tpu.ops.sweep_solver.sweep_expm_magnus2`
     (``coefficients`` (T, 2, k, B); ``y0``/result (n, B) complex, frame
-    basis); ``block_m`` = members per Pallas program."""
-    if frame_omega_lo is None:
-        frame_omega, frame_omega_lo = split_omega_host(frame_omega)
+    basis); ``block_m`` = members per Pallas program; ``horner`` = "mxu"
+    (real-rep MXU mat-vec) or "vpu" (transposed-space sublane-reduce
+    mat-vec, see module docstring); ``resident`` = keep all ``block_m``
+    members' matrices in VMEM at once (defaults to ``n <= 64``; above that
+    the ~16 MB scoped-VMEM budget forces the one-member-at-a-time path)."""
+    if horner not in ("mxu", "vpu"):
+        raise ValueError(f"horner must be 'mxu' or 'vpu', got {horner!r}")
+    if resident is None:
+        resident = jnp.shape(y0)[0] <= 64
+    # run the whole solve in transposed space: M^T blocks come out of
+    # the same kernel math fed with transposed statics, EXCEPT the
+    # commutator flips sign ([G2,G1]^T = -[G2^T, G1^T])
+    static_op = jnp.swapaxes(jnp.asarray(static_op), -1, -2)
+    operators = jnp.swapaxes(jnp.asarray(operators), -1, -2)
+    if frame_omega_lo is not None:
+        # pre-split (hi, lo) pair: may be traced (custom-vjp AD path), so
+        # transpose with jnp (the split is elementwise — it commutes with
+        # the transpose)
+        frame_omega = jnp.swapaxes(jnp.asarray(frame_omega), -1, -2)
+        frame_omega_lo = jnp.swapaxes(jnp.asarray(frame_omega_lo), -1, -2)
+    else:
+        # unsplit: must be concrete host values (the f64 split needs bits)
+        frame_omega, frame_omega_lo = split_omega_host(
+            np.swapaxes(np.asarray(frame_omega), -1, -2)
+        )
     return _sweep_expm_magnus2_member_jit(
         static_op, operators, frame_omega, frame_omega_lo, coefficients, y0,
         dt=dt, t0=t0, order=order, block_m=block_m, interpret=interpret,
-        hermitian=hermitian,
+        hermitian=hermitian, horner=horner, resident=bool(resident),
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dt", "t0", "order", "block_m", "interpret", "hermitian"),
+    static_argnames=(
+        "dt", "t0", "order", "block_m", "interpret", "hermitian", "horner",
+        "resident",
+    ),
 )
 def _sweep_expm_magnus2_member_jit(
     static_op, operators, frame_omega, frame_omega_lo, coefficients, y0,
     dt: float, t0: float = 0.0, order: int = 8, block_m: int = 8,
-    interpret: bool = False, hermitian: bool = False,
+    interpret: bool = False, hermitian: bool = False, horner: str = "mxu",
+    resident: bool = True,
 ):
     T, _, k, B = coefficients.shape
     n = y0.shape[0]
@@ -188,47 +260,68 @@ def _sweep_expm_magnus2_member_jit(
     opsi = jnp.imag(operators).astype(f32)
     omh = jnp.asarray(frame_omega).astype(f32)
     oml = jnp.asarray(frame_omega_lo).astype(f32)
+    # coefficient layout (B, T, 2k): members on the BLOCKED leading dim
+    # (Mosaic requires blocked minor dims to be 128-divisible, so the member
+    # block cannot ride the lane dim), the dynamic step index on the sublane
+    # dim, the static (gauss, op) pair on lanes. The 2k lanes tile-pad to
+    # 128 (~4 MB/block at T=1000, bm=8) — a trailing (2, k) pair would pad
+    # to (8, 128) EACH: measured 16 MB scoped-VMEM OOM at T=1000.
     coef = jnp.asarray(coefficients).astype(f32)
-    # member-major states: (B, n)
+    coef = jnp.moveaxis(coef.reshape(T, 2 * k, B), -1, 0)  # (B, T, 2k)
+    # real row states (B, 2n): [yr | yi] — the member block rides the
+    # leading dim (same Mosaic blocking rule as the coefficients)
     y0r = jnp.real(y0).astype(f32).T
     y0i = jnp.imag(y0).astype(f32).T
+    y0t = jnp.concatenate([y0r, y0i], axis=1)  # (B, 2n)
 
     pad = (-B) % block_m
     if pad:
         coef = jnp.concatenate(
-            [coef, jnp.broadcast_to(coef[..., :1], coef.shape[:-1] + (pad,))], axis=-1
+            [coef, jnp.broadcast_to(coef[:1], (pad,) + coef.shape[1:])],
+            axis=0,
         )
-        y0r = jnp.concatenate([y0r, jnp.broadcast_to(y0r[:1], (pad, n))])
-        y0i = jnp.concatenate([y0i, jnp.broadcast_to(y0i[:1], (pad, n))])
+        y0t = jnp.concatenate(
+            [y0t, jnp.broadcast_to(y0t[:1], (pad, 2 * n))], axis=0
+        )
     n_blocks = (B + pad) // block_m
 
     kernel = functools.partial(
         _kernel, n, k, T, float(dt), float(t0), int(order), int(block_m),
-        bool(hermitian),
+        bool(hermitian), str(horner), -1.0, bool(resident),
     )
     full = lambda arr: pl.BlockSpec(
         arr.shape, lambda b: (0,) * arr.ndim, memory_space=pltpu.VMEM
     )
     coef_spec = pl.BlockSpec(
-        (T, 2, k, block_m), lambda b: (0, 0, 0, b), memory_space=pltpu.VMEM
+        (block_m, T, 2 * k), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
     )
     state_spec = pl.BlockSpec(
-        (block_m, n), lambda b: (b, 0), memory_space=pltpu.VMEM
+        (block_m, 2 * n), lambda b: (b, 0), memory_space=pltpu.VMEM
     )
-    mat_block = pltpu.VMEM((block_m, n, n), f32)
+    n_slots = block_m if resident else 1
+    mat_block = pltpu.VMEM((n_slots, n, n), f32)
     mat = pltpu.VMEM((n, n), f32)
-    vec_block = pltpu.VMEM((block_m, n), f32)
+    state_block = pltpu.VMEM((block_m, 2 * n), f32)
 
-    outr, outi = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
             full(statr), full(stati), full(opsr), full(opsi), full(omh),
-            full(oml), coef_spec, state_spec, state_spec,
+            full(oml), coef_spec, state_spec,
         ],
-        out_specs=[state_spec, state_spec],
-        out_shape=[jax.ShapeDtypeStruct((B + pad, n), f32)] * 2,
-        scratch_shapes=[mat_block] * 4 + [mat] * 2 + [vec_block] * 4,
+        out_specs=state_spec,
+        out_shape=jax.ShapeDtypeStruct((B + pad, 2 * n), f32),
+        scratch_shapes=(
+            [mat_block] * 4
+            + [
+                pltpu.VMEM((n_slots, 2 * n, 2 * n), f32),
+                pltpu.VMEM((2 * n, n), f32),
+                pltpu.VMEM((n, 2 * n), f32),
+            ]
+            + [mat] * 4
+            + [state_block] * 2
+        ),
         interpret=interpret,
-    )(statr, stati, opsr, opsi, omh, oml, coef, y0r, y0i)
-    return (outr[:B] + 1j * outi[:B]).T  # back to (n, B)
+    )(statr, stati, opsr, opsi, omh, oml, coef, y0t)
+    return (out[:B, :n] + 1j * out[:B, n:]).T  # back to (n, B)

@@ -27,7 +27,7 @@ import jax
 from .sweep_solver import sweep_expm_magnus2
 from .xla_sweep import sweep_expm_magnus2_xla
 
-__all__ = ["sweep_expm_magnus2_ad"]
+__all__ = ["sweep_expm_magnus2_ad", "sweep_expm_magnus2_member_ad"]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
@@ -77,3 +77,49 @@ def _bwd(dt, t0, order, hermitian, mode, tile_b, interpret, eval_slots,
 
 
 sweep_expm_magnus2_ad.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def sweep_expm_magnus2_member_ad(
+    static_op, operators, frame_omega, frame_omega_lo, coefficients, y0,
+    dt, t0, order, hermitian, block_m, interpret,
+):
+    """:func:`~qiskit_dynamics_tpu.ops.member_sweep.sweep_expm_magnus2_member`
+    with gradients — member-major Pallas primal, XLA-engine adjoint (the
+    identical Magnus-2 + Horner polynomial). ``frame_omega_lo`` must be
+    pre-split by the caller (custom_vjp traces its array arguments)."""
+    from .member_sweep import sweep_expm_magnus2_member
+
+    return sweep_expm_magnus2_member(
+        static_op, operators, frame_omega, coefficients, y0,
+        dt=dt, t0=t0, order=order, block_m=block_m, interpret=interpret,
+        hermitian=hermitian, frame_omega_lo=frame_omega_lo,
+    )
+
+
+def _member_fwd(static_op, operators, frame_omega, frame_omega_lo,
+                coefficients, y0, dt, t0, order, hermitian, block_m,
+                interpret):
+    out = sweep_expm_magnus2_member_ad(
+        static_op, operators, frame_omega, frame_omega_lo, coefficients, y0,
+        dt, t0, order, hermitian, block_m, interpret,
+    )
+    return out, (
+        static_op, operators, frame_omega, frame_omega_lo, coefficients, y0
+    )
+
+
+def _member_bwd(dt, t0, order, hermitian, block_m, interpret, residuals,
+                cotangent):
+    def f(static_op, operators, frame_omega, frame_omega_lo, coefficients, y0):
+        return sweep_expm_magnus2_xla(
+            static_op, operators, frame_omega, coefficients, y0,
+            dt=dt, t0=t0, order=order, hermitian=hermitian,
+            frame_omega_lo=frame_omega_lo,
+        )
+
+    _, vjp = jax.vjp(f, *residuals)
+    return vjp(cotangent)
+
+
+sweep_expm_magnus2_member_ad.defvjp(_member_fwd, _member_bwd)

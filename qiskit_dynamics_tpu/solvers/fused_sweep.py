@@ -379,14 +379,19 @@ def fused_sweep_solve(
             else jnp.tile(jnp.asarray(y0_mat), (1, B))
         )
     elif sweep_engine == "member":
-        from ..ops.member_sweep import sweep_expm_magnus2_member
+        from ..ops.sweep_ad import sweep_expm_magnus2_member_ad
+        from ..ops.sweep_solver import split_omega_host
 
         B = coeffs.shape[-1]
         m = 1
         y0_cols = jnp.broadcast_to(jnp.asarray(y0_fb)[:, None], (solve_dim, B))
-        yf = sweep_expm_magnus2_member(
-            static_fb, ops_fb, omega, coeffs, y0_cols, dt=dt, t0=t0,
-            order=expm_order, interpret=interpret, hermitian=hermitian,
+        # custom-vjp wrapper: member-major Pallas primal, XLA-engine adjoint
+        # — gradients flow exactly as on the other engines. Frequency split
+        # happens HERE (host f64 in hand; custom_vjp traces its args).
+        omega_hi, omega_lo = split_omega_host(omega)
+        yf = sweep_expm_magnus2_member_ad(
+            static_fb, ops_fb, omega_hi, omega_lo, coeffs, y0_cols,
+            dt, t0, expm_order, hermitian, 8, interpret,
         )
     else:
         if tile_b is None:
