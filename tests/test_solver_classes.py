@@ -645,3 +645,96 @@ class TestSolveSweep:
         np.testing.assert_allclose(
             np.asarray(via_override), np.asarray(auto), atol=1e-13
         )
+
+
+class TestSolverValidation:
+    """Hermiticity validation + override and signals=None semantics
+    (reference test_solver_classes.py validation families)."""
+
+    def test_non_hermitian_hamiltonian_operator_raises(self):
+        bad = np.array([[0.0, 1.0], [0.0, 0.0]], dtype=complex)
+        with pytest.raises(DynamicsError, match="Hermitian"):
+            Solver(static_hamiltonian=Z, hamiltonian_operators=[bad])
+
+    def test_validate_false_overrides_hermiticity_check(self):
+        bad = np.array([[0.0, 1.0], [0.0, 0.0]], dtype=complex)
+        solver = Solver(
+            static_hamiltonian=Z, hamiltonian_operators=[bad], validate=False
+        )
+        res = solver.solve(
+            t_span=[0.0, 0.1], y0=np.array([1.0, 0.0], dtype=complex),
+            signals=[Signal(1.0)], method="RK4", max_dt=0.05,
+        )
+        assert np.asarray(res.y[-1]).shape == (2,)
+
+    def test_non_hermitian_lindblad_hamiltonian_raises(self):
+        bad = np.array([[0.0, 1.0], [0.0, 0.0]], dtype=complex)
+        with pytest.raises(DynamicsError, match="Hermitian"):
+            Solver(
+                static_hamiltonian=Z, hamiltonian_operators=[bad],
+                static_dissipators=[0.1 * X],
+            )
+
+    def test_validate_false_lindblad(self):
+        bad = np.array([[0.0, 1.0], [0.0, 0.0]], dtype=complex)
+        solver = Solver(
+            static_hamiltonian=Z, hamiltonian_operators=[bad],
+            static_dissipators=[0.1 * X], validate=False,
+        )
+        rho0 = np.array([[1.0, 0.0], [0.0, 0.0]], dtype=complex)
+        res = solver.solve(
+            t_span=[0.0, 0.1], y0=rho0, signals=([Signal(1.0)], None),
+            method="RK4", max_dt=0.05,
+        )
+        assert np.asarray(res.y[-1]).shape == (2, 2)
+
+    def test_static_only_solve_no_signals(self):
+        # no operators: solving with signals=None gives pure static evolution
+        solver = Solver(static_hamiltonian=Z)
+        y0 = np.array([1.0, 1.0], dtype=complex) / np.sqrt(2)
+        res = solver.solve(
+            t_span=[0.0, 1.0], y0=y0, method="DOP853", atol=1e-12, rtol=1e-12
+        )
+        expect = expm(-1j * np.asarray(Z, dtype=complex)) @ y0
+        np.testing.assert_allclose(np.asarray(res.y[-1]), expect, atol=1e-9)
+
+    def test_statevector_dims_preserved(self):
+        from qiskit_dynamics_tpu.quantum_info import Statevector
+
+        solver = Solver(
+            static_hamiltonian=np.kron(Z, Z),
+            hamiltonian_operators=[np.kron(X, np.eye(2))],
+        )
+        y0 = Statevector(
+            np.array([1.0, 0, 0, 0], dtype=complex), dims=(2, 2)
+        )
+        res = solver.solve(
+            t_span=[0.0, 0.2], y0=y0, signals=[Signal(1.0)],
+            method="RK4", max_dt=0.05,
+        )
+        out = res.y[-1]
+        assert isinstance(out, Statevector)
+        assert tuple(out.dims()) == (2, 2)
+
+    def test_mixed_y0_list_simulation(self):
+        # list of simulations with different y0 types in one call
+        from qiskit_dynamics_tpu.quantum_info import Statevector, DensityMatrix
+
+        solver = Solver(static_hamiltonian=Z, hamiltonian_operators=[X])
+        y0s = [
+            Statevector(np.array([1.0, 0.0], dtype=complex)),
+            DensityMatrix(np.array([[1.0, 0], [0, 0]], dtype=complex)),
+        ]
+        results = [
+            solver.solve(
+                t_span=[0.0, 0.1], y0=y0, signals=[Signal(1.0)],
+                method="RK4", max_dt=0.05,
+            )
+            for y0 in y0s
+        ]
+        assert isinstance(results[0].y[-1], Statevector)
+        assert isinstance(results[1].y[-1], DensityMatrix)
+        # consistency: |psi><psi| evolution matches density-matrix evolution
+        psi = np.asarray(results[0].y[-1].data)
+        rho = np.asarray(results[1].y[-1].data)
+        np.testing.assert_allclose(np.outer(psi, psi.conj()), rho, atol=1e-8)
