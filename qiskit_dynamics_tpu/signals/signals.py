@@ -266,7 +266,15 @@ class DiscreteSignal(Signal):
     def _envelope_fn(self, t):
         t = unp.asarray(t)
         n = self._padded_samples.shape[0] - 1
-        idx = unp.clip(unp.floor((t - self._start_time) / self._dt).astype(np.int32), -1, n)
+        # multiply by an explicit reciprocal rather than divide: XLA rewrites
+        # division-by-constant into reciprocal multiplication under jit,
+        # which rounds differently from numpy's true division at exact cell
+        # boundaries (e.g. 0.3/0.1 = 2.99..6 but 0.3*10.0 = 3.00..4) — the
+        # explicit multiply makes eager and jitted lookups bit-identical
+        inv_dt = 1.0 / self._dt
+        idx = unp.clip(
+            unp.floor((t - self._start_time) * inv_dt).astype(np.int32), -1, n
+        )
         # idx in [-1, n]; both -1 and n hit the zero pad via wrap mode.
         return unp.take(self._padded_samples, idx, axis=0, mode="wrap")
 

@@ -1,6 +1,7 @@
 """Tests for the pulse layer: instruction semantics of schedule->signal
 conversion (reference model: ``test/dynamics/pulse/test_pulse_to_signals.py``)."""
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from qiskit_dynamics_tpu.pulse import (
@@ -15,6 +16,8 @@ from qiskit_dynamics_tpu.pulse import (
     ControlChannel,
     Waveform,
     Gaussian,
+    GaussianSquare,
+    Drag,
     Constant,
     InstructionToSignals,
 )
@@ -279,3 +282,84 @@ class TestPulseLibrary:
             np.exp(1j * np.pi / 3) * np.asarray(g0.get_waveform().samples),
             atol=1e-12,
         )
+
+
+class TestMultiChannelLayouts:
+    """Cross-channel timing semantics (reference test_pulse_to_signals.py:
+    uneven lengths, different start times, gaps)."""
+
+    def _convert(self, sched, channels):
+        conv = InstructionToSignals(
+            dt=0.1, carriers={ch: 0.0 for ch in channels}, channels=channels
+        )
+        return conv.get_signals(sched)
+
+    def test_uneven_pulse_length_zero_padded(self):
+        sched = Schedule()
+        sched = sched.insert(0, Play(Waveform(np.ones(10)), DriveChannel(0)))
+        sched = sched.insert(0, Play(Waveform(0.5 * np.ones(4)), DriveChannel(1)))
+        s0, s1 = self._convert(sched, ["d0", "d1"])
+        np.testing.assert_allclose(s0.envelope(0.95), 1.0)
+        np.testing.assert_allclose(s1.envelope(0.35), 0.5)
+        # short channel zero-padded to the schedule duration
+        np.testing.assert_allclose(s1.envelope(0.75), 0.0)
+
+    def test_different_start_times(self):
+        sched = Schedule()
+        sched = sched.insert(0, Play(Waveform(np.ones(4)), DriveChannel(0)))
+        sched = sched.insert(6, Play(Waveform(np.ones(4)), DriveChannel(1)))
+        s0, s1 = self._convert(sched, ["d0", "d1"])
+        np.testing.assert_allclose(s1.envelope(0.35), 0.0)  # before start
+        np.testing.assert_allclose(s1.envelope(0.65), 1.0)
+        np.testing.assert_allclose(s0.envelope(0.65), 0.0)  # d0 finished
+
+    def test_channel_with_gap(self):
+        sched = Schedule()
+        sched = sched.insert(0, Play(Waveform(np.ones(2)), DriveChannel(0)))
+        sched = sched.insert(6, Play(Waveform(2.0 * np.ones(2)), DriveChannel(0)))
+        (s0,) = self._convert(sched, ["d0"])
+        np.testing.assert_allclose(s0.envelope(0.15), 1.0)
+        np.testing.assert_allclose(s0.envelope(0.45), 0.0)  # the gap
+        np.testing.assert_allclose(s0.envelope(0.65), 2.0)
+
+    def test_requested_channel_order_defines_output_order(self):
+        sched = Schedule()
+        sched = sched.insert(0, Play(Waveform(np.ones(2)), DriveChannel(0)))
+        sched = sched.insert(0, Play(Waveform(2 * np.ones(2)), DriveChannel(1)))
+        sigs = self._convert(sched, ["d1", "d0"])
+        np.testing.assert_allclose(sigs[0].envelope(0.15), 2.0)
+        np.testing.assert_allclose(sigs[1].envelope(0.15), 1.0)
+
+    def test_carriers_map_applied_per_channel(self):
+        sched = Schedule()
+        sched = sched.insert(0, Play(Waveform(np.ones(4)), DriveChannel(0)))
+        sched = sched.insert(0, Play(Waveform(np.ones(4)), DriveChannel(1)))
+        conv = InstructionToSignals(
+            dt=0.1, carriers={"d0": 1.0, "d1": 2.5}, channels=["d0", "d1"]
+        )
+        s0, s1 = conv.get_signals(sched)
+        assert s0.carrier_freq == 1.0 and s1.carrier_freq == 2.5
+
+    def test_jax_tracer_mode_all_pulse_types(self):
+        # symbolic pulses sample under jit (tracer-aware lambdified envelopes)
+        import jax
+
+        def build_and_sample(amp):
+            sched = Schedule()
+            t = 0
+            for pulse in (
+                Gaussian(duration=16, amp=amp, sigma=4),
+                GaussianSquare(duration=16, amp=amp, sigma=2, width=8),
+                Drag(duration=16, amp=amp, sigma=4, beta=0.5),
+                Constant(duration=8, amp=amp),
+            ):
+                sched = sched.insert(t, Play(pulse, DriveChannel(0)))
+                t += pulse.duration
+            conv = InstructionToSignals(dt=0.1, carriers={"d0": 0.0}, channels=["d0"])
+            (sig,) = conv.get_signals(sched)
+            ts = jnp.linspace(0.05, 5.55, 23)
+            return jnp.sum(jnp.abs(sig(ts)))
+
+        jitted = jax.jit(build_and_sample)(0.5)
+        eager = build_and_sample(0.5)
+        np.testing.assert_allclose(jitted, eager, rtol=1e-6)

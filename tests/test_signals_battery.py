@@ -333,3 +333,15 @@ class TestSignalsUnderJaxTransforms:
         np.testing.assert_allclose(
             jax.vmap(sig)(t), sig(np.asarray(t)), rtol=1e-6, atol=1e-7
         )
+
+
+def test_discrete_envelope_boundary_jit_eager_consistent():
+    """Regression: XLA rewrites division-by-constant into reciprocal
+    multiplication, which rounds differently from numpy true division at
+    exact cell boundaries (0.3/0.1 = 2.99..96 vs 0.3*10.0 = 3.0) — the
+    envelope lookup must give the SAME sample index eagerly and under jit."""
+    s = DiscreteSignal(dt=0.1, samples=np.arange(1.0, 7.0), carrier_freq=0.0)
+    boundaries = np.array([0.1, 0.2, 0.3, 0.4, 0.5])
+    eager = np.asarray(s.envelope(boundaries))
+    jitted = np.asarray(jax.jit(s.envelope)(boundaries))
+    np.testing.assert_array_equal(eager, jitted)
