@@ -192,3 +192,103 @@ class TestRWALindblad:
         np.testing.assert_allclose(
             np.asarray(full.y[-1]), np.asarray(rwa.y[-1]), atol=5 * r / nu
         )
+
+
+class TestRWAConfigurations:
+    """RWA across model configurations (reference
+    test_rotating_wave_approximation.py families: with/without frame,
+    without static operator, without operators, in_frame_basis, and the
+    jit/grad-able signal map)."""
+
+    def test_generator_model_no_rotating_frame(self):
+        rng = np.random.default_rng(4)
+        op = rng.standard_normal((3, 3)) * 1j
+        model = GeneratorModel(
+            static_operator=1j * np.diag([1.0, 2.0, 3.0]),
+            operators=[op], signals=[Signal(1.0, carrier_freq=10.0)],
+        )
+        rwa = rotating_wave_approximation(model, cutoff_freq=5.0)
+        # fast carrier removed entirely: high-freq term averages out
+        vals = [np.asarray(rwa.evaluate(t)) for t in np.linspace(0.0, 1.0, 7)]
+        for v in vals[1:]:
+            np.testing.assert_allclose(v, vals[0], atol=1e-10)
+
+    def test_generator_model_no_static_operator(self):
+        op = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex) * 1j
+        model = GeneratorModel(
+            operators=[op], signals=[Signal(1.0, carrier_freq=0.01)],
+        )
+        rwa = rotating_wave_approximation(model, cutoff_freq=1.0)
+        # slow carrier survives the cutoff
+        t = 0.3
+        expect = np.cos(2 * np.pi * 0.01 * t) * op
+        np.testing.assert_allclose(np.asarray(rwa.evaluate(t)), expect, atol=1e-8)
+
+    def test_rotating_frame_no_operators(self):
+        H0 = np.diag([1.0, -1.0]).astype(complex)
+        model = GeneratorModel(
+            static_operator=-1j * H0, rotating_frame=-1j * H0
+        )
+        rwa = rotating_wave_approximation(model, cutoff_freq=2.0)
+        # static generator fully removed by its own frame
+        np.testing.assert_allclose(
+            np.asarray(rwa.evaluate(0.7)), np.zeros((2, 2)), atol=1e-10
+        )
+
+    def test_in_frame_basis_output_matches(self):
+        rng = np.random.default_rng(8)
+        h = rng.standard_normal((3, 3))
+        H0 = (h + h.T) / 2
+        op_h = rng.standard_normal((3, 3))
+        op = (op_h + op_h.T) / 2
+        common = dict(
+            static_operator=-1j * H0, operators=[-1j * op],
+            signals=[Signal(1.0, carrier_freq=0.1)], rotating_frame=-1j * H0,
+        )
+        m_lab = GeneratorModel(**common, in_frame_basis=False)
+        m_fb = GeneratorModel(**common, in_frame_basis=True)
+        rwa_lab = rotating_wave_approximation(m_lab, cutoff_freq=1.0)
+        rwa_fb = rotating_wave_approximation(m_fb, cutoff_freq=1.0)
+        t = 0.43
+        U = np.asarray(m_fb.rotating_frame.frame_basis)
+        np.testing.assert_allclose(
+            U @ np.asarray(rwa_fb.evaluate(t)) @ U.conj().T,
+            np.asarray(rwa_lab.evaluate(t)),
+            atol=1e-8,
+        )
+
+    def test_lindblad_static_hamiltonian_only(self):
+        H0 = np.diag([1.0, 2.0]).astype(complex)
+        model = LindbladModel(static_hamiltonian=H0, rotating_frame=H0)
+        rwa = rotating_wave_approximation(model, cutoff_freq=3.0)
+        rho = np.array([[0.25, 0.1], [0.1, 0.75]], dtype=complex)
+        # frame removes H0: rhs vanishes
+        np.testing.assert_allclose(
+            np.asarray(rwa.evaluate_rhs(0.9, rho)), np.zeros((2, 2)), atol=1e-10
+        )
+
+    def test_signal_map_jit_and_grad(self):
+        X = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex)
+        Z = np.diag([1.0, -1.0]).astype(complex)
+        model = HamiltonianModel(
+            static_operator=5 * Z, operators=[X],
+            signals=[Signal(1.0, carrier_freq=5.0 / np.pi)],
+            rotating_frame=5 * Z,
+        )
+        rwa, sig_map = rotating_wave_approximation(
+            model, cutoff_freq=3.0, return_signal_map=True
+        )
+
+        def f(amp):
+            sigs = sig_map([Signal(amp, carrier_freq=5.0 / np.pi)])
+            m = rwa.copy() if hasattr(rwa, "copy") else rwa
+            m.signals = sigs
+            g = m.evaluate(0.21)
+            return jnp.sum(jnp.abs(g) ** 2)
+
+        v = jax.jit(f)(0.8)
+        np.testing.assert_allclose(v, f(0.8), rtol=1e-6)
+        g = jax.grad(f)(0.8)
+        eps = 1e-5
+        fd = (f(0.8 + eps) - f(0.8 - eps)) / (2 * eps)
+        np.testing.assert_allclose(g, fd, rtol=1e-4, atol=1e-8)
