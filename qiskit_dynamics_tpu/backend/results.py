@@ -12,7 +12,19 @@ from typing import Any, Dict, List, Optional, Union
 
 from ..exceptions import DynamicsError
 
-__all__ = ["ExperimentResultData", "ExperimentResult", "Result"]
+__all__ = ["Header", "ExperimentResultData", "ExperimentResult", "Result"]
+
+
+class Header(dict):
+    """Dict with attribute access — parity with qiskit's
+    ``QobjExperimentHeader`` so consumer code written against the reference
+    (``result.results[0].header.metadata``) works unchanged."""
+
+    def __getattr__(self, key):
+        try:
+            return self[key]
+        except KeyError as exc:
+            raise AttributeError(key) from exc
 
 
 @dataclass
@@ -32,7 +44,11 @@ class ExperimentResult:
     data: ExperimentResultData
     meas_level: int = 2
     seed: Optional[int] = None
-    header: Dict[str, Any] = field(default_factory=dict)
+    header: Dict[str, Any] = field(default_factory=Header)
+
+    def __post_init__(self):
+        if not isinstance(self.header, Header):
+            self.header = Header(self.header or {})
 
     @property
     def name(self) -> Optional[str]:

@@ -505,3 +505,94 @@ class TestTwoQubitCounts:
         sched.insert(20, Acquire(1, AcquireChannel(1), MemorySlot(1)))
         counts = backend.run(sched).result().get_counts()
         assert counts == {"00": 1024}
+
+
+class TestRunValidation:
+    """run-input and schedule-shape validation battery (reference
+    test_dynamics_backend.py validation families)."""
+
+    def test_run_input_type_error(self):
+        backend, _ = _rabi_backend()
+        with pytest.raises(DynamicsError, match="not supported"):
+            backend.run(3.14)
+
+    def test_no_measurement_in_schedule(self):
+        backend, _ = _rabi_backend()
+        sched = Schedule(Play(Constant(duration=8, amp=0.1), DriveChannel(0)))
+        with pytest.raises(DynamicsError, match="MemorySlot"):
+            backend.run(sched)
+
+    def test_measurements_at_different_times_rejected(self):
+        backend, _ = _rabi_backend()
+        sched = Schedule(Play(Constant(duration=8, amp=0.1), DriveChannel(0)))
+        sched.insert(8, Acquire(1, AcquireChannel(0), MemorySlot(0)))
+        sched.insert(12, Acquire(1, AcquireChannel(0), MemorySlot(1)))
+        with pytest.raises(DynamicsError, match="one time"):
+            backend.run(sched)
+
+    def test_measure_out_of_bounds_subsystem(self):
+        backend, _ = _rabi_backend()
+        sched = Schedule(Play(Constant(duration=8, amp=0.1), DriveChannel(0)))
+        sched.insert(8, Acquire(1, AcquireChannel(3), MemorySlot(0)))
+        with pytest.raises(DynamicsError, match="out of bounds"):
+            backend.run(sched)
+
+    def test_memory_slot_num_sets_result_width(self):
+        # memory slot index 2 -> counts keys are 3 characters wide
+        backend, r = _rabi_backend(seed_simulator=3, shots=32)
+        sched = Schedule(Play(Constant(duration=8, amp=0.01), DriveChannel(0)))
+        sched.insert(8, Acquire(1, AcquireChannel(0), MemorySlot(2)))
+        counts = backend.run(sched).result().get_counts()
+        assert all(len(k) == 3 for k in counts)
+
+    def test_experiment_result_function_override(self):
+        calls = []
+
+        def custom_fn(experiment_name, solver_result, measurement_subsystems,
+                      memory_slot_indices, num_memory_slots, backend, seed, metadata):
+            calls.append(experiment_name)
+            from qiskit_dynamics_tpu.backend.dynamics_backend import (
+                default_experiment_result_function,
+            )
+            return default_experiment_result_function(
+                experiment_name, solver_result, measurement_subsystems,
+                memory_slot_indices, num_memory_slots, backend, seed, metadata,
+            )
+
+        backend, r = _rabi_backend(
+            seed_simulator=1, shots=16, experiment_result_function=custom_fn
+        )
+        sched = Schedule(name="custom")
+        sched.append(Play(Constant(duration=8, amp=0.01), DriveChannel(0)))
+        sched.insert(8, Acquire(1, AcquireChannel(0), MemorySlot(0)))
+        res = backend.run(sched).result()
+        assert calls == ["custom"]
+        assert res.results[0].header.name == "custom"
+
+    def test_metadata_transfer(self):
+        backend, _ = _rabi_backend(seed_simulator=1, shots=8)
+        sched = Schedule(name="meta_sched")
+        sched.append(Play(Constant(duration=8, amp=0.01), DriveChannel(0)))
+        sched.insert(8, Acquire(1, AcquireChannel(0), MemorySlot(0)))
+        sched.metadata = {"my_key": 42}
+        res = backend.run(sched).result()
+        assert res.results[0].header.metadata == {"my_key": 42}
+
+    def test_trivial_subsystem_measure_warns(self):
+        nu = 5.0
+        Z = np.array([[1.0, 0.0], [0.0, -1.0]], dtype=complex)
+        X = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex)
+        solver = Solver(
+            static_hamiltonian=2 * np.pi * nu * Z / 2,
+            hamiltonian_operators=[2 * np.pi * 0.1 * X / 2],
+            hamiltonian_channels=["d0"],
+            channel_carrier_freqs={"d0": nu},
+            dt=0.1,
+        )
+        backend = DynamicsBackend(
+            solver=solver, subsystem_dims=[2, 1], seed_simulator=1, shots=8
+        )
+        sched = Schedule(Play(Constant(duration=8, amp=0.01), DriveChannel(0)))
+        sched.insert(8, Acquire(1, AcquireChannel(1), MemorySlot(0)))
+        with pytest.warns(UserWarning, match="trivial"):
+            backend.run(sched)
