@@ -102,7 +102,8 @@ def _kernel(
         sinb[...] = jnp.sin(ph)
 
     def build_one(step, gauss_idx, m, slot, out_r, out_i, cosb, sinb):
-        """Member ``m``'s frame-rotated generator into scratch index ``slot``."""
+        """Member ``m``'s frame-rotated generator into scratch index ``slot``
+        (``m`` may be a traced index — it rides the untiled leading dim)."""
         acc_r = statr_ref[...]
         acc_i = stati_ref[...]
         for j in range(k):
@@ -147,18 +148,20 @@ def _kernel(
         mrr[slot, n:n2, 0:n] = -m_i
         mrr[slot, n:n2, n:n2] = m_r
 
-    def horner_iter(slot, m, inv):
+    def horner_iter(slot, m, inv, use_mxu):
         """One Taylor iteration v[m] <- y[m] + M v[m] / kk:
-        w[i] = sum_j M_rr[i, j] v[j] = sum_j v[j] (M_rr)^T[j, i]."""
-        if horner == "mxu":
+        w[i] = sum_j M_rr[i, j] v[j] = sum_j v[j] (M_rr)^T[j, i].
+        ``m`` may be traced (dynamic sublane slice)."""
+        row = pl.ds(m, 1)
+        if use_mxu:
             w = jnp.dot(
-                v_s[m : m + 1, :], mrr[slot], preferred_element_type=f
+                v_s[row, :], mrr[slot], preferred_element_type=f
             )  # (1, 2n) row-side MXU pass
         else:
             # elementwise multiply + sublane reduction, no MXU pass
-            prod = mrr[slot] * v_s[m][:, None]
+            prod = mrr[slot] * v_s[row, :].reshape(n2, 1)
             w = jnp.sum(prod, axis=0, keepdims=True)  # (1, 2n)
-        v_s[m : m + 1, :] = y_s[m : m + 1, :] + inv * w
+        v_s[row, :] = y_s[row, :] + inv * w
 
     def body(step, _):
         phase_tables(step, _GAUSS_C1, cos1, sin1)
@@ -176,18 +179,27 @@ def _kernel(
             for kk in range(order, 0, -1):
                 inv = 1.0 / kk
                 for m in range(bm):
-                    horner_iter(m, m, inv)
+                    use_mxu = horner == "mxu" or (
+                        horner == "hybrid" and m % 2 == 0
+                    )
+                    horner_iter(m, m, inv, use_mxu)
         else:
             # large n: one member's scratch at a time (VMEM-bounded); the
             # serialized mat-vec chain is throughput-bound at large K so
-            # losing the cross-member interleave costs little
-            for m in range(bm):
+            # losing the cross-member interleave costs little. The member
+            # loop is a fori_loop (traced m, dynamic slices) — unrolling it
+            # at n >= 256 is a Mosaic compile hazard (>20 min observed).
+            def member_body(m, _):
                 build_one(step, 0, m, 0, g1r, g1i, cos1, sin1)
                 build_one(step, 1, m, 0, g2r, g2i, cos2, sin2)
                 assemble_mrr(0)
-                v_s[m : m + 1, :] = y_s[m : m + 1, :]
+                row = pl.ds(m, 1)
+                v_s[row, :] = y_s[row, :]
                 for kk in range(order, 0, -1):
-                    horner_iter(0, m, 1.0 / kk)
+                    horner_iter(0, m, 1.0 / kk, horner != "vpu")
+                return 0
+
+            jax.lax.fori_loop(0, bm, member_body, 0)
         y_s[...] = v_s[...]
         return 0
 
@@ -211,8 +223,10 @@ def sweep_expm_magnus2_member(
     mat-vec, see module docstring); ``resident`` = keep all ``block_m``
     members' matrices in VMEM at once (defaults to ``n <= 64``; above that
     the ~16 MB scoped-VMEM budget forces the one-member-at-a-time path)."""
-    if horner not in ("mxu", "vpu"):
-        raise ValueError(f"horner must be 'mxu' or 'vpu', got {horner!r}")
+    if horner not in ("mxu", "vpu", "hybrid"):
+        raise ValueError(
+            f"horner must be 'mxu', 'vpu' or 'hybrid', got {horner!r}"
+        )
     if resident is None:
         resident = jnp.shape(y0)[0] <= 64
     # run the whole solve in transposed space: M^T blocks come out of
