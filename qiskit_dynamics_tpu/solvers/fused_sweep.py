@@ -316,13 +316,18 @@ def fused_sweep_solve(
         if solve_dim <= 32:
             sweep_engine = "pallas"
         elif (
-            eval_slots is None
+            solve_dim <= 128
+            and eval_slots is None
             and t_eval is None
             and y0_is_vector
             and (jax.default_backend() == "tpu" or interpret)
         ):
             # the member kernel needs real Mosaic (or explicit interpret);
-            # on CPU without interpret the XLA engine is the fast path anyway
+            # on CPU without interpret the XLA engine is the fast path
+            # anyway. Above solve_dim 128 the member kernel still wins on
+            # steady-state (136 vs 110 sims/s at n=256, BENCHMARKS.md) but
+            # pays a ~10 min Mosaic compile vs ~20 s for the XLA engine —
+            # opt in with sweep_engine="member" for long-lived sweeps.
             sweep_engine = "member"
         else:
             sweep_engine = "xla"
