@@ -185,3 +185,82 @@ class TestParsingSemantics:
     def test_numeric_literals_and_pi(self):
         static, _, _, _ = parse(["2*np.pi*0.25*Z0"])
         np.testing.assert_allclose(static, 2 * np.pi * 0.25 * Z, atol=1e-12)
+
+
+class TestParserSystemCases:
+    """System-level parser cases (reference
+    test_hamiltonian_string_parser.py: repeated entries, case variants,
+    measurement channels, oscillators, dagger, reduced subsystems)."""
+
+    def _parse(self, h_str, qub, subsystem_list=None):
+        return parse_backend_hamiltonian_dict(
+            {"h_str": h_str, "qub": qub, "vars": {"w": 5.0, "r": 0.02}},
+            subsystem_list=subsystem_list,
+        )
+
+    def test_repeat_entries_accumulate(self):
+        # the same static term listed twice doubles the operator
+        s1, ops1, chans1, dims1 = self._parse(["w*Z0", "w*Z0"], {"0": 2})
+        s2, _, _, _ = self._parse(["2*w*Z0"], {"0": 2})
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-12)
+
+    def test_measurement_channel_term(self):
+        # M channels are valid drive channels in the grammar
+        _, ops, chans, _ = self._parse(["w*Z0", "r*X0||M0"], {"0": 2})
+        assert chans == ["m0"]
+        assert len(ops) == 1
+
+    def test_oscillator_system_dims(self):
+        static, _, _, dims = self._parse(["w*O0"], {"0": 4})
+        assert dims == {0: 4}
+        np.testing.assert_allclose(
+            np.asarray(static), 5.0 * np.diag(np.arange(4.0)), atol=1e-12
+        )
+
+    def test_two_subsystem_tensor_order(self):
+        # little-endian: qubit 0 varies fastest
+        static, _, _, _ = self._parse(["w*Z0", "2*w*Z1"], {"0": 2, "1": 2})
+        z = np.diag([1.0, -1.0])
+        expect = 5.0 * np.kron(np.eye(2), z) + 10.0 * np.kron(z, np.eye(2))
+        np.testing.assert_allclose(np.asarray(static), expect, atol=1e-12)
+
+    def test_dagger_suffix(self):
+        s1, _, _, _ = self._parse(["w*Sm0.dag"], {"0": 2})
+        s2, _, _, _ = self._parse(["w*Sp0"], {"0": 2})
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-12)
+
+    def test_subsystem_reduction_drops_terms(self):
+        h = ["w*Z0", "2*w*Z1", "r*X0||D0", "r*X1||D1"]
+        static, ops, chans, dims = self._parse(
+            h, {"0": 2, "1": 2}, subsystem_list=[1]
+        )
+        assert dims == {1: 2}
+        assert chans == ["d1"]
+        # only the qubit-1 static term survives
+        np.testing.assert_allclose(
+            np.asarray(static), 10.0 * np.diag([1.0, -1.0]), atol=1e-12
+        )
+
+    def test_sum_expansion_with_channels(self):
+        h = ["_SUM[i,0,1,w*Z{i}]", "_SUM[i,0,1,r*X{i}||D{i}]"]
+        static, ops, chans, dims = self._parse(h, {"0": 2, "1": 2})
+        assert chans == ["d0", "d1"]
+        assert len(ops) == 2
+        z = np.diag([1.0, -1.0])
+        expect = 5.0 * (np.kron(np.eye(2), z) + np.kron(z, np.eye(2)))
+        np.testing.assert_allclose(np.asarray(static), expect, atol=1e-12)
+
+    def test_high_dim_qubit_truncation_operators(self):
+        # X on a 3-level system uses the truncated ladder, not the Pauli
+        static, _, _, _ = self._parse(["w*X0"], {"0": 3})
+        a = np.diag(np.sqrt([1.0, 2.0]), 1)
+        np.testing.assert_allclose(
+            np.asarray(static), 5.0 * (a + a.conj().T), atol=1e-12
+        )
+
+    def test_case_insensitive_variable_collision(self):
+        # variables are matched case-sensitively; W != w raises
+        with pytest.raises(DynamicsError):
+            parse_backend_hamiltonian_dict(
+                {"h_str": ["W*Z0"], "qub": {"0": 2}, "vars": {"w": 5.0}}
+            )
