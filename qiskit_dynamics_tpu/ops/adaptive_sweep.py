@@ -103,7 +103,10 @@ def _kernel(
         pos += 2
     rec_ref = None
     if record_steps:
-        rec_ref = refs[pos]  # (max_steps, 1) accepted step sizes, 0-padded
+        # (max_steps, 1) accepted step sizes, 0-padded (VMEM; writes go
+        # through (1, 1) dynamic-slice stores — Mosaic rejects scalar VMEM
+        # stores, and SMEM blocks lane-pad 128x past the 1 MB budget)
+        rec_ref = refs[pos]
         pos += 1
     # scratch
     (
@@ -309,7 +312,7 @@ def _kernel(
             # pass re-integrates the exact primal grid with XLA ops)
             @pl.when(accept)
             def _record():
-                rec_ref[aidx, 0] = h
+                rec_ref[pl.ds(aidx, 1), :] = jnp.full((1, 1), h, rec_ref.dtype)
 
             aidx = aidx + jnp.where(accept, 1, 0)
         s_hi_new = jnp.where(accept, s_next[0], s_hi)

@@ -160,7 +160,7 @@ def _comm32(a, b, hermitian):
     jax.jit,
     static_argnames=(
         "n", "k", "order", "magnus_order", "hermitian", "fast_commutators",
-        "horner_df_tail",
+        "horner_df_tail", "coef_const",
     ),
 )
 def _df_scan(
@@ -168,6 +168,7 @@ def _df_scan(
     step_consts,
     hermitian=False,
     fast_commutators=True,
+    coef_const=False,
     horner_df_tail=6,
 ):
     """The jitted df32 time loop.
@@ -294,6 +295,19 @@ def _df_scan(
         v = _unflatten_c(jax.lax.fori_loop(0, tail, horner, _flatten_c(v)))
         return _flatten_c(v), None
 
+    if coef_const:
+        # constant-envelope fast path: ``coefs`` arrived as the compact
+        # (k, B) hi/lo pair — broadcast to the full per-step table ON DEVICE
+        # (shipping (T, n_nodes, k, B) over the ~25 MB/s axon tunnel per
+        # call otherwise dominates the whole solve; measured 27 s vs ~3 s
+        # for the 10k-point CR df32 sweep)
+        T_steps = step_consts[0][0].shape[0]
+        nn = len(MAGNUS_NODES[magnus_order])
+        full_shape = (T_steps, nn) + coefs[0].shape
+        coefs = (
+            jnp.broadcast_to(coefs[0][None, None], full_shape),
+            jnp.broadcast_to(coefs[1][None, None], full_shape),
+        )
     xs = (
         coefs[0], coefs[1], phases[0][0], phases[0][1], phases[1][0], phases[1][1],
     ) + tuple(x for pair in step_consts for x in pair)
@@ -413,10 +427,21 @@ def sweep_expm_magnus_df(
     ph = frame_omega[None, None] * tau[:, :, None, None]  # (T, n_nodes, n, n)
     phases = (df32.from_f64(np.cos(ph)), df32.from_f64(np.sin(ph)))
 
-    stat = df32.cfrom_f64(static_op)
-    ops = df32.cfrom_f64(operators)
-    consts = _rule_consts(magnus_order, order)
-    step_c = _step_consts(magnus_order, dts)
+    # ship the per-call invariants to the device ONCE (they are reused by
+    # every chunk dispatch; the axon tunnel moves ~25 MB/s and the phase
+    # tables alone are ~10 MB)
+    stat = jax.device_put(df32.cfrom_f64(static_op))
+    ops = jax.device_put(df32.cfrom_f64(operators))
+    phases = jax.device_put(phases)
+    consts = jax.device_put(_rule_consts(magnus_order, order))
+    step_c = jax.device_put(_step_consts(magnus_order, dts))
+
+    # constant-envelope fast path: calibration sweeps evaluate the same
+    # per-member value at every Gauss time, making the table rank-1 along
+    # (T, n_nodes). Ship only (k, B) and broadcast on device —
+    # (T, n_nodes, k, B) host->device transfers otherwise dominate.
+    coef_const = bool(np.all(coefficients == coefficients[0:1, 0:1]))
+    coef_compact = coefficients[0, 0] if coef_const else None
 
     out = np.empty((n, B), dtype=np.complex128)
     # chunk widths are quantized (multiples of 256, capped at chunk_b) so
@@ -429,7 +454,7 @@ def sweep_expm_magnus_df(
         width = hi_b - lo_b
         padded_width = min(chunk_b, -(-width // quantum) * quantum)
         pad = padded_width - width
-        sl = coefficients[..., lo_b:hi_b]
+        sl = (coef_compact if coef_const else coefficients)[..., lo_b:hi_b]
         y_sl = y0[:, lo_b:hi_b]
         if pad:
             sl = np.concatenate([sl, np.repeat(sl[..., :1], pad, axis=-1)], axis=-1)
@@ -438,7 +463,7 @@ def sweep_expm_magnus_df(
             n, k, order, magnus_order, stat, ops, phases,
             df32.from_f64(sl), df32.cfrom_f64(y_sl), consts, step_c,
             hermitian=hermitian, fast_commutators=fast_commutators,
-            horner_df_tail=horner_df_tail,
+            horner_df_tail=horner_df_tail, coef_const=coef_const,
         )
         chunk = df32.cto_f64(_unflatten_c(res))
         out[:, lo_b:hi_b] = chunk[:, : hi_b - lo_b]
