@@ -460,3 +460,45 @@ class TestHermitianCommutator:
             sweep_expm_magnus_df(
                 static, ops, omega, coefs, y0, dt=dts[:-1], t0=t0, magnus_order=3
             )
+
+
+class TestConstEnvelopeFastPath:
+    """The constant-envelope compact-table path (device broadcast instead of
+    shipping (T, n_nodes, k, B); round-3 transfer fix) must give results
+    IDENTICAL to the full-table path."""
+
+    def test_const_table_matches_full_table(self):
+        from qiskit_dynamics_tpu.ops.df_sweep import MAGNUS_NODES, sweep_expm_magnus_df
+
+        rng = np.random.default_rng(77)
+        n, k, B = 4, 2, 6
+        static = -1j * (lambda a: (a + a.conj().T) / 2)(
+            rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        )
+        ops = np.stack([
+            -1j * (lambda a: (a + a.conj().T) / 2)(
+                rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+            ) * 0.3
+            for _ in range(k)
+        ])
+        w = rng.standard_normal(n)
+        omega = w[None, :] - w[:, None]
+        y0 = rng.standard_normal((n, B)) + 1j * rng.standard_normal((n, B))
+        dt, T = 0.05, 11
+        amps = rng.standard_normal((k, B))
+        # exactly constant along (T, n_nodes): triggers the compact path
+        coefs_const = np.broadcast_to(
+            amps[None, None], (T, len(MAGNUS_NODES[2]), k, B)
+        ).copy()
+        out_const = sweep_expm_magnus_df(
+            static, ops, omega, coefs_const, y0, dt=dt, magnus_order=2, chunk_b=4
+        )
+        # force the full-table path with a 1-ulp perturbation of a single
+        # sample (defeats the exact-constancy detection; its numerical
+        # effect is far below the comparison tolerance)
+        coefs_full = coefs_const.copy()
+        coefs_full[0, 0, 0, 0] = coefs_full[0, 0, 0, 0] * (1 + 1e-14)
+        out_full = sweep_expm_magnus_df(
+            static, ops, omega, coefs_full, y0, dt=dt, magnus_order=2, chunk_b=4
+        )
+        assert np.max(np.abs(out_const - out_full)) < 1e-10
