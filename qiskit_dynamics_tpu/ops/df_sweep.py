@@ -349,6 +349,59 @@ def _step_consts(magnus_order: int, dts: np.ndarray):
     )
 
 
+@jax.jit
+def _frame_phases_from_diag(cv, sv):
+    """(n, n) frame phase tables from (T, n_nodes, n) diagonal phasors.
+
+    ``e^{i omega_ij tau} = e^{i v_j tau} * conj(e^{i v_i tau})`` for
+    ``omega_ij = v_j - v_i``, so with ``cv/sv`` the df pairs of
+    ``cos/sin(v tau)``:
+
+    ``cos(omega_ij tau) = c_j c_i + s_j s_i``
+    ``sin(omega_ij tau) = s_j c_i - c_j s_i``
+
+    All products/sums run in df32 (~2^-47 relative on values in [-1, 1] —
+    absolute ~1e-14, same class as the host-f64 tables they replace).
+    Returns ``(cos_pair, sin_pair)``, each (T, n_nodes, n, n).
+    """
+    ci = (cv[0][..., :, None], cv[1][..., :, None])
+    cj = (cv[0][..., None, :], cv[1][..., None, :])
+    si = (sv[0][..., :, None], sv[1][..., :, None])
+    sj = (sv[0][..., None, :], sv[1][..., None, :])
+    cos_m = df32.add(df32.mul(cj, ci), df32.mul(sj, si))
+    sin_m = df32.sub(df32.mul(sj, ci), df32.mul(cj, si))
+    return cos_m, sin_m
+
+
+@functools.partial(jax.jit, static_argnames=("n_terms",))
+def _combine_factor_table(cos_t, sin_t, a_re, a_im, n_terms):
+    """On-device df32 assembly of the coefficient table from factors.
+
+    ``c[t, node, j, b] = Re[A_jb e^{i theta_j(t)}]
+                       = sum_r A_re[j,r,b] cos(theta_jr) - A_im[j,r,b] sin(theta_jr)``
+
+    Args:
+        cos_t, sin_t: df pairs (T, n_nodes, k, R) of the carrier phases at
+            the Gauss times (host-f64 trig, split exactly).
+        a_re, a_im: df pairs (k, R, Bc) of the member amplitudes.
+        n_terms: R (static; the python loop below unrolls over it).
+
+    Returns:
+        df pair (T, n_nodes, k, Bc). All products/sums run in df32
+        arithmetic (~2^-48 relative), so the table matches the host-f64
+        reference to df roundoff.
+    """
+    acc = None
+    for r in range(n_terms):
+        c_r = (cos_t[0][..., r][..., None], cos_t[1][..., r][..., None])
+        s_r = (sin_t[0][..., r][..., None], sin_t[1][..., r][..., None])
+        ar = (a_re[0][:, r][None, None], a_re[1][:, r][None, None])
+        ai = (a_im[0][:, r][None, None], a_im[1][:, r][None, None])
+        term = df32.sub(df32.mul(c_r, ar), df32.mul(s_r, ai))
+        acc = term if acc is None else df32.add(acc, term)
+    return acc
+
+
 def sweep_expm_magnus_df(
     static_op,
     operators,
@@ -363,6 +416,7 @@ def sweep_expm_magnus_df(
     hermitian: bool = False,
     fast_commutators: bool = True,
     horner_df_tail: int = 6,
+    coef_factors=None,
 ):
     r"""Fixed-step Magnus sweep (order 2 or 3 rule) in double-float32.
 
@@ -396,6 +450,18 @@ def sweep_expm_magnus_df(
             complex64 (O(dt^2)-relative terms; see the module docstring).
         horner_df_tail: Horner iterations with ``j`` above this run in
             complex64; 0 = full df.
+        coef_factors: optional ``(A, carriers)`` FACTORIZED coefficients for
+            constant-envelope sweeps — ``A`` (k, R, B) complex128 member
+            amplitudes (signal phase folded in) and ``carriers`` (k, R)
+            float64 member-independent frequencies, such that
+            ``c_j(t, b) = Re[sum_r A[j,r,b] e^{i 2 pi carriers[j,r] t}]``.
+            ``coefficients`` must then be ``None`` and ``dt`` must be a
+            (T,) array (the step count is otherwise unknown). The full
+            (T, n_nodes, k, B) table is assembled ON DEVICE in df32
+            arithmetic from host-f64 trig tables — host->device transfer
+            drops from O(T * B) to O(T + B), which otherwise dominates
+            the sweep on slow links (measured ~20 s of a 25 s 10k-member
+            call through the axon tunnel).
 
     Returns:
         (n, B) complex128 final states (frame basis) at ``t0 + sum(dt)``.
@@ -405,43 +471,101 @@ def sweep_expm_magnus_df(
     static_op = np.asarray(static_op, dtype=np.complex128)
     operators = np.asarray(operators, dtype=np.complex128)
     frame_omega = np.asarray(frame_omega, dtype=np.float64)
-    coefficients = np.asarray(coefficients, dtype=np.float64)
     y0 = np.asarray(y0, dtype=np.complex128)
-    T, n_nodes, k, B = coefficients.shape
     n = y0.shape[0]
     nodes = MAGNUS_NODES[magnus_order]
-    if n_nodes != len(nodes):
-        raise ValueError(
-            f"coefficients have {n_nodes} node samples; magnus_order="
-            f"{magnus_order} needs {len(nodes)}."
-        )
-    dts = np.asarray(dt, dtype=np.float64)
-    if dts.ndim == 0:
-        dts = np.full(T, float(dts))
-    if dts.shape != (T,):
-        raise ValueError(f"dt must be a scalar or shape ({T},), got {dts.shape}.")
+    if coef_factors is not None:
+        if coefficients is not None:
+            raise ValueError("pass either coefficients or coef_factors, not both.")
+        fac_amps = np.asarray(coef_factors[0], dtype=np.complex128)
+        fac_carriers = np.asarray(coef_factors[1], dtype=np.float64)
+        k = operators.shape[0]
+        if fac_amps.ndim != 3 or fac_amps.shape[0] != k:
+            raise ValueError(
+                f"coef_factors amplitudes must be (k={k}, R, B); got {fac_amps.shape}."
+            )
+        if fac_carriers.shape != fac_amps.shape[:2]:
+            raise ValueError(
+                f"coef_factors carriers must be shaped {fac_amps.shape[:2]}; "
+                f"got {fac_carriers.shape}."
+            )
+        dts = np.asarray(dt, dtype=np.float64)
+        if dts.ndim != 1:
+            raise ValueError(
+                "coef_factors requires dt as a (T,) per-step array (the step "
+                "count is otherwise unknown)."
+            )
+        T, n_nodes, B = len(dts), len(nodes), fac_amps.shape[2]
+    else:
+        fac_amps = None
+        coefficients = np.asarray(coefficients, dtype=np.float64)
+        T, n_nodes, k, B = coefficients.shape
+        if n_nodes != len(nodes):
+            raise ValueError(
+                f"coefficients have {n_nodes} node samples; magnus_order="
+                f"{magnus_order} needs {len(nodes)}."
+            )
+        dts = np.asarray(dt, dtype=np.float64)
+        if dts.ndim == 0:
+            dts = np.full(T, float(dts))
+        if dts.shape != (T,):
+            raise ValueError(f"dt must be a scalar or shape ({T},), got {dts.shape}.")
 
     # host f64 precompute: frame phase tables at the Gauss times
     t_start = t0 + np.concatenate([[0.0], np.cumsum(dts)[:-1]])
     tau = t_start[:, None] + dts[:, None] * nodes[None, :]
-    ph = frame_omega[None, None] * tau[:, :, None, None]  # (T, n_nodes, n, n)
-    phases = (df32.from_f64(np.cos(ph)), df32.from_f64(np.sin(ph)))
+    # when omega is (to ~1e-13) an exact difference of a frequency vector —
+    # always true for frames built from eigenvalues (omega_ij = w_j - w_i) —
+    # ship only the (T, n_nodes, n) DIAGONAL phasors and form the (n, n)
+    # tables on device as a df32 phasor product (the full tables are
+    # O(T n^2) f64 — 60 MB for the 500-step dim-16 sweep — and their
+    # host->device transfer was the second-largest cost of the whole call).
+    # Using v = omega[0, :] instead of the original w shifts every phase by
+    # <= |omega - (v_j - v_i)| * tau ~ 1e-10 rad over typical spans — far
+    # below the df32 target.
+    v_freq = frame_omega[0, :]
+    v_diff = v_freq[None, :] - v_freq[:, None]
+    if np.all(
+        np.abs(frame_omega - v_diff) <= 1e-13 * np.maximum(1.0, np.abs(frame_omega))
+    ):
+        phv = v_freq[None, None, :] * tau[:, :, None]  # (T, n_nodes, n)
+        phases = _frame_phases_from_diag(
+            jax.device_put(df32.from_f64(np.cos(phv))),
+            jax.device_put(df32.from_f64(np.sin(phv))),
+        )
+    else:
+        ph = frame_omega[None, None] * tau[:, :, None, None]  # (T, n_nodes, n, n)
+        phases = jax.device_put(
+            (df32.from_f64(np.cos(ph)), df32.from_f64(np.sin(ph)))
+        )
 
     # ship the per-call invariants to the device ONCE (they are reused by
-    # every chunk dispatch; the axon tunnel moves ~25 MB/s and the phase
-    # tables alone are ~10 MB)
+    # every chunk dispatch; the axon tunnel moves ~25 MB/s)
     stat = jax.device_put(df32.cfrom_f64(static_op))
     ops = jax.device_put(df32.cfrom_f64(operators))
-    phases = jax.device_put(phases)
     consts = jax.device_put(_rule_consts(magnus_order, order))
     step_c = jax.device_put(_step_consts(magnus_order, dts))
 
-    # constant-envelope fast path: calibration sweeps evaluate the same
-    # per-member value at every Gauss time, making the table rank-1 along
-    # (T, n_nodes). Ship only (k, B) and broadcast on device —
-    # (T, n_nodes, k, B) host->device transfers otherwise dominate.
-    coef_const = bool(np.all(coefficients == coefficients[0:1, 0:1]))
-    coef_compact = coefficients[0, 0] if coef_const else None
+    if fac_amps is not None:
+        # factorized coefficients: carrier phase tables in host f64 (tiny —
+        # (T, n_nodes, k, R)), member amplitudes split to df; the full
+        # (T, n_nodes, k, Bc) table is assembled per chunk ON DEVICE
+        theta = (
+            2.0 * np.pi * fac_carriers[None, None] * tau[:, :, None, None]
+        )  # (T, n_nodes, k, R)
+        fac_cos = jax.device_put(df32.from_f64(np.cos(theta)))
+        fac_sin = jax.device_put(df32.from_f64(np.sin(theta)))
+        fac_re = df32.from_f64(fac_amps.real)
+        fac_im = df32.from_f64(fac_amps.imag)
+        n_terms = fac_amps.shape[1]
+        coef_const = False
+    else:
+        # constant-envelope fast path: calibration sweeps evaluate the same
+        # per-member value at every Gauss time, making the table rank-1 along
+        # (T, n_nodes). Ship only (k, B) and broadcast on device —
+        # (T, n_nodes, k, B) host->device transfers otherwise dominate.
+        coef_const = bool(np.all(coefficients == coefficients[0:1, 0:1]))
+        coef_compact = coefficients[0, 0] if coef_const else None
 
     out = np.empty((n, B), dtype=np.complex128)
     # chunk widths are quantized (multiples of 256, capped at chunk_b) so
@@ -454,14 +578,32 @@ def sweep_expm_magnus_df(
         width = hi_b - lo_b
         padded_width = min(chunk_b, -(-width // quantum) * quantum)
         pad = padded_width - width
-        sl = (coef_compact if coef_const else coefficients)[..., lo_b:hi_b]
         y_sl = y0[:, lo_b:hi_b]
         if pad:
-            sl = np.concatenate([sl, np.repeat(sl[..., :1], pad, axis=-1)], axis=-1)
             y_sl = np.concatenate([y_sl, np.repeat(y_sl[:, :1], pad, axis=-1)], axis=-1)
+        if fac_amps is not None:
+            a_re = tuple(x[..., lo_b:hi_b] for x in fac_re)
+            a_im = tuple(x[..., lo_b:hi_b] for x in fac_im)
+            if pad:
+                a_re = tuple(
+                    np.concatenate([x, np.repeat(x[..., :1], pad, axis=-1)], axis=-1)
+                    for x in a_re
+                )
+                a_im = tuple(
+                    np.concatenate([x, np.repeat(x[..., :1], pad, axis=-1)], axis=-1)
+                    for x in a_im
+                )
+            coefs_dev = _combine_factor_table(
+                fac_cos, fac_sin, a_re, a_im, n_terms=n_terms
+            )
+        else:
+            sl = (coef_compact if coef_const else coefficients)[..., lo_b:hi_b]
+            if pad:
+                sl = np.concatenate([sl, np.repeat(sl[..., :1], pad, axis=-1)], axis=-1)
+            coefs_dev = df32.from_f64(sl)
         res = _df_scan(
             n, k, order, magnus_order, stat, ops, phases,
-            df32.from_f64(sl), df32.cfrom_f64(y_sl), consts, step_c,
+            coefs_dev, df32.cfrom_f64(y_sl), consts, step_c,
             hermitian=hermitian, fast_commutators=fast_commutators,
             horner_df_tail=horner_df_tail, coef_const=coef_const,
         )

@@ -191,10 +191,12 @@ def fused_sweep_solve(
         df_engine: (df32 only) ``"xla"`` (fused elementwise engine — the
             default; measured ~2.3x faster than the Pallas variant on TPU,
             XLA's fusion of the df chains is excellent) or ``"pallas"``
-            (fused-kernel alternative; bit-identical to the XLA engine for
-            general generators — for anti-Hermitian generators the XLA
-            engine additionally uses the one-matmul commutator shortcut,
-            so results then agree to df roundoff rather than bit-exactly).
+            (fused-kernel alternative). The engines agree to df roundoff:
+            the XLA engine additionally uses the one-matmul anti-Hermitian
+            commutator shortcut, on-device frame-phase phasor products, and
+            factorized constant-envelope coefficient assembly
+            (``ops/df_sweep.py``), each a ~1e-12-class deviation from the
+            host-built tables the Pallas engine consumes.
 
     Returns:
         (B, dim) final states at ``tf`` (standard basis, in-frame values
@@ -455,6 +457,77 @@ def _collect_trajectory(model, traj, B: int, m: int, vectorized_lindblad: bool):
     return jnp.moveaxis(traj.reshape(n_eval, dim, B, m), 2, 0)  # (B, n_eval, dim, m)
 
 
+def _constant_envelope_factors(signals_as_list, params, probe_ts, k, B):
+    """Factorize a constant-envelope sweep as ``(A, carriers)``, or ``None``.
+
+    When every signal's envelope is time-independent, the coefficient table
+    ``c_j(t, b) = Re[sum_r A[j,r,b] e^{i 2 pi carriers[j,r] t}]`` factorizes
+    into member amplitudes A (k, R, B) and member-INDEPENDENT carriers
+    (k, R) — the df32 engine then assembles the (T, n_nodes, k, B) table on
+    device (``coef_factors=``) instead of shipping it over the host link.
+
+    Requires ``signals_fn`` to vectorize over the member axis (one batched
+    signal construction; the common amplitude-sweep pattern). Returns
+    ``None`` — caller falls back to full-table sampling — when construction
+    or envelope evaluation fails, envelopes are time-dependent, or carriers
+    are per-member.
+    """
+    try:
+        sigs = list(signals_as_list(params))
+    except Exception:
+        return None
+    amp_list, car_list = [], []
+    for s in sigs:
+        try:
+            carriers = np.asarray(s.carrier_freq, dtype=float)
+            phases = np.asarray(s.phase, dtype=float)
+            envs = [np.asarray(s.envelope(t)) for t in probe_ts]
+        except Exception:
+            return None
+        if carriers.ndim > 1:
+            return None  # per-member carriers: no shared time factor
+        envs = [np.asarray(e, dtype=complex) for e in envs]
+        if not all(
+            e.shape == envs[0].shape
+            and np.allclose(e, envs[0], rtol=1e-14, atol=1e-14)
+            for e in envs[1:]
+        ):
+            return None  # time-dependent envelope
+        env = envs[0]
+        carriers = np.atleast_1d(carriers)
+        r = carriers.size
+
+        def to_member_by_term(x):
+            # normalize to (B, r): scalars/(1,) broadcast; (B,) means one
+            # value per member (r == 1); (r,) means member-independent
+            # multi-term; (B, r) is the general batched SignalSum. A
+            # (B,) == (r,) coincidence with r > 1 is ambiguous -> None.
+            x = np.atleast_1d(x)
+            if x.ndim == 1 and x.size == 1:
+                return np.broadcast_to(x.reshape(1, 1), (B, r))
+            if x.ndim == 1 and r == 1 and x.shape[0] == B:
+                return x[:, None]
+            if x.ndim == 1 and x.shape[0] == r and B != r:
+                return np.broadcast_to(x[None, :], (B, r))
+            if x.ndim == 2 and x.shape == (B, r):
+                return x
+            return None
+
+        env_b = to_member_by_term(env)
+        phase_b = to_member_by_term(np.asarray(phases, dtype=float))
+        if env_b is None or phase_b is None:
+            return None
+        amp_list.append(env_b * np.exp(1j * phase_b))
+        car_list.append(carriers)
+    r_max = max(a.shape[1] for a in amp_list)
+    A = np.zeros((k, r_max, B), dtype=np.complex128)
+    carr = np.zeros((k, r_max), dtype=np.float64)
+    for j, (a, c) in enumerate(zip(amp_list, car_list)):
+        A[j, : a.shape[1]] = a.T
+        carr[j, : c.shape[0]] = c
+    return A, carr
+
+
 def _sample_coefficients_f64(signals_as_list, params, gauss_times, k, B):
     """Sample per-member signal values at the Gauss times, in host float64.
 
@@ -656,12 +729,28 @@ def _fused_sweep_solve_df(
     gauss_times = (
         t_start[:, None] + dts[:, None] * MAGNUS_NODES[magnus_order][None, :]
     )
-    coefs = _sample_coefficients_f64(signals_as_list, params, gauss_times, k, B)
+    # constant-envelope sweeps factorize: ship (k, R, B) amplitudes + tiny
+    # phase tables and assemble the coefficient table ON DEVICE (df32
+    # arithmetic) — the full (T, n_nodes, k, B) table is ~240 MB for a
+    # 10k-member 500-step sweep and its host sampling + transfer dominated
+    # the whole call (measured 21 s of 25 s through the axon tunnel)
+    flat_ts = gauss_times.ravel()
+    factors = _constant_envelope_factors(
+        signals_as_list, params, flat_ts[[0, len(flat_ts) // 3, -1]], k, B
+    )
+    coefs = (
+        None
+        if factors is not None
+        else _sample_coefficients_f64(signals_as_list, params, gauss_times, k, B)
+    )
 
     y0_fb = np.asarray(y0_fb, dtype=np.complex128)
     m = 1 if y0_fb.ndim == 1 else y0_fb.shape[1]
     if m > 1:
-        coefs = np.repeat(coefs, m, axis=-1)
+        if factors is not None:
+            factors = (np.repeat(factors[0], m, axis=-1), factors[1])
+        else:
+            coefs = np.repeat(coefs, m, axis=-1)
         y0_cols = np.tile(y0_fb, (1, B))  # member-major, column-minor
     else:
         y0_cols = np.broadcast_to(y0_fb[:, None], (y0_fb.shape[0], B))
@@ -679,6 +768,13 @@ def _fused_sweep_solve_df(
                 "df_engine='pallas' supports only uniform step grids; use the "
                 "xla engine with df_grid='adaptive'."
             )
+        if coefs is None:
+            # the Pallas engine has no factorized-coefficient path
+            coefs = _sample_coefficients_f64(
+                signals_as_list, params, gauss_times, k, B
+            )
+            if m > 1:
+                coefs = np.repeat(coefs, m, axis=-1)
         yf = sweep_expm_magnus_df_pallas(
             static_fb, ops_fb, omega, coefs, y0_cols, dt=float(dts[0]), t0=t0,
             magnus_order=magnus_order, order=max(expm_order, 12),
@@ -690,6 +786,7 @@ def _fused_sweep_solve_df(
             magnus_order=magnus_order, order=max(expm_order, 12), chunk_b=chunk_b,
             hermitian=_all_anti_hermitian(static_fb, ops_fb),
             fast_commutators=fast_commutators, horner_df_tail=horner_df_tail,
+            coef_factors=factors,
         )
 
     if vectorized_lindblad:

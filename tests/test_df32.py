@@ -502,3 +502,172 @@ class TestConstEnvelopeFastPath:
             static, ops, omega, coefs_full, y0, dt=dt, magnus_order=2, chunk_b=4
         )
         assert np.max(np.abs(out_const - out_full)) < 1e-10
+
+
+class TestFactorizedCoefficients:
+    """Round-3 transfer optimization: constant-envelope sweeps ship (k, R, B)
+    amplitude factors + tiny phase tables and assemble the coefficient table
+    on device in df32 (``coef_factors=``), instead of the full
+    (T, n_nodes, k, B) host table. Must agree with the full-table path to df
+    roundoff."""
+
+    def _cr_setup(self, B=10):
+        from qiskit_dynamics_tpu import Signal
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+
+        solver, w1 = cr_solver()
+        y0 = np.zeros(16, dtype=complex)
+        y0[0] = 1.0
+
+        def signals_fn(amp):
+            return [Signal(lambda t: amp * 0.02, carrier_freq=w1)]
+
+        amps = np.linspace(0.25, 1.0, B)
+        return solver, signals_fn, amps, y0
+
+    def test_extraction_on_cr_config(self):
+        """The RWA-mapped CR drive factorizes (constant envelopes)."""
+        from qiskit_dynamics_tpu.solvers import fused_sweep as fs
+        from qiskit_dynamics_tpu.signals import SignalList
+
+        solver, signals_fn, amps, _ = self._cr_setup(B=7)
+        k = solver.model.operators.shape[0]
+
+        def signals_as_list(p):
+            return SignalList(list(solver._rwa_signal_map(signals_fn(p))))
+
+        factors = fs._constant_envelope_factors(
+            signals_as_list, amps, np.array([0.0, 1.7, 31.4]), k, 7
+        )
+        assert factors is not None
+        A, carriers = factors
+        assert A.shape[0] == k and A.shape[2] == 7
+        assert carriers.shape == A.shape[:2]
+        # reconstruction matches the signal machinery at an arbitrary time
+        t = 2.31
+        ref = np.stack(
+            [
+                np.asarray(
+                    signals_as_list(
+                        jax.tree_util.tree_map(lambda x: x[b], amps)
+                    )(t)
+                )
+                for b in range(7)
+            ],
+            axis=-1,
+        )  # (k, 7)
+        rec = np.real(
+            np.sum(A * np.exp(2j * np.pi * carriers * t)[..., None], axis=1)
+        )
+        np.testing.assert_allclose(rec, ref, atol=1e-12, rtol=0.0)
+
+    def test_factor_path_matches_full_table(self):
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+        from qiskit_dynamics_tpu.solvers import fused_sweep as fs
+
+        solver, signals_fn, amps, y0 = self._cr_setup(B=10)
+        kw = dict(
+            t_span=(0.0, 10.0), max_dt=0.2, y0=y0,
+            rwa_signal_map=solver._rwa_signal_map, precision="df32",
+        )
+        out_fac = fused_sweep_solve(solver.model, signals_fn, amps, **kw)
+        orig = fs._constant_envelope_factors
+        fs._constant_envelope_factors = lambda *a, **k: None
+        try:
+            out_full = fused_sweep_solve(solver.model, signals_fn, amps, **kw)
+        finally:
+            fs._constant_envelope_factors = orig
+        assert np.max(np.abs(out_fac - out_full)) < 1e-11
+
+    def test_time_dependent_envelope_bails(self):
+        from qiskit_dynamics_tpu import Signal
+        from qiskit_dynamics_tpu.signals import SignalList
+        from qiskit_dynamics_tpu.solvers import fused_sweep as fs
+
+        def signals_as_list(p):
+            return SignalList(
+                [Signal(lambda t: p * np.exp(-(t**2)), carrier_freq=5.0)]
+            )
+
+        amps = np.linspace(0.1, 1.0, 5)
+        assert (
+            fs._constant_envelope_factors(
+                signals_as_list, amps, np.array([0.0, 0.5, 1.0]), 1, 5
+            )
+            is None
+        )
+
+    def test_per_member_carrier_bails(self):
+        from qiskit_dynamics_tpu import Signal
+        from qiskit_dynamics_tpu.signals import SignalList
+        from qiskit_dynamics_tpu.solvers import fused_sweep as fs
+
+        freqs = np.linspace(4.9, 5.1, 5)
+
+        def signals_as_list(p):
+            return SignalList([Signal(lambda t: 0.3, carrier_freq=p)])
+
+        assert (
+            fs._constant_envelope_factors(
+                signals_as_list, freqs, np.array([0.0, 0.5, 1.0]), 1, 5
+            )
+            is None
+        )
+
+    def test_coef_factors_validation(self):
+        from qiskit_dynamics_tpu.ops.df_sweep import sweep_expm_magnus_df
+
+        n, k, B = 2, 1, 3
+        static = np.zeros((n, n), dtype=complex)
+        ops = np.zeros((k, n, n), dtype=complex)
+        omega = np.zeros((n, n))
+        y0 = np.ones((n, B), dtype=complex)
+        A = np.ones((k, 1, B), dtype=complex)
+        carr = np.zeros((k, 1))
+        dts = np.full(4, 0.1)
+        with pytest.raises(ValueError, match="not both"):
+            sweep_expm_magnus_df(
+                static, ops, omega, np.zeros((4, 3, k, B)), y0, dt=dts,
+                coef_factors=(A, carr),
+            )
+        with pytest.raises(ValueError, match=r"\(T,\) per-step array"):
+            sweep_expm_magnus_df(
+                static, ops, omega, None, y0, dt=0.1, coef_factors=(A, carr)
+            )
+        with pytest.raises(ValueError, match="amplitudes"):
+            sweep_expm_magnus_df(
+                static, ops, omega, None, y0, dt=dts,
+                coef_factors=(np.ones((k + 1, 1, B)), carr),
+            )
+        with pytest.raises(ValueError, match="carriers"):
+            sweep_expm_magnus_df(
+                static, ops, omega, None, y0, dt=dts,
+                coef_factors=(A, np.zeros((k, 2))),
+            )
+
+    def test_frame_phase_diag_product(self):
+        """Device df32 phasor product tracks the host-f64 phase tables.
+
+        The agreement floor is set by f64 ARGUMENT rounding of the large
+        phases, not by the df arithmetic: at |phase| ~ 3200 rad each
+        ``v * tau`` product rounds to ~ulp(3200) ~ 7e-13 rad, and the two
+        formulations round differently — both are within ~1e-12 of the true
+        value (far below the engine's 1e-8 target)."""
+        from qiskit_dynamics_tpu.ops.df_sweep import _frame_phases_from_diag
+
+        rng = np.random.default_rng(3)
+        n, T, nodes = 5, 4, 3
+        v = rng.uniform(-40.0, 40.0, n)
+        tau = np.sort(rng.uniform(0.0, 80.0, (T, nodes)), axis=None).reshape(T, nodes)
+        phv = v[None, None, :] * tau[:, :, None]
+        cos_m, sin_m = _frame_phases_from_diag(
+            df32.from_f64(np.cos(phv)), df32.from_f64(np.sin(phv))
+        )
+        omega = v[None, :] - v[:, None]
+        ph = omega[None, None] * tau[:, :, None, None]
+        np.testing.assert_allclose(
+            df32.to_f64(cos_m), np.cos(ph), atol=5e-12, rtol=0.0
+        )
+        np.testing.assert_allclose(
+            df32.to_f64(sin_m), np.sin(ph), atol=5e-12, rtol=0.0
+        )
