@@ -76,6 +76,11 @@ def _kernel(
                                        # member block can't ride a minor
                                        # dim), the dynamic step index on the
                                        # SUBLANE dim, gauss*k+j static lanes
+                                       # (a lane-major (bm, 2k, T) layout
+                                       # would kill the 32x lane padding but
+                                       # Mosaic rejects dynamic LANE-indexed
+                                       # scalar loads; SMEM placement pads
+                                       # identically and exceeds its 1 MB)
         y0_ref,                        # (bm, 2n) real row states [yr | yi]
         out_ref,                       # (bm, 2n)
         g1r, g1i, g2r, g2i,            # (bm or 1, n, n) scratch
@@ -176,13 +181,25 @@ def _kernel(
             for m in range(bm):
                 assemble_mrr(m)
             v_s[...] = y_s[...]
-            for kk in range(order, 0, -1):
-                inv = 1.0 / kk
-                for m in range(bm):
-                    use_mxu = horner == "mxu" or (
-                        horner == "hybrid" and m % 2 == 0
-                    )
-                    horner_iter(m, m, inv, use_mxu)
+            if horner == "bvpu":
+                # ALL members' mat-vecs in one fused multiply + sublane
+                # reduction per Taylor iteration: w[m,i] = sum_j v[m,j]
+                # (M_rr)^T[m,j,i] — replaces bm separate (1, 2n) MXU
+                # passes (pass-overhead-bound at these shapes) with a
+                # single (bm, 2n, 2n) VPU contraction and ONE
+                # row->sublane relayout of v per iteration instead of bm
+                for kk in range(order, 0, -1):
+                    prod = mrr[...] * v_s[...][:, :, None]
+                    w = jnp.sum(prod, axis=1)  # (bm, 2n)
+                    v_s[...] = y_s[...] + (1.0 / kk) * w
+            else:
+                for kk in range(order, 0, -1):
+                    inv = 1.0 / kk
+                    for m in range(bm):
+                        use_mxu = horner == "mxu" or (
+                            horner == "hybrid" and m % 2 == 0
+                        )
+                        horner_iter(m, m, inv, use_mxu)
         else:
             # large n: one member's scratch at a time (VMEM-bounded); the
             # serialized mat-vec chain is throughput-bound at large K so
@@ -223,12 +240,17 @@ def sweep_expm_magnus2_member(
     mat-vec, see module docstring); ``resident`` = keep all ``block_m``
     members' matrices in VMEM at once (defaults to ``n <= 64``; above that
     the ~16 MB scoped-VMEM budget forces the one-member-at-a-time path)."""
-    if horner not in ("mxu", "vpu", "hybrid"):
+    if horner not in ("mxu", "vpu", "hybrid", "bvpu"):
         raise ValueError(
-            f"horner must be 'mxu', 'vpu' or 'hybrid', got {horner!r}"
+            f"horner must be 'mxu', 'vpu', 'hybrid' or 'bvpu', got {horner!r}"
         )
     if resident is None:
         resident = jnp.shape(y0)[0] <= 64
+    if horner == "bvpu" and not resident:
+        raise ValueError(
+            "horner='bvpu' batches the Horner mat-vec across the resident "
+            "member block; use 'mxu'/'vpu' in non-resident mode."
+        )
     # run the whole solve in transposed space: M^T blocks come out of
     # the same kernel math fed with transposed statics, EXCEPT the
     # commutator flips sign ([G2,G1]^T = -[G2^T, G1^T])

@@ -127,6 +127,7 @@ def fused_sweep_solve(
     magnus_mode: str = "auto",
     sweep_engine: str = "auto",
     t_eval=None,
+    mesh=None,
 ):
     r"""Solve ``y' = G_b(t) y`` for a parameter sweep with the fused kernel.
 
@@ -188,6 +189,11 @@ def fused_sweep_solve(
             ``lax.scan`` — compiles in seconds at any dim), or ``"auto"``
             (default): pallas for ``solve_dim <= 32``, xla above. Identical
             Magnus-2/Taylor polynomial either way.
+        mesh: optional ``jax.sharding.Mesh`` — shard the sweep batch over the
+            mesh's ``"data"`` axis (``parallel.pshard_batch``): each chip
+            runs the fused kernel on its shard of ``params``, SPMD with no
+            collectives on the solve path. Batches pad to a multiple of the
+            axis size (trimmed on return). ``precision="f32"`` engines only.
         df_engine: (df32 only) ``"xla"`` (fused elementwise engine — the
             default; measured ~2.3x faster than the Pallas variant on TPU,
             XLA's fusion of the df chains is excellent) or ``"pallas"``
@@ -205,6 +211,29 @@ def fused_sweep_solve(
     """
     if precision not in ("f32", "df32"):
         raise DynamicsError(f"unknown precision {precision!r}; use 'f32' or 'df32'.")
+    if mesh is not None:
+        # multi-chip: shard the sweep batch over the mesh's data axis — each
+        # chip runs the fused kernel on its shard (SPMD; no collectives on
+        # the solve path). The df32 engine orchestrates host-side chunking
+        # and cannot run under shard_map's tracer.
+        if precision == "df32":
+            raise DynamicsError(
+                'fused_sweep_solve(mesh=...) supports precision="f32" only; '
+                "shard df32 sweeps by splitting params across "
+                "parallel.sharded_sweep or per-chip calls."
+            )
+        from ..parallel.sweep import pshard_batch
+
+        def _local(p):
+            return fused_sweep_solve(
+                model, signals_fn, p, t_span=t_span, max_dt=max_dt, y0=y0,
+                expm_order=expm_order, tile_b=tile_b, interpret=interpret,
+                rwa_signal_map=rwa_signal_map, precision=precision,
+                magnus_mode=magnus_mode, sweep_engine=sweep_engine,
+                t_eval=t_eval, mesh=None,
+            )
+
+        return pshard_batch(_local, mesh=mesh)(params)
     (
         vectorized_lindblad,
         solve_dim,
@@ -816,6 +845,7 @@ def fused_adaptive_sweep_solve(
     bucket_lanes: bool = True,
     t_eval=None,
     differentiable: bool = True,
+    mesh=None,
 ):
     r"""Lockstep-adaptive dopri5 sweep solve through the fused kernel.
 
@@ -838,6 +868,12 @@ def fused_adaptive_sweep_solve(
 
     Adaptive counterpart of :func:`fused_sweep_solve` built on
     :func:`~qiskit_dynamics_tpu.ops.adaptive_sweep.sweep_dopri5_lockstep`.
+
+    Multi-chip: ``mesh=`` (a ``jax.sharding.Mesh``) shards the sweep batch
+    over the mesh's ``"data"`` axis (``parallel.pshard_batch``) — each chip
+    runs the fused kernel and its stiffness bucketing on its own shard,
+    SPMD with no collectives on the solve path; batches pad to a multiple
+    of the axis size and trim on return.
 
     Precision: the kernel arithmetic is hard-float32 with EFT-reduced phase
     arguments (``ops/trig_reduce.py``); tolerances are honored down to
@@ -870,6 +906,24 @@ def fused_adaptive_sweep_solve(
     ``t_eval``, the corresponding ``(B, n_eval, ...)`` trajectories.
     """
     from ..ops.adaptive_sweep import sweep_dopri5_lockstep
+
+    if mesh is not None:
+        # multi-chip: shard the sweep batch over the mesh's data axis — each
+        # chip runs the fused lockstep kernel (and its stiffness bucketing)
+        # on its own shard; SPMD with no collectives on the solve path
+        from ..parallel.sweep import pshard_batch
+
+        def _local(p):
+            return fused_adaptive_sweep_solve(
+                model, signals_fn, p, t_span=t_span, y0=y0, atol=atol,
+                rtol=rtol, max_steps=max_steps, h0=h0, tile_b=tile_b,
+                interpret=interpret, rwa_signal_map=rwa_signal_map,
+                envelope_resolution=envelope_resolution,
+                bucket_lanes=bucket_lanes, t_eval=t_eval,
+                differentiable=differentiable, mesh=None,
+            )
+
+        return pshard_batch(_local, mesh=mesh)(params)
 
     if min(atol, rtol) < 3e-8:
         import warnings

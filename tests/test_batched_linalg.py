@@ -1,5 +1,6 @@
 """Tests for the batch-on-lanes Pallas kernels (interpret mode on CPU)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 from scipy.linalg import expm as scipy_expm
 
@@ -992,6 +993,28 @@ class TestMemberMajorEngine:
         a = sweep_expm_magnus2_member(*args, hermitian=False, **kw)
         b = sweep_expm_magnus2_member(*args, hermitian=True, **kw)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+    @pytest.mark.parametrize("horner", ["vpu", "hybrid", "bvpu"])
+    def test_horner_modes_match_mxu(self, horner):
+        # all Horner variants evaluate the identical Taylor polynomial —
+        # "bvpu" batches the mat-vec across the resident member block as one
+        # multiply + sublane reduction per iteration
+        from qiskit_dynamics_tpu.ops.member_sweep import sweep_expm_magnus2_member
+
+        args = self._problem(B=8)
+        kw = dict(dt=0.04, t0=0.1, order=10, interpret=True, block_m=4)
+        a = sweep_expm_magnus2_member(*args, horner="mxu", **kw)
+        b = sweep_expm_magnus2_member(*args, horner=horner, **kw)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+    def test_bvpu_requires_resident(self):
+        from qiskit_dynamics_tpu.ops.member_sweep import sweep_expm_magnus2_member
+
+        args = self._problem(B=4)
+        with pytest.raises(ValueError, match="bvpu"):
+            sweep_expm_magnus2_member(
+                *args, dt=0.04, horner="bvpu", resident=False, interpret=True
+            )
 
     def test_glue_member_engine(self):
         # through fused_sweep_solve with sweep_engine="member"

@@ -237,3 +237,81 @@ def test_sharded_fused_sweep_gradient_matches_serial():
         np.asarray(jax.grad(loss_ref)(amps)),
         atol=1e-15,
     )
+
+
+def test_fused_sweep_solve_mesh_kwarg():
+    """fused_sweep_solve(mesh=...) shards the batch internally and matches
+    the serial call exactly (identical per-shard tiling at tile_b=2)."""
+    from qiskit_dynamics_tpu.benchmarks import cr_solver
+    from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+    from qiskit_dynamics_tpu import Signal
+    from qiskit_dynamics_tpu.exceptions import DynamicsError
+
+    solver, w1 = cr_solver(dim=2)
+    y0 = np.zeros(4, dtype=complex)
+    y0[0] = 1.0
+
+    def signals_fn(amp):
+        return [Signal(lambda t: amp * 0.02, carrier_freq=w1)]
+
+    kw = dict(
+        t_span=(0.0, 2.0), max_dt=0.5, y0=y0, tile_b=2, interpret=True,
+        rwa_signal_map=solver._rwa_signal_map,
+    )
+    amps = jnp.linspace(0.1, 1.0, 12)  # 12: exercises the pad-to-16 trim
+    serial = fused_sweep_solve(solver.model, signals_fn, amps, **kw)
+    sharded = fused_sweep_solve(
+        solver.model, signals_fn, amps, mesh=data_mesh(), **kw
+    )
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(serial), atol=1e-13)
+
+    # gradients flow through the sharded path (custom VJP under shard_map)
+    loss_sh = lambda a: jnp.mean(
+        jnp.abs(
+            fused_sweep_solve(solver.model, signals_fn, a, mesh=data_mesh(), **kw)[:, 1]
+        )
+        ** 2
+    )
+    loss_ref = lambda a: jnp.mean(
+        jnp.abs(fused_sweep_solve(solver.model, signals_fn, a, **kw)[:, 1]) ** 2
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_sh)(amps)),
+        np.asarray(jax.grad(loss_ref)(amps)),
+        atol=1e-15,
+    )
+
+    # df32 is host-orchestrated: mesh must raise
+    with pytest.raises(DynamicsError, match="df32"):
+        fused_sweep_solve(
+            solver.model, signals_fn, amps, mesh=data_mesh(),
+            precision="df32", t_span=(0.0, 2.0), max_dt=0.5, y0=y0,
+            rwa_signal_map=solver._rwa_signal_map,
+        )
+
+
+def test_fused_adaptive_sweep_solve_mesh_kwarg():
+    """fused_adaptive_sweep_solve(mesh=...) shards the batch internally;
+    per-shard lockstep tiling matches the serial tiling at tile_b=2, so
+    results agree to f32 roundoff."""
+    from qiskit_dynamics_tpu.benchmarks import cr_solver
+    from qiskit_dynamics_tpu.solvers import fused_adaptive_sweep_solve
+    from qiskit_dynamics_tpu import Signal
+
+    solver, w1 = cr_solver(dim=2)
+    y0 = np.zeros(4, dtype=complex)
+    y0[0] = 1.0
+
+    def signals_fn(amp):
+        return [Signal(lambda t: amp * 0.02, carrier_freq=w1)]
+
+    kw = dict(
+        t_span=(0.0, 2.0), y0=y0, atol=1e-8, rtol=1e-8, tile_b=2,
+        interpret=True, rwa_signal_map=solver._rwa_signal_map,
+    )
+    amps = jnp.linspace(0.1, 1.0, 16)
+    serial = fused_adaptive_sweep_solve(solver.model, signals_fn, amps, **kw)
+    sharded = fused_adaptive_sweep_solve(
+        solver.model, signals_fn, amps, mesh=data_mesh(), **kw
+    )
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(serial), atol=5e-7)
