@@ -171,6 +171,19 @@ def _get_subsystem_probabilities(probability_tensor: np.ndarray, sub_idx: int) -
     return probability_tensor
 
 
+def _default_iq_centers(subsystem_dims) -> List[List[tuple]]:
+    """Default IQ centroid layout: each subsystem's levels equally spaced on
+    the unit circle (level j of a dim-d subsystem at angle 2*pi*j/d) — the
+    reference's default when the ``iq_centers`` option is unset
+    (``/root/reference/qiskit_dynamics/backend/dynamics_backend.py:528-536``).
+    """
+    centers = []
+    for dim in subsystem_dims:
+        angles = 2 * np.pi * np.arange(dim) / dim
+        centers.append(list(zip(np.cos(angles), np.sin(angles))))
+    return centers
+
+
 def _get_iq_data(
     state: Union[Statevector, DensityMatrix],
     measurement_subsystems: List[int],

@@ -882,12 +882,9 @@ def default_experiment_result_function(
     # meas_level == 1
     iq_centers = backend.options.iq_centers
     if iq_centers is None:
-        iq_centers = []
-        for sub_dim in backend.options.subsystem_dims:
-            theta = 2 * np.pi / sub_dim
-            iq_centers.append(
-                [(np.cos(idx * theta), np.sin(idx * theta)) for idx in range(sub_dim)]
-            )
+        from .backend_utils import _default_iq_centers
+
+        iq_centers = _default_iq_centers(backend.options.subsystem_dims)
 
     measurement_data = _get_iq_data(
         yf,

@@ -455,6 +455,12 @@ def sweep_expm_magnus_df(
             amplitudes (signal phase folded in) and ``carriers`` (k, R)
             float64 member-independent frequencies, such that
             ``c_j(t, b) = Re[sum_r A[j,r,b] e^{i 2 pi carriers[j,r] t}]``.
+            Alternatively ``(A, P)`` with ``P`` a complex128
+            (T, n_nodes, k, R) PROFILE table —
+            ``c_j(t_i, b) = Re[sum_r A[j,r,b] P[i, node, j, r]]`` — the
+            rank-1/fixed-shape envelope case where one reference member's
+            envelope trajectory (carrier folded in) is host-sampled and
+            every member is a complex scale of it.
             ``coefficients`` must then be ``None`` and ``dt`` must be a
             (T,) array (the step count is otherwise unknown). The full
             (T, n_nodes, k, B) table is assembled ON DEVICE in df32
@@ -478,16 +484,10 @@ def sweep_expm_magnus_df(
         if coefficients is not None:
             raise ValueError("pass either coefficients or coef_factors, not both.")
         fac_amps = np.asarray(coef_factors[0], dtype=np.complex128)
-        fac_carriers = np.asarray(coef_factors[1], dtype=np.float64)
         k = operators.shape[0]
         if fac_amps.ndim != 3 or fac_amps.shape[0] != k:
             raise ValueError(
                 f"coef_factors amplitudes must be (k={k}, R, B); got {fac_amps.shape}."
-            )
-        if fac_carriers.shape != fac_amps.shape[:2]:
-            raise ValueError(
-                f"coef_factors carriers must be shaped {fac_amps.shape[:2]}; "
-                f"got {fac_carriers.shape}."
             )
         dts = np.asarray(dt, dtype=np.float64)
         if dts.ndim != 1:
@@ -496,6 +496,28 @@ def sweep_expm_magnus_df(
                 "count is otherwise unknown)."
             )
         T, n_nodes, B = len(dts), len(nodes), fac_amps.shape[2]
+        fac_second = np.asarray(coef_factors[1])
+        if fac_second.ndim == 4:
+            # precomputed complex PROFILE tables P (T, n_nodes, k, R):
+            # c_j(t, b) = sum_r Re[A_jrb P_jr(t)] — the rank-1/fixed-shape
+            # envelope case (host samples one reference member's envelope
+            # trajectory; the member scales ship as A)
+            fac_carriers = None
+            fac_profile = np.asarray(fac_second, dtype=np.complex128)
+            want = (T, n_nodes, k, fac_amps.shape[1])
+            if fac_profile.shape != want:
+                raise ValueError(
+                    f"coef_factors profile must be shaped {want}; "
+                    f"got {fac_profile.shape}."
+                )
+        else:
+            fac_profile = None
+            fac_carriers = np.asarray(fac_second, dtype=np.float64)
+            if fac_carriers.shape != fac_amps.shape[:2]:
+                raise ValueError(
+                    f"coef_factors carriers must be shaped {fac_amps.shape[:2]}; "
+                    f"got {fac_carriers.shape}."
+                )
     else:
         fac_amps = None
         coefficients = np.asarray(coefficients, dtype=np.float64)
@@ -550,11 +572,17 @@ def sweep_expm_magnus_df(
         # factorized coefficients: carrier phase tables in host f64 (tiny —
         # (T, n_nodes, k, R)), member amplitudes split to df; the full
         # (T, n_nodes, k, Bc) table is assembled per chunk ON DEVICE
-        theta = (
-            2.0 * np.pi * fac_carriers[None, None] * tau[:, :, None, None]
-        )  # (T, n_nodes, k, R)
-        fac_cos = jax.device_put(df32.from_f64(np.cos(theta)))
-        fac_sin = jax.device_put(df32.from_f64(np.sin(theta)))
+        if fac_profile is not None:
+            # Re[A P] = Re(P) Re(A) - Im(P) Im(A): the combiner's cos/sin
+            # table slots carry the profile's real/imag parts directly
+            fac_cos = jax.device_put(df32.from_f64(fac_profile.real))
+            fac_sin = jax.device_put(df32.from_f64(fac_profile.imag))
+        else:
+            theta = (
+                2.0 * np.pi * fac_carriers[None, None] * tau[:, :, None, None]
+            )  # (T, n_nodes, k, R)
+            fac_cos = jax.device_put(df32.from_f64(np.cos(theta)))
+            fac_sin = jax.device_put(df32.from_f64(np.sin(theta)))
         fac_re = df32.from_f64(fac_amps.real)
         fac_im = df32.from_f64(fac_amps.imag)
         n_terms = fac_amps.shape[1]

@@ -486,6 +486,31 @@ def _collect_trajectory(model, traj, B: int, m: int, vectorized_lindblad: bool):
     return jnp.moveaxis(traj.reshape(n_eval, dim, B, m), 2, 0)  # (B, n_eval, dim, m)
 
 
+def _to_member_by_term(x, B: int, r: int):
+    """Normalize a batched-signal attribute to (B, r), or ``None``.
+
+    Scalars/(1,) broadcast; (B,) is one value per member (r == 1); (r,) is
+    member-independent multi-term; (B, r) is the general batched SignalSum;
+    (r, B) is the term-major layout RWA SignalSums produce for per-member
+    phases. (B,) == (r,) and (B, r) == (r, B) coincidences with r > 1 and
+    B == r are ambiguous -> ``None`` (caller falls back to full sampling).
+    """
+    x = np.atleast_1d(x)
+    if x.ndim == 1 and x.size == 1:
+        return np.broadcast_to(x.reshape(1, 1), (B, r))
+    if x.ndim == 1 and r == 1 and x.shape[0] == B:
+        return x[:, None]
+    if x.ndim == 1 and x.shape[0] == r and B != r:
+        return np.broadcast_to(x[None, :], (B, r))
+    if x.ndim == 2 and x.shape == (B, r) and B != r:
+        return x
+    if x.ndim == 2 and x.shape == (r, B) and B != r:
+        return x.T
+    if x.ndim == 2 and x.shape == (B, r):  # B == r: ambiguous only if != .T
+        return x if np.array_equal(x, x.T) else None
+    return None
+
+
 def _constant_envelope_factors(signals_as_list, params, probe_ts, k, B):
     """Factorize a constant-envelope sweep as ``(A, carriers)``, or ``None``.
 
@@ -526,24 +551,8 @@ def _constant_envelope_factors(signals_as_list, params, probe_ts, k, B):
         carriers = np.atleast_1d(carriers)
         r = carriers.size
 
-        def to_member_by_term(x):
-            # normalize to (B, r): scalars/(1,) broadcast; (B,) means one
-            # value per member (r == 1); (r,) means member-independent
-            # multi-term; (B, r) is the general batched SignalSum. A
-            # (B,) == (r,) coincidence with r > 1 is ambiguous -> None.
-            x = np.atleast_1d(x)
-            if x.ndim == 1 and x.size == 1:
-                return np.broadcast_to(x.reshape(1, 1), (B, r))
-            if x.ndim == 1 and r == 1 and x.shape[0] == B:
-                return x[:, None]
-            if x.ndim == 1 and x.shape[0] == r and B != r:
-                return np.broadcast_to(x[None, :], (B, r))
-            if x.ndim == 2 and x.shape == (B, r):
-                return x
-            return None
-
-        env_b = to_member_by_term(env)
-        phase_b = to_member_by_term(np.asarray(phases, dtype=float))
+        env_b = _to_member_by_term(env, B, r)
+        phase_b = _to_member_by_term(np.asarray(phases, dtype=float), B, r)
         if env_b is None or phase_b is None:
             return None
         amp_list.append(env_b * np.exp(1j * phase_b))
@@ -555,6 +564,131 @@ def _constant_envelope_factors(signals_as_list, params, probe_ts, k, B):
         A[j, : a.shape[1]] = a.T
         carr[j, : c.shape[0]] = c
     return A, carr
+
+
+def _rank1_envelope_factors(signals_as_list, params, gauss_times, k, B):
+    """Factorize a fixed-shape, member-scaled sweep, or return ``None``.
+
+    The amplitude-calibration pattern with a TIME-VARYING pulse shape: every
+    member's signal is a complex scale of one shared shape,
+    ``c_j(t, b) = Re[sum_r A_jrb P_jr(t)]`` with ``P_jr(t) = E_jr(t, b*)
+    e^{i phi_jr(b*)} e^{i 2 pi nu_jr t}`` sampled host-f64 from a reference
+    member ``b*`` — the df32 engine then combines the (T, n_nodes, k, R)
+    profile with the (k, R, B) member scales ON DEVICE (``coef_factors=``),
+    so host->device transfer stays O(T + B) instead of O(T * B).
+
+    Detection is by probing: envelopes are batch-evaluated at 8 spread-out
+    Gauss times and every member must be complex-proportional to the
+    reference member at ALL probes (rtol 1e-12); the per-member scales come
+    from the probe with the largest reference magnitude. Returns ``None``
+    (full-table fallback) when construction fails, carriers are per-member,
+    shapes don't normalize, or any proportionality check misses — e.g. a
+    pulse-WIDTH sweep changes the shape itself and falls back. Probing is a
+    heuristic: a family rank-1 at all 8 probe times but not between them
+    would be mis-factorized, which smooth single-parameter scale families
+    cannot do.
+    """
+    try:
+        sigs = list(signals_as_list(params))
+    except Exception:
+        return None
+    if len(sigs) != k:
+        return None
+    flat_ts = np.asarray(gauss_times).ravel()
+    n_probe = min(8, len(flat_ts))
+    probe_idx = np.unique(
+        np.round(np.linspace(0, len(flat_ts) - 1, n_probe)).astype(int)
+    )
+    probe_ts = flat_ts[probe_idx]
+
+    amp_list, prof_list = [], []
+    for j_sig, s in enumerate(sigs):
+        try:
+            carriers = np.asarray(s.carrier_freq, dtype=float)
+            phases = np.asarray(s.phase, dtype=float)
+            raw_envs = [np.asarray(s.envelope(t)) for t in probe_ts]
+        except Exception:
+            return None
+        # envelopes written with jnp sample at f32 when x64 is off — the
+        # full coefficient table would be f32-limited identically, so the
+        # proportionality tolerance tracks the sampling precision instead
+        # of rejecting (profile reconstruction error stays in the same
+        # class as the table it replaces)
+        f32_sampled = any(
+            e.dtype in (np.float32, np.complex64) for e in raw_envs
+        )
+        rtol = 5e-6 if f32_sampled else 1e-12
+        envs = [np.asarray(e, dtype=complex) for e in raw_envs]
+        if carriers.ndim > 1:
+            return None  # per-member carriers: no shared time profile
+        carriers = np.atleast_1d(carriers)
+        r = carriers.size
+        phase_b = _to_member_by_term(np.asarray(phases, dtype=float), B, r)
+        env_b = [_to_member_by_term(e, B, r) for e in envs]
+        if phase_b is None or any(e is None for e in env_b):
+            return None
+        # v[probe, member, term]: full complex amplitude at the probe times
+        v = np.stack([e * np.exp(1j * phase_b) for e in env_b], axis=0)
+        scale = np.max(np.abs(v))
+        if scale == 0.0:
+            amp_list.append(np.zeros((B, r), dtype=complex))
+            prof_list.append(np.zeros((len(flat_ts), r), dtype=complex))
+            continue
+        # reference member: largest magnitude anywhere; per-term scales from
+        # the probe time where the reference is largest for that term
+        bstar = int(np.argmax(np.max(np.abs(v), axis=(0, 2))))
+        ratios = np.empty((B, r), dtype=complex)
+        for rr in range(r):
+            istar = int(np.argmax(np.abs(v[:, bstar, rr])))
+            ref = v[istar, bstar, rr]
+            if abs(ref) < 1e-300:
+                if np.max(np.abs(v[:, :, rr])) > 1e-14 * scale:
+                    return None  # reference silent but others aren't
+                ratios[:, rr] = 0.0
+                continue
+            ratios[:, rr] = v[istar, :, rr] / ref
+            # proportionality must hold at EVERY probe time
+            resid = v[:, :, rr] - v[:, bstar, rr][:, None] * ratios[None, :, rr]
+            if np.max(np.abs(resid)) > rtol * scale:
+                return None
+        # reference member's full envelope trajectory (host f64, one member)
+        bstar_params = jax.tree_util.tree_map(
+            lambda x: np.asarray(x)[bstar], params
+        )
+        try:
+            s_ref = list(signals_as_list(bstar_params))[j_sig]
+            prof_env = np.stack(
+                [
+                    np.broadcast_to(
+                        np.atleast_1d(np.asarray(s_ref.envelope(t), dtype=complex)), (r,)
+                    )
+                    for t in flat_ts
+                ],
+                axis=0,
+            )  # (TN, r)
+            ref_phase = np.broadcast_to(
+                np.atleast_1d(np.asarray(s_ref.phase, dtype=float)), (r,)
+            )
+        except Exception:
+            return None
+        # consistency: the single-member construction must match the batched
+        # probe values (guards signals_fn that treat batched params oddly)
+        chk = prof_env[probe_idx] * np.exp(1j * ref_phase)[None, :]
+        if np.max(np.abs(chk - v[:, bstar, :])) > rtol * max(scale, 1e-300):
+            return None
+        wave = np.exp(2j * np.pi * carriers[None, :] * flat_ts[:, None])
+        prof_list.append(prof_env * np.exp(1j * ref_phase)[None, :] * wave)
+        amp_list.append(ratios)
+
+    r_max = max(a.shape[1] for a in amp_list)
+    T_total = len(flat_ts)
+    A = np.zeros((k, r_max, B), dtype=np.complex128)
+    P = np.zeros((T_total, k, r_max), dtype=np.complex128)
+    for j, (a, p) in enumerate(zip(amp_list, prof_list)):
+        A[j, : a.shape[1]] = a.T
+        P[:, j, : p.shape[1]] = p
+    shape = np.asarray(gauss_times).shape
+    return A, P.reshape(shape + (k, r_max))
 
 
 def _sample_coefficients_f64(signals_as_list, params, gauss_times, k, B):
@@ -767,6 +901,13 @@ def _fused_sweep_solve_df(
     factors = _constant_envelope_factors(
         signals_as_list, params, flat_ts[[0, len(flat_ts) // 3, -1]], k, B
     )
+    if factors is None:
+        # fixed-shape envelope with member-dependent complex scale
+        # (amplitude calibration of a time-varying pulse): ship one
+        # reference profile + per-member scales instead of the full table
+        factors = _rank1_envelope_factors(
+            signals_as_list, params, gauss_times, k, B
+        )
     coefs = (
         None
         if factors is not None

@@ -166,6 +166,7 @@ class _PerturbativeSolver(ABC):
         params,
         tile_b: int = 512,
         interpret: bool = False,
+        mesh=None,
     ):
         """Batched parameter-sweep solve through the streamed chain kernel.
 
@@ -185,12 +186,28 @@ class _PerturbativeSolver(ABC):
             params: batched parameters (dim 0 = sweep axis).
             tile_b: Pallas lane-tile size.
             interpret: interpreter mode for CPU tests.
+            mesh: optional ``jax.sharding.Mesh`` — shard the sweep batch over
+                the mesh's ``"data"`` axis (``parallel.pshard_batch``): each
+                chip evaluates the expansion polynomial and runs the streamed
+                chain kernel on its shard; batches pad to a multiple of the
+                axis size (trimmed on return).
 
         Returns:
             (B, dim) final states (in the rotating frame of the model, like
             ``solve``).
         """
         from ...ops.chain_apply import chain_apply_bol
+
+        if mesh is not None:
+            from ...parallel.sweep import pshard_batch
+
+            def _local(p):
+                return self.solve_sweep(
+                    t0, n_steps, y0, signals_fn, p, tile_b=tile_b,
+                    interpret=interpret, mesh=None,
+                )
+
+            return pshard_batch(_local, mesh=mesh)(params)
 
         model = self.model
         poly = model.expansion_polynomial

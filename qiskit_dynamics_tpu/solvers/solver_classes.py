@@ -122,53 +122,44 @@ class Solver:
         self._schedule_converter = None
 
         if any([dt, channel_carrier_freqs, hamiltonian_channels, dissipator_channels]):
-            all_channels = []
+            all_channels: List[str] = []
 
-            if hamiltonian_channels is not None:
-                hamiltonian_channels = [chan.lower() for chan in hamiltonian_channels]
-                if hamiltonian_operators is None or len(hamiltonian_operators) != len(
-                    hamiltonian_channels
-                ):
+            def bind_channels(channels, operators, kind):
+                """Lowercase one channel list, check it pairs 1:1 with its
+                operator list, and register new names in ``all_channels``."""
+                if channels is None:
+                    return None
+                channels = [chan.lower() for chan in channels]
+                if operators is None or len(operators) != len(channels):
                     raise DynamicsError(
-                        "hamiltonian_channels must have same length as hamiltonian_operators."
+                        f"{kind}_channels must have same length as {kind}_operators."
                     )
-                for chan in hamiltonian_channels:
-                    if chan not in all_channels:
-                        all_channels.append(chan)
-            self._hamiltonian_channels = hamiltonian_channels
+                all_channels.extend(c for c in channels if c not in all_channels)
+                return channels
 
-            if dissipator_channels is not None:
-                dissipator_channels = [chan.lower() for chan in dissipator_channels]
-                for chan in dissipator_channels:
-                    if chan not in all_channels:
-                        all_channels.append(chan)
-                if dissipator_operators is None or len(dissipator_operators) != len(
-                    dissipator_channels
-                ):
-                    raise DynamicsError(
-                        "dissipator_channels must have same length as dissipator_operators."
-                    )
-            self._dissipator_channels = dissipator_channels
+            self._hamiltonian_channels = hamiltonian_channels = bind_channels(
+                hamiltonian_channels, hamiltonian_operators, "hamiltonian"
+            )
+            self._dissipator_channels = dissipator_channels = bind_channels(
+                dissipator_channels, dissipator_operators, "dissipator"
+            )
             self._all_channels = all_channels
 
-            channel_carrier_freqs = {
-                key.lower(): val for key, val in (channel_carrier_freqs or {}).items()
-            }
-            for chan in all_channels:
-                if chan not in channel_carrier_freqs:
-                    raise DynamicsError(
-                        f"Channel '{chan}' does not have carrier frequency specified in "
-                        "channel_carrier_freqs."
-                    )
-            self._channel_carrier_freqs = channel_carrier_freqs or None
-
-            if dt is not None:
-                self._dt = dt
-                self._schedule_converter = InstructionToSignals(
-                    dt=dt, carriers=self._channel_carrier_freqs, channels=self._all_channels
+            carriers = {key.lower(): val for key, val in (channel_carrier_freqs or {}).items()}
+            missing = [chan for chan in all_channels if chan not in carriers]
+            if missing:
+                raise DynamicsError(
+                    f"Channel '{missing[0]}' does not have carrier frequency specified in "
+                    "channel_carrier_freqs."
                 )
-            else:
+            self._channel_carrier_freqs = carriers or None
+
+            if dt is None:
                 raise DynamicsError("dt must be specified if channel information is provided.")
+            self._dt = dt
+            self._schedule_converter = InstructionToSignals(
+                dt=dt, carriers=self._channel_carrier_freqs, channels=self._all_channels
+            )
 
         # model setup
         if static_dissipators is None and dissipator_operators is None:

@@ -671,3 +671,187 @@ class TestFactorizedCoefficients:
         np.testing.assert_allclose(
             df32.to_f64(sin_m), np.sin(ph), atol=5e-12, rtol=0.0
         )
+
+
+class TestRank1EnvelopeFactors:
+    """Fixed-shape envelope sweeps (amplitude/phase calibration of a
+    time-varying pulse) factorize as one reference profile P (T, nodes, k, R)
+    + per-member complex scales A (k, R, B): the df32 engine combines them on
+    device (``coef_factors=(A, P)``), keeping transfer O(T + B)."""
+
+    def _gauss_setup(self):
+        from qiskit_dynamics_tpu import Signal
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu.signals import SignalList
+
+        solver, w1 = cr_solver()
+
+        def signals_fn(amp):
+            return [
+                Signal(
+                    lambda t: amp * 0.02 * np.exp(-((t - 5.0) ** 2) / 8.0),
+                    carrier_freq=w1,
+                )
+            ]
+
+        def sal(p):
+            return SignalList(list(solver._rwa_signal_map(signals_fn(p))))
+
+        return solver, signals_fn, sal
+
+    def test_extraction_and_reconstruction(self):
+        from qiskit_dynamics_tpu.solvers import fused_sweep as fs
+
+        solver, _, sal = self._gauss_setup()
+        k = solver.model.operators.shape[0]
+        gt = np.linspace(0.0, 10.0, 40).reshape(20, 2)
+        amps = np.linspace(0.25, 1.0, 10)
+        fac = fs._rank1_envelope_factors(sal, amps, gt, k, 10)
+        assert fac is not None
+        A, P = fac
+        assert A.shape[0] == k and A.shape[2] == 10
+        assert P.shape == gt.shape + (k, A.shape[1])
+        direct = fs._sample_coefficients_f64(sal, amps, gt, k, 10)
+        rec = np.real(np.einsum("tnkr,krb->tnkb", P, A))
+        assert np.max(np.abs(rec - direct)) < 1e-13
+
+    def test_solve_matches_full_table(self):
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+        from qiskit_dynamics_tpu.solvers import fused_sweep as fs
+
+        solver, signals_fn, _ = self._gauss_setup()
+        y0 = np.zeros(16, dtype=complex)
+        y0[0] = 1.0
+        amps = np.linspace(0.25, 1.0, 8)
+        kw = dict(
+            t_span=(0.0, 10.0), max_dt=0.2, y0=y0,
+            rwa_signal_map=solver._rwa_signal_map, precision="df32",
+        )
+        out_r1 = fused_sweep_solve(solver.model, signals_fn, amps, **kw)
+        orig1, orig2 = fs._constant_envelope_factors, fs._rank1_envelope_factors
+        fs._constant_envelope_factors = lambda *a, **k: None
+        fs._rank1_envelope_factors = lambda *a, **k: None
+        try:
+            out_full = fused_sweep_solve(solver.model, signals_fn, amps, **kw)
+        finally:
+            fs._constant_envelope_factors = orig1
+            fs._rank1_envelope_factors = orig2
+        assert np.max(np.abs(out_r1 - out_full)) < 1e-11
+
+    def test_width_sweep_rejected(self):
+        # a pulse-WIDTH sweep changes the shape itself: not rank-1
+        from qiskit_dynamics_tpu import Signal
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu.signals import SignalList
+        from qiskit_dynamics_tpu.solvers import fused_sweep as fs
+
+        solver, w1 = cr_solver()
+
+        def sal(sig):
+            return SignalList(
+                list(
+                    solver._rwa_signal_map(
+                        [
+                            Signal(
+                                lambda t: 0.02 * np.exp(-((t - 5.0) ** 2) / (2 * sig**2)),
+                                carrier_freq=w1,
+                            )
+                        ]
+                    )
+                )
+            )
+
+        gt = np.linspace(0.0, 10.0, 40).reshape(20, 2)
+        k = solver.model.operators.shape[0]
+        assert (
+            fs._rank1_envelope_factors(sal, np.linspace(1.0, 3.0, 10), gt, k, 10)
+            is None
+        )
+
+    def test_phase_sweep_factorizes(self):
+        # per-member PHASE of a fixed shape: complex rank-1 scales; also
+        # exercises the (r, B) term-major phase layout of RWA SignalSums
+        from qiskit_dynamics_tpu import Signal
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu.signals import SignalList
+        from qiskit_dynamics_tpu.solvers import fused_sweep as fs
+
+        solver, w1 = cr_solver()
+
+        def sal(ph):
+            return SignalList(
+                list(
+                    solver._rwa_signal_map(
+                        [
+                            Signal(
+                                lambda t: 0.02 * np.exp(-((t - 5.0) ** 2) / 8.0),
+                                carrier_freq=w1,
+                                phase=ph,
+                            )
+                        ]
+                    )
+                )
+            )
+
+        gt = np.linspace(0.0, 10.0, 40).reshape(20, 2)
+        k = solver.model.operators.shape[0]
+        phs = np.linspace(0.0, 1.5, 10)
+        fac = fs._rank1_envelope_factors(sal, phs, gt, k, 10)
+        assert fac is not None
+        direct = fs._sample_coefficients_f64(sal, phs, gt, k, 10)
+        rec = np.real(np.einsum("tnkr,krb->tnkb", fac[1], fac[0]))
+        assert np.max(np.abs(rec - direct)) < 1e-13
+
+    def test_profile_validation(self):
+        from qiskit_dynamics_tpu.ops.df_sweep import sweep_expm_magnus_df
+
+        n, k, B = 2, 1, 3
+        static = np.zeros((n, n), dtype=complex)
+        ops = np.zeros((k, n, n), dtype=complex)
+        omega = np.zeros((n, n))
+        y0 = np.ones((n, B), dtype=complex)
+        A = np.ones((k, 1, B), dtype=complex)
+        dts = np.full(4, 0.1)
+        bad_profile = np.ones((4, 3, k, 2), dtype=complex)  # R mismatch
+        with pytest.raises(ValueError, match="profile"):
+            sweep_expm_magnus_df(
+                static, ops, omega, None, y0, dt=dts,
+                coef_factors=(A, bad_profile),
+            )
+
+    def test_engine_profile_path_matches_full(self):
+        # direct engine check: coef_factors=(A, P) == the same table passed
+        # densely (df roundoff)
+        from qiskit_dynamics_tpu.ops.df_sweep import sweep_expm_magnus_df, MAGNUS_NODES
+
+        rng = np.random.default_rng(7)
+        n, k, B, T = 4, 2, 5, 12
+        h = rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))
+        static = -1j * (h + h.conj().T) * 0.1
+        opmats = []
+        for _ in range(k):
+            hj = rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))
+            opmats.append(-1j * (hj + hj.conj().T) * 0.1)
+        ops = np.array(opmats)
+        w = rng.normal(size=n)
+        omega = w[None, :] - w[:, None]
+        y0 = rng.normal(size=(n, B)) + 1j * rng.normal(size=(n, B))
+        y0 = y0 / np.linalg.norm(y0, axis=0)
+        dts = np.full(T, 0.1)
+        nodes = MAGNUS_NODES[3]
+        t_start = np.concatenate([[0.0], np.cumsum(dts)[:-1]])
+        tau = t_start[:, None] + dts[:, None] * nodes[None, :]
+        # rank-2 profiles + complex member scales
+        P = np.exp(2j * np.pi * rng.normal(size=(1, 1, k, 2)) * tau[:, :, None, None]) * (
+            1.0 + 0.3 * np.sin(tau)[:, :, None, None]
+        )
+        A = (rng.normal(size=(k, 2, B)) + 1j * rng.normal(size=(k, 2, B))) * 0.2
+        table = np.real(np.einsum("tnkr,krb->tnkb", P, A))
+        out_fac = sweep_expm_magnus_df(
+            static, ops, omega, None, y0, dt=dts, magnus_order=3,
+            coef_factors=(A, P), chunk_b=4,
+        )
+        out_full = sweep_expm_magnus_df(
+            static, ops, omega, table, y0, dt=dts, magnus_order=3, chunk_b=4
+        )
+        assert np.max(np.abs(out_fac - out_full)) < 1e-10

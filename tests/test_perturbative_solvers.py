@@ -190,3 +190,24 @@ def test_solve_sweep_magnus_matches_per_member(magnus_solver):
         np.testing.assert_allclose(
             np.asarray(out[i]), np.asarray(ref.y[-1]), atol=1e-9
         )
+
+
+def test_solve_sweep_mesh_matches_serial(dyson_solver):
+    """solve_sweep(mesh=...) shards the batch over the 8-device mesh and
+    matches the serial call exactly (pad-to-8 trimming exercised at B=6)."""
+    from qiskit_dynamics_tpu.parallel import data_mesh
+
+    y0 = np.array([1.0, 0.0], dtype=complex)
+    amps = jnp.linspace(0.1, 0.6, 6)
+    n_steps = 10
+    signals_fn = lambda a: [
+        Signal(lambda t: a * jnp.exp(-((t - 0.125) ** 2) / 0.02), carrier_freq=NU)
+    ]
+    kw = dict(tile_b=8, interpret=True)
+    serial = dyson_solver.solve_sweep(0.0, n_steps, y0, signals_fn, amps, **kw)
+    sharded = dyson_solver.solve_sweep(
+        0.0, n_steps, y0, signals_fn, amps, mesh=data_mesh(), **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(serial), atol=1e-13
+    )
