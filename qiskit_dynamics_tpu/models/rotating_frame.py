@@ -24,7 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..unified import unp
+from ..unified import dequtip, unp
 from jax import lax
 from jax.tree_util import register_pytree_node
 
@@ -114,8 +114,7 @@ class RotatingFrame:
     def __init__(self, frame_operator, atol: float = 1e-10, rtol: float = 1e-10):
         if isinstance(frame_operator, RotatingFrame):
             frame_operator = frame_operator.frame_operator
-        if type(frame_operator).__name__ == "Qobj" and hasattr(frame_operator, "full"):
-            frame_operator = frame_operator.full()  # qutip coercion
+        frame_operator = dequtip(frame_operator)
         self._frame_operator = frame_operator
 
         if frame_operator is None:

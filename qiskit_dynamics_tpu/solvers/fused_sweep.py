@@ -418,6 +418,16 @@ def fused_sweep_solve(
         from ..ops.sweep_ad import sweep_expm_magnus2_member_ad
         from ..ops.sweep_solver import split_omega_host
 
+        if magnus_mode != "auto" or tile_b is not None:
+            import warnings
+
+            warnings.warn(
+                "fused_sweep_solve routed to the member-major engine "
+                f"(solve_dim={solve_dim} or sweep_engine='member'); the "
+                "lane-kernel options magnus_mode/tile_b are ignored on "
+                "this path.",
+                stacklevel=2,
+            )
         B = coeffs.shape[-1]
         m = 1
         y0_cols = jnp.broadcast_to(jnp.asarray(y0_fb)[:, None], (solve_dim, B))
@@ -511,7 +521,16 @@ def _to_member_by_term(x, B: int, r: int):
     return None
 
 
-def _constant_envelope_factors(signals_as_list, params, probe_ts, k, B):
+def _spread_probe_ts(all_ts, n_probe: int):
+    """Up to ``n_probe`` spread-out times from a flat time grid."""
+    all_ts = np.asarray(all_ts, dtype=float).ravel()
+    idx = np.unique(
+        np.round(np.linspace(0, len(all_ts) - 1, min(n_probe, len(all_ts)))).astype(int)
+    )
+    return all_ts[idx]
+
+
+def _constant_envelope_factors(signals_as_list, params, all_ts, k, B):
     """Factorize a constant-envelope sweep as ``(A, carriers)``, or ``None``.
 
     When every signal's envelope is time-independent, the coefficient table
@@ -520,12 +539,19 @@ def _constant_envelope_factors(signals_as_list, params, probe_ts, k, B):
     (k, R) — the df32 engine then assembles the (T, n_nodes, k, B) table on
     device (``coef_factors=``) instead of shipping it over the host link.
 
+    Detection: every member's envelope is batch-probed at 8 spread-out Gauss
+    times, then the LARGEST-amplitude member's envelope is densely scanned
+    (up to 64 times) — a schedule that idles at all coarse probes but pulses
+    between them (echo sequences) is caught by the dense scan instead of
+    being silently factorized as constant-zero drive.
+
     Requires ``signals_fn`` to vectorize over the member axis (one batched
     signal construction; the common amplitude-sweep pattern). Returns
     ``None`` — caller falls back to full-table sampling — when construction
     or envelope evaluation fails, envelopes are time-dependent, or carriers
     are per-member.
     """
+    probe_ts = _spread_probe_ts(all_ts, 8)
     try:
         sigs = list(signals_as_list(params))
     except Exception:
@@ -557,6 +583,39 @@ def _constant_envelope_factors(signals_as_list, params, probe_ts, k, B):
             return None
         amp_list.append(env_b * np.exp(1j * phase_b))
         car_list.append(carriers)
+
+    # dense scan of the largest-amplitude member (single-member
+    # construction, up to 64 times): catches envelopes that are zero (or
+    # coincidentally equal) at every coarse probe but structured between
+    # them. Probing can't be exhaustive; 8 spread + 64 dense on the loudest
+    # member is the detection contract (documented in fused_sweep_solve).
+    dense_ts = _spread_probe_ts(all_ts, 64)
+    if len(dense_ts) > len(probe_ts):
+        bstar = int(
+            np.argmax(sum(np.abs(a).sum(axis=1) for a in amp_list))
+        )
+        try:
+            ref_sigs = list(
+                signals_as_list(
+                    jax.tree_util.tree_map(lambda x: np.asarray(x)[bstar], params)
+                )
+            )
+            for j, s_ref in enumerate(ref_sigs):
+                r = car_list[j].shape[0]
+                ref_amp = amp_list[j][bstar]  # (r,) complex
+                ph_ref = np.broadcast_to(
+                    np.atleast_1d(np.asarray(s_ref.phase, dtype=float)), (r,)
+                )
+                e_traj = _sample_envelope_trajectory(s_ref, dense_ts, r)
+                if not np.allclose(
+                    e_traj * np.exp(1j * ph_ref)[None, :],
+                    ref_amp[None, :],
+                    rtol=1e-12,
+                    atol=1e-13,
+                ):
+                    return None  # time structure between coarse probes
+        except Exception:
+            return None
     r_max = max(a.shape[1] for a in amp_list)
     A = np.zeros((k, r_max, B), dtype=np.complex128)
     carr = np.zeros((k, r_max), dtype=np.float64)
@@ -564,6 +623,36 @@ def _constant_envelope_factors(signals_as_list, params, probe_ts, k, B):
         A[j, : a.shape[1]] = a.T
         carr[j, : c.shape[0]] = c
     return A, carr
+
+
+def _sample_envelope_trajectory(s, flat_ts, r: int):
+    """A single signal's envelope at every time in ``flat_ts``, as (TN, r).
+
+    Tries ONE vectorized ``envelope(flat_ts)`` call first (the signal
+    machinery broadcasts time arrays; ~TN times cheaper than per-scalar
+    dispatch) and falls back to the scalar loop for envelopes that don't
+    broadcast.
+    """
+    tn = len(flat_ts)
+    try:
+        e = np.asarray(s.envelope(np.asarray(flat_ts)), dtype=complex)
+        if e.shape == (tn,) and r == 1:
+            return e[:, None]
+        if e.shape == (tn, r):
+            return e
+        if e.shape == (r, tn) and r != tn:
+            return e.T
+        if e.ndim == 0 or e.shape in ((1,), (r,)):
+            return np.broadcast_to(np.atleast_1d(e)[None, :], (tn, r)).copy()
+    except Exception:
+        pass
+    return np.stack(
+        [
+            np.broadcast_to(np.atleast_1d(np.asarray(s.envelope(t), dtype=complex)), (r,))
+            for t in flat_ts
+        ],
+        axis=0,
+    )
 
 
 def _rank1_envelope_factors(signals_as_list, params, gauss_times, k, B):
@@ -577,16 +666,18 @@ def _rank1_envelope_factors(signals_as_list, params, gauss_times, k, B):
     profile with the (k, R, B) member scales ON DEVICE (``coef_factors=``),
     so host->device transfer stays O(T + B) instead of O(T * B).
 
-    Detection is by probing: envelopes are batch-evaluated at 8 spread-out
-    Gauss times and every member must be complex-proportional to the
-    reference member at ALL probes (rtol 1e-12); the per-member scales come
-    from the probe with the largest reference magnitude. Returns ``None``
+    Detection: envelopes are batch-evaluated at 64 spread-out Gauss times
+    (cheap — vectorized numpy over members, no signal-machinery rebuilds)
+    and every member must be complex-proportional to the reference member's
+    FULL envelope trajectory at all of them; the per-member scales are taken
+    at the reference trajectory's own peak time, so pulses that idle at
+    coarse probes (echo sequences) still resolve. Returns ``None``
     (full-table fallback) when construction fails, carriers are per-member,
     shapes don't normalize, or any proportionality check misses — e.g. a
-    pulse-WIDTH sweep changes the shape itself and falls back. Probing is a
-    heuristic: a family rank-1 at all 8 probe times but not between them
-    would be mis-factorized, which smooth single-parameter scale families
-    cannot do.
+    pulse-WIDTH sweep changes the shape itself and falls back. The 64-point
+    grid is the detection contract: structure narrower than span/64 that
+    also varies per member between grid points would be mis-factorized,
+    which smooth single-parameter scale families cannot do.
     """
     try:
         sigs = list(signals_as_list(params))
@@ -595,13 +686,13 @@ def _rank1_envelope_factors(signals_as_list, params, gauss_times, k, B):
     if len(sigs) != k:
         return None
     flat_ts = np.asarray(gauss_times).ravel()
-    n_probe = min(8, len(flat_ts))
     probe_idx = np.unique(
-        np.round(np.linspace(0, len(flat_ts) - 1, n_probe)).astype(int)
+        np.round(np.linspace(0, len(flat_ts) - 1, min(64, len(flat_ts)))).astype(int)
     )
     probe_ts = flat_ts[probe_idx]
 
     amp_list, prof_list = [], []
+    ref_sigs_cache: dict = {}
     for j_sig, s in enumerate(sigs):
         try:
             carriers = np.asarray(s.carrier_freq, dtype=float)
@@ -629,55 +720,66 @@ def _rank1_envelope_factors(signals_as_list, params, gauss_times, k, B):
             return None
         # v[probe, member, term]: full complex amplitude at the probe times
         v = np.stack([e * np.exp(1j * phase_b) for e in env_b], axis=0)
-        scale = np.max(np.abs(v))
-        if scale == 0.0:
-            amp_list.append(np.zeros((B, r), dtype=complex))
-            prof_list.append(np.zeros((len(flat_ts), r), dtype=complex))
-            continue
-        # reference member: largest magnitude anywhere; per-term scales from
-        # the probe time where the reference is largest for that term
-        bstar = int(np.argmax(np.max(np.abs(v), axis=(0, 2))))
-        ratios = np.empty((B, r), dtype=complex)
-        for rr in range(r):
-            istar = int(np.argmax(np.abs(v[:, bstar, rr])))
-            ref = v[istar, bstar, rr]
-            if abs(ref) < 1e-300:
-                if np.max(np.abs(v[:, :, rr])) > 1e-14 * scale:
-                    return None  # reference silent but others aren't
-                ratios[:, rr] = 0.0
-                continue
-            ratios[:, rr] = v[istar, :, rr] / ref
-            # proportionality must hold at EVERY probe time
-            resid = v[:, :, rr] - v[:, bstar, rr][:, None] * ratios[None, :, rr]
-            if np.max(np.abs(resid)) > rtol * scale:
-                return None
-        # reference member's full envelope trajectory (host f64, one member)
-        bstar_params = jax.tree_util.tree_map(
-            lambda x: np.asarray(x)[bstar], params
-        )
+        # reference member: largest magnitude at the probes (member 0 when
+        # all probes are silent); its FULL trajectory drives the scales and
+        # the verification, so probe-silent pulses still resolve
+        bstar = int(np.argmax(np.max(np.abs(v), axis=(0, 2)))) if v.size else 0
         try:
-            s_ref = list(signals_as_list(bstar_params))[j_sig]
-            prof_env = np.stack(
-                [
-                    np.broadcast_to(
-                        np.atleast_1d(np.asarray(s_ref.envelope(t), dtype=complex)), (r,)
+            if bstar not in ref_sigs_cache:
+                ref_sigs_cache[bstar] = list(
+                    signals_as_list(
+                        jax.tree_util.tree_map(lambda x: np.asarray(x)[bstar], params)
                     )
-                    for t in flat_ts
-                ],
-                axis=0,
-            )  # (TN, r)
+                )
+            s_ref = ref_sigs_cache[bstar][j_sig]
+            prof_env = _sample_envelope_trajectory(s_ref, flat_ts, r)
             ref_phase = np.broadcast_to(
                 np.atleast_1d(np.asarray(s_ref.phase, dtype=float)), (r,)
             )
         except Exception:
             return None
-        # consistency: the single-member construction must match the batched
-        # probe values (guards signals_fn that treat batched params oddly)
-        chk = prof_env[probe_idx] * np.exp(1j * ref_phase)[None, :]
-        if np.max(np.abs(chk - v[:, bstar, :])) > rtol * max(scale, 1e-300):
-            return None
+        ref_traj = prof_env * np.exp(1j * ref_phase)[None, :]  # (TN, r)
+        scale = max(float(np.max(np.abs(v))), float(np.max(np.abs(ref_traj))))
+        if scale == 0.0:
+            # reference trajectory AND all members' probe values are zero;
+            # accept as the zero signal (a member nonzero only between all
+            # 64 probe points would escape — the documented contract)
+            amp_list.append(np.zeros((B, r), dtype=complex))
+            prof_list.append(np.zeros((len(flat_ts), r), dtype=complex))
+            continue
+        ratios = np.empty((B, r), dtype=complex)
+        for rr in range(r):
+            # scales at the reference trajectory's peak time for this term
+            istar = int(np.argmax(np.abs(ref_traj[:, rr])))
+            ref_val = ref_traj[istar, rr]
+            if abs(ref_val) <= 1e-14 * scale:
+                # reference silent on the whole grid: others must be too
+                if np.max(np.abs(v[:, :, rr])) > rtol * scale:
+                    return None
+                ratios[:, rr] = 0.0
+                continue
+            t_star = flat_ts[istar]
+            try:
+                e_star = _to_member_by_term(
+                    np.asarray(s.envelope(t_star), dtype=complex), B, r
+                )
+            except Exception:
+                return None
+            if e_star is None:
+                return None
+            v_star = e_star * np.exp(1j * phase_b)  # (B, r)
+            ratios[:, rr] = v_star[:, rr] / ref_val
+            # proportionality to the reference trajectory must hold at
+            # EVERY probe time (also cross-checks the batched construction
+            # against the single-member one)
+            resid = (
+                v[:, :, rr]
+                - ref_traj[probe_idx, rr][:, None] * ratios[None, :, rr]
+            )
+            if np.max(np.abs(resid)) > rtol * scale:
+                return None
         wave = np.exp(2j * np.pi * carriers[None, :] * flat_ts[:, None])
-        prof_list.append(prof_env * np.exp(1j * ref_phase)[None, :] * wave)
+        prof_list.append(ref_traj * wave)
         amp_list.append(ratios)
 
     r_max = max(a.shape[1] for a in amp_list)
@@ -703,7 +805,11 @@ def _sample_coefficients_f64(signals_as_list, params, gauss_times, k, B):
     """
     shape = gauss_times.shape
     flat_ts = gauss_times.ravel()
-    probe_ts = flat_ts[[0, len(flat_ts) // 3, -1]]
+    # 16 spread probes: an envelope that idles at a few coarse probes but
+    # pulses between them (echo-style schedules) must not be mis-detected
+    # as constant (the per-member amplitude loop below re-verifies
+    # constancy at two of these probes for every member)
+    probe_ts = _spread_probe_ts(flat_ts, 16)
 
     def member_params(b):
         return jax.tree_util.tree_map(lambda x: np.asarray(x)[b], params)
@@ -740,12 +846,20 @@ def _sample_coefficients_f64(signals_as_list, params, gauss_times, k, B):
         for j in range(k):
             all_amps[j][0] = first[j][1]
             all_amps[j][B - 1] = last[j][1]
+        mid_t = probe_ts[len(probe_ts) // 2]
         for b in range(1, B - 1):
             sigs = list(signals_as_list(member_params(b)))
             for j, s in enumerate(sigs):
                 env = np.atleast_1d(np.asarray(s.envelope(probe_ts[0]), dtype=complex))
+                env2 = np.atleast_1d(np.asarray(s.envelope(mid_t), dtype=complex))
+                if not np.allclose(env2, env, rtol=1e-14, atol=1e-14):
+                    constant = False  # THIS member is time-dependent
+                    break
                 ph = np.atleast_1d(np.asarray(s.phase, dtype=float))
                 all_amps[j][b] = env * np.exp(1j * ph)
+            if not constant:
+                break
+    if constant:
         for j in range(k):
             carriers = first[j][0]
             waves = np.exp(2j * np.pi * carriers[:, None] * flat_ts[None, :])
@@ -898,9 +1012,7 @@ def _fused_sweep_solve_df(
     # 10k-member 500-step sweep and its host sampling + transfer dominated
     # the whole call (measured 21 s of 25 s through the axon tunnel)
     flat_ts = gauss_times.ravel()
-    factors = _constant_envelope_factors(
-        signals_as_list, params, flat_ts[[0, len(flat_ts) // 3, -1]], k, B
-    )
+    factors = _constant_envelope_factors(signals_as_list, params, flat_ts, k, B)
     if factors is None:
         # fixed-shape envelope with member-dependent complex scale
         # (amplitude calibration of a time-varying pulse): ship one

@@ -41,16 +41,18 @@ def contains_tracer(*args) -> bool:
     return False
 
 
+def _is_qobj(x) -> bool:
+    return type(x).__name__ == "Qobj" and hasattr(x, "full")
+
+
 def dequtip(x):
     """Coerce qutip ``Qobj`` values (duck-typed on ``.full()``) to arrays;
     everything else passes through. Applied at model-constructor boundaries
     (validation runs before the generic asarray conversion would)."""
-    if type(x).__name__ == "Qobj" and hasattr(x, "full"):
+    if _is_qobj(x):
         return x.full()
-    if isinstance(x, (list, tuple)) and any(
-        type(e).__name__ == "Qobj" and hasattr(e, "full") for e in x
-    ):
-        return [e.full() if hasattr(e, "full") else e for e in x]
+    if isinstance(x, (list, tuple)) and any(_is_qobj(e) for e in x):
+        return [e.full() if _is_qobj(e) else e for e in x]
     return x
 
 
@@ -62,12 +64,7 @@ def asarray(x, dtype=None):
     ``/root/reference/qiskit_dynamics/arraylias/register_functions/asarray.py:36-59``.
     Lists of Qobj coerce elementwise (operator lists).
     """
-    if type(x).__name__ == "Qobj" and hasattr(x, "full"):
-        x = x.full()
-    elif isinstance(x, (list, tuple)) and any(
-        type(e).__name__ == "Qobj" and hasattr(e, "full") for e in x
-    ):
-        x = [e.full() if hasattr(e, "full") else e for e in x]
+    x = dequtip(x)
     if contains_tracer(x):
         return jnp.asarray(x, dtype=dtype)
     return np.asarray(x, dtype=dtype)

@@ -855,3 +855,91 @@ class TestRank1EnvelopeFactors:
             static, ops, omega, table, y0, dt=dts, magnus_order=3, chunk_b=4
         )
         assert np.max(np.abs(out_fac - out_full)) < 1e-10
+
+
+class TestEchoEnvelopeDetection:
+    """Review hardening: envelopes that idle at coarse probe times but pulse
+    between them (echo-style schedules) must not be mis-detected as
+    constant; the rank-1 path resolves them via the reference member's FULL
+    trajectory (scales at its peak time)."""
+
+    def _echo_sal(self):
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu.signals import SignalList
+        from qiskit_dynamics_tpu import Signal
+
+        solver, w1 = cr_solver()
+
+        def sal(p):
+            return SignalList(
+                list(
+                    solver._rwa_signal_map(
+                        [
+                            Signal(
+                                lambda t: p
+                                * 0.02
+                                * np.where(np.abs(t - 5.0) < 0.5, 1.0, 0.0),
+                                carrier_freq=w1,
+                            )
+                        ]
+                    )
+                )
+            )
+
+        return solver, sal
+
+    def test_not_constant(self):
+        from qiskit_dynamics_tpu.solvers import fused_sweep as fs
+
+        solver, sal = self._echo_sal()
+        k = solver.model.operators.shape[0]
+        gt = np.linspace(0.0, 10.0, 100).reshape(50, 2)
+        amps = np.linspace(0.25, 1.0, 6)
+        assert fs._constant_envelope_factors(sal, amps, gt.ravel(), k, 6) is None
+
+    def test_rank1_resolves_echo(self):
+        from qiskit_dynamics_tpu.solvers import fused_sweep as fs
+
+        solver, sal = self._echo_sal()
+        k = solver.model.operators.shape[0]
+        gt = np.linspace(0.0, 10.0, 100).reshape(50, 2)
+        amps = np.linspace(0.25, 1.0, 6)
+        fac = fs._rank1_envelope_factors(sal, amps, gt, k, 6)
+        assert fac is not None
+        direct = fs._sample_coefficients_f64(sal, amps, gt, k, 6)
+        rec = np.real(np.einsum("tnkr,krb->tnkb", fac[1], fac[0]))
+        assert np.max(np.abs(rec - direct)) < 1e-13
+
+    def test_sampler_compact_rejects_member_time_dependence(self):
+        # members 0 and B-1 constant, middle members time-varying: the
+        # compact path must fall back to full sampling
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu.signals import SignalList
+        from qiskit_dynamics_tpu.solvers import fused_sweep as fs
+        from qiskit_dynamics_tpu import Signal
+
+        solver, w1 = cr_solver()
+        k = solver.model.operators.shape[0]
+
+        def sal(p):
+            return SignalList(
+                list(
+                    solver._rwa_signal_map(
+                        [
+                            Signal(
+                                lambda t: p * 0.02
+                                + (p - 0.25) * (1.0 - p) * 0.1 * np.sin(t),
+                                carrier_freq=w1,
+                            )
+                        ]
+                    )
+                )
+            )
+
+        gt = np.linspace(0.0, 10.0, 100).reshape(50, 2)
+        amps = np.linspace(0.25, 1.0, 6)
+        direct = fs._sample_coefficients_f64(sal, amps, gt, k, 6)
+        ref = np.stack(
+            [np.asarray(sal(np.array(a))(gt)) for a in amps], axis=-1
+        )
+        assert np.max(np.abs(direct - ref)) < 1e-12
