@@ -417,6 +417,7 @@ def sweep_expm_magnus_df(
     fast_commutators: bool = True,
     horner_df_tail: int = 6,
     coef_factors=None,
+    devices=None,
 ):
     r"""Fixed-step Magnus sweep (order 2 or 3 rule) in double-float32.
 
@@ -461,6 +462,12 @@ def sweep_expm_magnus_df(
             rank-1/fixed-shape envelope case where one reference member's
             envelope trajectory (carrier folded in) is host-sampled and
             every member is a complex scale of it.
+        devices: optional list of ``jax.Device`` — chunk dispatches
+            round-robin across them (host-fed data parallelism; the
+            invariant tables ship to every device once). ``None`` = the
+            default device. Either way chunk result transfers are deferred
+            until all chunks are enqueued, overlapping compute with the
+            host link.
             ``coefficients`` must then be ``None`` and ``dt`` must be a
             (T,) array (the step count is otherwise unknown). The full
             (T, n_nodes, k, B) table is assembled ON DEVICE in df32
@@ -545,28 +552,50 @@ def sweep_expm_magnus_df(
     # Using v = omega[0, :] instead of the original w shifts every phase by
     # <= |omega - (v_j - v_i)| * tau ~ 1e-10 rad over typical spans — far
     # below the df32 target.
+    dev_list = list(devices) if devices else [None]
+
+    def _dput(x, d):
+        return jax.device_put(x, d) if d is not None else jax.device_put(x)
+
     v_freq = frame_omega[0, :]
     v_diff = v_freq[None, :] - v_freq[:, None]
-    if np.all(
+    diag_ok = np.all(
         np.abs(frame_omega - v_diff) <= 1e-13 * np.maximum(1.0, np.abs(frame_omega))
-    ):
+    )
+    if diag_ok:
         phv = v_freq[None, None, :] * tau[:, :, None]  # (T, n_nodes, n)
-        phases = _frame_phases_from_diag(
-            jax.device_put(df32.from_f64(np.cos(phv))),
-            jax.device_put(df32.from_f64(np.sin(phv))),
-        )
+        phv_cos = df32.from_f64(np.cos(phv))
+        phv_sin = df32.from_f64(np.sin(phv))
     else:
         ph = frame_omega[None, None] * tau[:, :, None, None]  # (T, n_nodes, n, n)
-        phases = jax.device_put(
-            (df32.from_f64(np.cos(ph)), df32.from_f64(np.sin(ph)))
-        )
+        ph_cos = df32.from_f64(np.cos(ph))
+        ph_sin = df32.from_f64(np.sin(ph))
 
-    # ship the per-call invariants to the device ONCE (they are reused by
-    # every chunk dispatch; the axon tunnel moves ~25 MB/s)
-    stat = jax.device_put(df32.cfrom_f64(static_op))
-    ops = jax.device_put(df32.cfrom_f64(operators))
-    consts = jax.device_put(_rule_consts(magnus_order, order))
-    step_c = jax.device_put(_step_consts(magnus_order, dts))
+    # ship the per-call invariants to each device ONCE (they are reused by
+    # every chunk dispatch; the axon tunnel moves ~25 MB/s). With multiple
+    # ``devices`` the chunk dispatches round-robin — host-fed data
+    # parallelism matching the engine's host-orchestrated design (the
+    # shard_map path is f32-only).
+    phases_by_dev, inv_by_dev = [], []
+    for d in dev_list:
+        if diag_ok:
+            # computed ON device d (jit follows its committed inputs)
+            ph_d = _frame_phases_from_diag(
+                _dput(phv_cos, d), _dput(phv_sin, d)
+            )
+        else:
+            ph_d = (_dput(ph_cos, d), _dput(ph_sin, d))
+        phases_by_dev.append(ph_d)
+        inv_by_dev.append(
+            (
+                _dput(df32.cfrom_f64(static_op), d),
+                _dput(df32.cfrom_f64(operators), d),
+                _dput(_rule_consts(magnus_order, order), d),
+                _dput(_step_consts(magnus_order, dts), d),
+            )
+        )
+    phases = phases_by_dev[0]
+    stat, ops, consts, step_c = inv_by_dev[0]
 
     if fac_amps is not None:
         # factorized coefficients: carrier phase tables in host f64 (tiny —
@@ -575,14 +604,18 @@ def sweep_expm_magnus_df(
         if fac_profile is not None:
             # Re[A P] = Re(P) Re(A) - Im(P) Im(A): the combiner's cos/sin
             # table slots carry the profile's real/imag parts directly
-            fac_cos = jax.device_put(df32.from_f64(fac_profile.real))
-            fac_sin = jax.device_put(df32.from_f64(fac_profile.imag))
+            fc_host = df32.from_f64(fac_profile.real)
+            fs_host = df32.from_f64(fac_profile.imag)
         else:
             theta = (
                 2.0 * np.pi * fac_carriers[None, None] * tau[:, :, None, None]
             )  # (T, n_nodes, k, R)
-            fac_cos = jax.device_put(df32.from_f64(np.cos(theta)))
-            fac_sin = jax.device_put(df32.from_f64(np.sin(theta)))
+            fc_host = df32.from_f64(np.cos(theta))
+            fs_host = df32.from_f64(np.sin(theta))
+        fac_tables_by_dev = [
+            (_dput(fc_host, d), _dput(fs_host, d)) for d in dev_list
+        ]
+        fac_cos, fac_sin = fac_tables_by_dev[0]
         fac_re = df32.from_f64(fac_amps.real)
         fac_im = df32.from_f64(fac_amps.imag)
         n_terms = fac_amps.shape[1]
@@ -601,7 +634,12 @@ def sweep_expm_magnus_df(
     # node batches (17, 16, 32, ... members) otherwise paid one slow axon
     # compile PER refinement level
     quantum = min(256, chunk_b)
-    for lo_b in range(0, B, chunk_b):
+    pending = []
+    for c_idx, lo_b in enumerate(range(0, B, chunk_b)):
+        d_idx = c_idx % len(dev_list)
+        d = dev_list[d_idx]
+        phases = phases_by_dev[d_idx]
+        stat, ops, consts, step_c = inv_by_dev[d_idx]
         hi_b = min(lo_b + chunk_b, B)
         width = hi_b - lo_b
         padded_width = min(chunk_b, -(-width // quantum) * quantum)
@@ -610,6 +648,7 @@ def sweep_expm_magnus_df(
         if pad:
             y_sl = np.concatenate([y_sl, np.repeat(y_sl[:, :1], pad, axis=-1)], axis=-1)
         if fac_amps is not None:
+            fac_cos, fac_sin = fac_tables_by_dev[d_idx]
             a_re = tuple(x[..., lo_b:hi_b] for x in fac_re)
             a_im = tuple(x[..., lo_b:hi_b] for x in fac_im)
             if pad:
@@ -621,6 +660,9 @@ def sweep_expm_magnus_df(
                     np.concatenate([x, np.repeat(x[..., :1], pad, axis=-1)], axis=-1)
                     for x in a_im
                 )
+            if d is not None:
+                a_re = _dput(a_re, d)
+                a_im = _dput(a_im, d)
             coefs_dev = _combine_factor_table(
                 fac_cos, fac_sin, a_re, a_im, n_terms=n_terms
             )
@@ -635,6 +677,12 @@ def sweep_expm_magnus_df(
             hermitian=hermitian, fast_commutators=fast_commutators,
             horner_df_tail=horner_df_tail, coef_const=coef_const,
         )
+        # transfers are deferred: every chunk dispatch is enqueued (round-
+        # robin across ``devices``) before the first result is pulled back,
+        # so device compute overlaps host transfer and devices run
+        # concurrently
+        pending.append((lo_b, hi_b, res))
+    for lo_b, hi_b, res in pending:
         chunk = df32.cto_f64(_unflatten_c(res))
         out[:, lo_b:hi_b] = chunk[:, : hi_b - lo_b]
     return out

@@ -124,6 +124,7 @@ def fused_sweep_solve(
     df_grid_tol: float = 1e-9,
     df_fast: bool = True,
     df_horner_tail: int = 6,
+    df_devices=None,
     magnus_mode: str = "auto",
     sweep_engine: str = "auto",
     t_eval=None,
@@ -171,6 +172,11 @@ def fused_sweep_solve(
             ~1e-10-class extra error; disable for the full-df engine.
         df_horner_tail: (df32 only) expm Horner iterations above this index
             run in complex64 (damped by ``|M|^j/j!``); 0 = full df.
+        df_devices: (df32 only) optional list of ``jax.Device`` — sweep
+            chunks dispatch round-robin across them (host-fed data
+            parallelism; e.g. ``jax.devices()``). The engine is
+            host-orchestrated, so this — not ``mesh=`` — is its multi-chip
+            path.
         magnus_mode: in-kernel Magnus-2 evaluation strategy (``"auto"``
             picks by matmul cost; see
             :func:`~qiskit_dynamics_tpu.ops.sweep_solver.sweep_expm_magnus2`).
@@ -219,8 +225,8 @@ def fused_sweep_solve(
         if precision == "df32":
             raise DynamicsError(
                 'fused_sweep_solve(mesh=...) supports precision="f32" only; '
-                "shard df32 sweeps by splitting params across "
-                "parallel.sharded_sweep or per-chip calls."
+                "the df32 engine is host-orchestrated — pass "
+                "df_devices=jax.devices() for round-robin multi-device df32."
             )
         from ..parallel.sweep import pshard_batch
 
@@ -301,7 +307,7 @@ def fused_sweep_solve(
             model, signals_as_list, params, dts, static_fb, ops_fb, omega,
             y0_fb, vectorized_lindblad, t0, expm_order, df_chunk_b,
             df_magnus_order, df_engine, fast_commutators=df_fast,
-            horner_df_tail=df_horner_tail,
+            horner_df_tail=df_horner_tail, devices=df_devices,
         )
 
     eval_slots = None
@@ -972,7 +978,7 @@ def _adaptive_df_grid(
 def _fused_sweep_solve_df(
     model, signals_as_list, params, dts, static_fb, ops_fb, omega,
     y0_fb, vectorized_lindblad, t0, expm_order, chunk_b, magnus_order,
-    engine="auto", fast_commutators=True, horner_df_tail=6,
+    engine="auto", fast_commutators=True, horner_df_tail=6, devices=None,
 ):
     """df32 branch of :func:`fused_sweep_solve` (host-facing, float64 I/O).
 
@@ -1068,7 +1074,7 @@ def _fused_sweep_solve_df(
             magnus_order=magnus_order, order=max(expm_order, 12), chunk_b=chunk_b,
             hermitian=_all_anti_hermitian(static_fb, ops_fb),
             fast_commutators=fast_commutators, horner_df_tail=horner_df_tail,
-            coef_factors=factors,
+            coef_factors=factors, devices=devices,
         )
 
     if vectorized_lindblad:

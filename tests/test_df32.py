@@ -943,3 +943,69 @@ class TestEchoEnvelopeDetection:
             [np.asarray(sal(np.array(a))(gt)) for a in amps], axis=-1
         )
         assert np.max(np.abs(direct - ref)) < 1e-12
+
+
+class TestDfDevices:
+    """Host-fed multi-device df32: chunk dispatches round-robin across
+    ``df_devices`` with per-device invariant tables; results are
+    bit-identical to the single-device call on every coefficient path."""
+
+    @pytest.mark.parametrize(
+        "name",
+        ["const", "rank1", "full_table"],
+    )
+    def test_multi_device_matches_single(self, name):
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+        from qiskit_dynamics_tpu import Signal
+
+        solver, w1 = cr_solver()
+        y0 = np.zeros(16, dtype=complex)
+        y0[0] = 1.0
+        amps = np.linspace(0.25, 1.0, 10)
+        fns = {
+            "const": lambda a: [Signal(lambda t: a * 0.02, carrier_freq=w1)],
+            "rank1": lambda a: [
+                Signal(
+                    lambda t: a * 0.02 * np.exp(-((t - 5.0) ** 2) / 8.0),
+                    carrier_freq=w1,
+                )
+            ],
+            # width sweep: not factorizable -> exercises full-table chunks
+            "full_table": lambda a: [
+                Signal(
+                    lambda t: 0.02 * np.exp(-((t - 5.0) ** 2) / (2 * (1 + a) ** 2)),
+                    carrier_freq=w1,
+                )
+            ],
+        }
+        kw = dict(
+            t_span=(0.0, 5.0), max_dt=0.2, y0=y0,
+            rwa_signal_map=solver._rwa_signal_map, precision="df32",
+            df_chunk_b=4,
+        )
+        single = fused_sweep_solve(solver.model, fns[name], amps, **kw)
+        multi = fused_sweep_solve(
+            solver.model, fns[name], amps, df_devices=jax.devices(), **kw
+        )
+        assert np.max(np.abs(np.asarray(single) - np.asarray(multi))) == 0.0
+
+    def test_mesh_rejected_points_at_df_devices(self):
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+        from qiskit_dynamics_tpu.parallel import data_mesh
+        from qiskit_dynamics_tpu.exceptions import DynamicsError
+        from qiskit_dynamics_tpu import Signal
+
+        solver, w1 = cr_solver()
+        y0 = np.zeros(16, dtype=complex)
+        y0[0] = 1.0
+        with pytest.raises(DynamicsError, match="df_devices"):
+            fused_sweep_solve(
+                solver.model,
+                lambda a: [Signal(lambda t: a * 0.02, carrier_freq=w1)],
+                np.linspace(0.25, 1.0, 4),
+                t_span=(0.0, 2.0), max_dt=0.2, y0=y0,
+                rwa_signal_map=solver._rwa_signal_map,
+                precision="df32", mesh=data_mesh(),
+            )
