@@ -143,6 +143,50 @@ def main():
             "df32_max_err": float(f"{df_err:.3g}"),
         }
 
+        # Gaussian-envelope df32 row: exercises the rank-1 profile
+        # factorization (fixed pulse shape, member-scaled amplitudes —
+        # the table assembles on device; full-table sampling measured
+        # 6.6x slower on this config)
+        try:
+            def gauss_signals_fn(amp):
+                return [
+                    Signal(
+                        lambda t: amp
+                        * amp_scale
+                        * np.exp(-((t - T / 2) ** 2) / (T**2 / 12.5)),
+                        carrier_freq=w1,
+                    )
+                ]
+
+            t0 = time.time()
+            dg_out = fused_sweep_solve(
+                solver.model, gauss_signals_fn, df_amps, **df_kwargs
+            )
+            log(f"df32-gauss compile+first: {time.time() - t0:.1f}s")
+            dg_time = median_time(
+                lambda: fused_sweep_solve(
+                    solver.model, gauss_signals_fn, df_amps, **df_kwargs
+                )
+            )
+            dg_err = 0.0
+            for i in df_idx[:2]:
+                r = solver.solve(
+                    t_span=[0.0, T], y0=y0,
+                    signals=gauss_signals_fn(float(df_amps[i])),
+                    method="DOP853", atol=1e-12, rtol=1e-12,
+                )
+                dg_err = max(
+                    dg_err, float(np.max(np.abs(dg_out[i] - np.asarray(r.y[-1]))))
+                )
+            log(
+                f"df32-gauss steady (median of 3): {dg_time:.2f}s -> "
+                f"{df_sweep_size / dg_time:.0f} sims/s, max err {dg_err:.2e}"
+            )
+            df_metrics["df32_gauss_throughput"] = round(df_sweep_size / dg_time, 1)
+            df_metrics["df32_gauss_max_err"] = float(f"{dg_err:.3g}")
+        except Exception as exc:
+            log(f"df32-gauss row failed: {exc!r}")
+
     # --- chebyshev row: certified interpolated sweep (1e-8-class accuracy
     # at fused speed; sweep-LEVEL algorithm — solves ~tens of nodes with the
     # df32 engine and reconstructs all points; solvers/sweep_interpolation) ---
