@@ -1009,3 +1009,91 @@ class TestDfDevices:
                 rwa_signal_map=solver._rwa_signal_map,
                 precision="df32", mesh=data_mesh(),
             )
+
+
+def test_rank1_with_adaptive_grid():
+    """df_grid='adaptive' (non-uniform steps concentrated at the pulse) and
+    the rank-1 profile factorization compose: the profile samples at the
+    adaptive grid's actual Gauss times."""
+    from qiskit_dynamics_tpu.benchmarks import cr_solver
+    from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+    from qiskit_dynamics_tpu.solvers import fused_sweep as fs
+    from qiskit_dynamics_tpu import Signal
+
+    solver, w1 = cr_solver()
+    y0 = np.zeros(16, dtype=complex)
+    y0[0] = 1.0
+    amps = np.linspace(0.25, 1.0, 6)
+    fn = lambda a: [
+        Signal(lambda t: a * 0.02 * np.exp(-((t - 5.0) ** 2) / 2.0), carrier_freq=w1)
+    ]
+    kw = dict(
+        t_span=(0.0, 10.0), max_dt=0.5, y0=y0,
+        rwa_signal_map=solver._rwa_signal_map, precision="df32",
+        df_grid="adaptive", df_grid_tol=1e-10, df_chunk_b=4,
+    )
+    out = fused_sweep_solve(solver.model, fn, amps, **kw)
+    o1, o2 = fs._constant_envelope_factors, fs._rank1_envelope_factors
+    fs._constant_envelope_factors = lambda *a, **k: None
+    fs._rank1_envelope_factors = lambda *a, **k: None
+    try:
+        full = fused_sweep_solve(solver.model, fn, amps, **kw)
+    finally:
+        fs._constant_envelope_factors, fs._rank1_envelope_factors = o1, o2
+    assert np.max(np.abs(np.asarray(out) - np.asarray(full))) < 1e-12
+    r = solver.solve(
+        t_span=(0.0, 10.0), y0=y0, signals=fn(amps[-1]),
+        method="DOP853", atol=1e-13, rtol=1e-13,
+    )
+    assert np.max(np.abs(out[-1] - np.asarray(r.y[-1]))) < 1e-9
+
+
+def test_df32_schedule_serving():
+    """Reference-grade (1e-8-class and beyond) pulse-SCHEDULE serving: a
+    batch of schedules' sample tables solves through
+    solve_sweep(method='fused_magnus2', precision='df32') with the step
+    grid aligned to the sample cells (max_dt divides the schedule dt, so
+    every Magnus step sees a smooth RHS). Measured 5e-12 vs DOP853(1e-13)
+    on a Gaussian amplitude batch — the df32 answer to the f32 serving
+    path's tolerance-limited accuracy."""
+    from qiskit_dynamics_tpu import Solver
+    from qiskit_dynamics_tpu.pulse import Schedule, Play, DriveChannel, Gaussian
+    from qiskit_dynamics_tpu.signals import DiscreteSignal
+
+    nu, r, dt = 5.0, 0.1, 0.1
+    X = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex)
+    Z = np.array([[1.0, 0.0], [0.0, -1.0]], dtype=complex)
+    solver = Solver(
+        static_hamiltonian=2 * np.pi * nu * Z / 2,
+        hamiltonian_operators=[2 * np.pi * r * X / 2],
+        hamiltonian_channels=["d0"],
+        channel_carrier_freqs={"d0": nu},
+        dt=dt,
+        rotating_frame=2 * np.pi * nu * Z / 2,
+    )
+    y0 = np.array([1.0, 0.0], dtype=complex)
+    duration, tf = 40, 4.0
+    scheds = []
+    for amp in np.linspace(0.2, 0.8, 4):
+        s = Schedule(name=f"a{amp}")
+        s.append(
+            Play(Gaussian(duration=duration, amp=float(amp), sigma=8), DriveChannel(0))
+        )
+        scheds.append(s)
+    samples = np.stack(
+        [np.asarray(solver._schedule_converter.get_signals(s)[0].samples) for s in scheds]
+    )
+
+    def signals_fn(q):
+        return [DiscreteSignal(dt=dt, samples=q, carrier_freq=nu)]
+
+    out = solver.solve_sweep(
+        signals_fn, samples, t_span=(0.0, tf), y0=y0,
+        method="fused_magnus2", max_dt=0.005, precision="df32",
+    )
+    for i, s in enumerate(scheds):
+        ref = solver.solve(
+            t_span=[0.0, tf], y0=y0, signals=s, method="DOP853",
+            atol=1e-13, rtol=1e-13, convert_results=False,
+        )
+        assert np.max(np.abs(out[i] - np.asarray(ref.y[-1]))) < 1e-10
