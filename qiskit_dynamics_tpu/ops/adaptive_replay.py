@@ -106,12 +106,15 @@ def dopri5_replay(
         targets = jnp.asarray(ts)
 
     def abs_time(s_pair):
-        """absolute-time df pair from the elapsed pair, per tile (L,)."""
-        from .df32 import two_sum, _quick_two_sum
+        """absolute-time df pair from the elapsed pair, per tile (L,).
 
-        hi, lo = s_pair
-        a, b = two_sum(hi, t0_df[0])
-        return _quick_two_sum(a, b + (lo + t0_df[1]))
+        MUST match the adaptive kernel's own absolute-time rounding
+        (``trig_reduce.time_add_df``) bit-for-bit so the replayed grid
+        reproduces the primal's phase arguments exactly.
+        """
+        from .trig_reduce import time_add_df
+
+        return time_add_df(s_pair, t0_df)
 
     def rhs(y_in, st_pair, cell):
         """G(t) y with G = D^-1 A D (frame conjugation), per tile times."""

@@ -557,6 +557,8 @@ def _constant_envelope_factors(signals_as_list, params, all_ts, k, B):
     or envelope evaluation fails, envelopes are time-dependent, or carriers
     are per-member.
     """
+    if k == 0:
+        return None  # no time-dependent terms: sampling path handles k=0
     probe_ts = _spread_probe_ts(all_ts, 8)
     try:
         sigs = list(signals_as_list(params))
@@ -685,6 +687,8 @@ def _rank1_envelope_factors(signals_as_list, params, gauss_times, k, B):
     also varies per member between grid points would be mis-factorized,
     which smooth single-parameter scale families cannot do.
     """
+    if k == 0:
+        return None  # no time-dependent terms: sampling path handles k=0
     try:
         sigs = list(signals_as_list(params))
     except Exception:
@@ -900,6 +904,7 @@ def _adaptive_df_grid(
     from scipy.linalg import expm
 
     from ..ops.df_sweep import MAGNUS_NODES
+    from ..ops.sweep_solver import _P2
 
     nodes = MAGNUS_NODES[magnus_order]
     leaves = jax.tree_util.tree_leaves(params)
@@ -1018,14 +1023,23 @@ def _fused_sweep_solve_df(
     # 10k-member 500-step sweep and its host sampling + transfer dominated
     # the whole call (measured 21 s of 25 s through the axon tunnel)
     flat_ts = gauss_times.ravel()
-    factors = _constant_envelope_factors(signals_as_list, params, flat_ts, k, B)
-    if factors is None:
-        # fixed-shape envelope with member-dependent complex scale
-        # (amplitude calibration of a time-varying pulse): ship one
-        # reference profile + per-member scales instead of the full table
-        factors = _rank1_envelope_factors(
-            signals_as_list, params, gauss_times, k, B
+    if engine == "auto":
+        # measured on-chip: the XLA engine beats the Pallas kernel ~2.3x for
+        # this workload (see BENCHMARKS.md) — Mosaic's codegen of the long
+        # EFT chains trails XLA's fusion
+        engine = "xla"
+    factors = None
+    if engine != "pallas":  # the Pallas engine has no factorized path
+        factors = _constant_envelope_factors(
+            signals_as_list, params, flat_ts, k, B
         )
+        if factors is None:
+            # fixed-shape envelope with member-dependent complex scale
+            # (amplitude calibration of a time-varying pulse): ship one
+            # reference profile + per-member scales instead of the full table
+            factors = _rank1_envelope_factors(
+                signals_as_list, params, gauss_times, k, B
+            )
     coefs = (
         None
         if factors is not None
@@ -1043,11 +1057,6 @@ def _fused_sweep_solve_df(
     else:
         y0_cols = np.broadcast_to(y0_fb[:, None], (y0_fb.shape[0], B))
 
-    if engine == "auto":
-        # measured on-chip: the XLA engine beats the Pallas kernel ~2.3x for
-        # this workload (see BENCHMARKS.md) — Mosaic's codegen of the long
-        # EFT chains trails XLA's fusion
-        engine = "xla"
     if engine == "pallas":
         from ..ops.df_sweep_pallas import sweep_expm_magnus_df_pallas
 
@@ -1056,13 +1065,6 @@ def _fused_sweep_solve_df(
                 "df_engine='pallas' supports only uniform step grids; use the "
                 "xla engine with df_grid='adaptive'."
             )
-        if coefs is None:
-            # the Pallas engine has no factorized-coefficient path
-            coefs = _sample_coefficients_f64(
-                signals_as_list, params, gauss_times, k, B
-            )
-            if m > 1:
-                coefs = np.repeat(coefs, m, axis=-1)
         yf = sweep_expm_magnus_df_pallas(
             static_fb, ops_fb, omega, coefs, y0_cols, dt=float(dts[0]), t0=t0,
             magnus_order=magnus_order, order=max(expm_order, 12),

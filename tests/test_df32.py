@@ -1097,3 +1097,50 @@ def test_df32_schedule_serving():
             atol=1e-13, rtol=1e-13, convert_results=False,
         )
         assert np.max(np.abs(out[i] - np.asarray(ref.y[-1]))) < 1e-10
+
+
+def test_adaptive_grid_magnus2():
+    """Regression: df_grid='adaptive' with df_magnus_order=2 used the
+    Magnus-2 step rule in the host grid builder without importing its
+    commutator constant (NameError)."""
+    from qiskit_dynamics_tpu.benchmarks import cr_solver
+    from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+    from qiskit_dynamics_tpu import Signal
+
+    solver, w1 = cr_solver()
+    y0 = np.zeros(16, dtype=complex)
+    y0[0] = 1.0
+    amps = np.linspace(0.25, 1.0, 4)
+    fn = lambda a: [
+        Signal(lambda t: a * 0.02 * np.exp(-((t - 5.0) ** 2) / 2.0), carrier_freq=w1)
+    ]
+    out = fused_sweep_solve(
+        solver.model, fn, amps, t_span=(0.0, 10.0), max_dt=0.25, y0=y0,
+        rwa_signal_map=solver._rwa_signal_map, precision="df32",
+        df_magnus_order=2, df_grid="adaptive", df_grid_tol=1e-9, df_chunk_b=4,
+    )
+    r = solver.solve(
+        t_span=(0.0, 10.0), y0=y0, signals=fn(amps[-1]),
+        method="DOP853", atol=1e-13, rtol=1e-13,
+    )
+    assert np.max(np.abs(out[-1] - np.asarray(r.y[-1]))) < 1e-7
+
+
+def test_df32_no_time_dependent_terms():
+    """Regression: k=0 (static-only model) crashed the envelope
+    factorization detectors with ValueError on the empty signal list; the
+    sampling path handles the (T, nodes, 0, B) table fine."""
+    from qiskit_dynamics_tpu.models import HamiltonianModel
+    from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+    from scipy.linalg import expm
+
+    Z = np.array([[1.0, 0.0], [0.0, -1.0]], dtype=complex)
+    model = HamiltonianModel(operators=[], static_operator=2 * np.pi * Z / 2)
+    y0 = np.array([1.0, 0.0], dtype=complex)
+    out = fused_sweep_solve(
+        model, lambda a: [], np.zeros(3), t_span=(0.0, 1.0), max_dt=0.1,
+        y0=y0, precision="df32", df_chunk_b=4,
+    )
+    ref = expm(-1j * 2 * np.pi * Z / 2) @ y0
+    assert out.shape == (3, 2)
+    assert np.max(np.abs(np.asarray(out) - ref[None, :])) < 1e-10
