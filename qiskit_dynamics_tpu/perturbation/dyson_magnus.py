@@ -55,7 +55,10 @@ def solve_lmde_dyson(
 ):
     """Compute Dyson (or Dyson-like) terms via one joint stacked ODE solve."""
     xp = jnp if use_jax else np
-    mat_dim = np.asarray(perturbations[0](t_span[0])).shape[0]
+    # np.shape reads the (static) shape attribute, so this stays correct
+    # when the perturbation callables close over jax tracers (jit/grad
+    # through solve_lmde_perturbation)
+    mat_dim = np.shape(perturbations[0](t_span[0]))[0]
 
     if generator is None:
         def generator(t):  # pylint: disable=function-redefined

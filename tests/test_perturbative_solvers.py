@@ -211,3 +211,128 @@ def test_solve_sweep_mesh_matches_serial(dyson_solver):
     np.testing.assert_allclose(
         np.asarray(sharded), np.asarray(serial), atol=1e-13
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-qubit configurations (ref: test_dyson_solver_2q / _2q_0_carrier /
+# test_magnus_solver_2q in /root/reference/test/dynamics/solvers/
+# test_dyson_magnus_solvers.py) — behaviors re-derived against DOP853
+# ground truth, including a 0-carrier-frequency static-coupling channel
+# and the include_imag reduction for real envelopes.
+# ---------------------------------------------------------------------------
+
+I2 = np.eye(2, dtype=complex)
+NU_B = 4.6
+G0_2Q = -1j * 2 * np.pi * (NU * np.kron(Z, I2) + NU_B * np.kron(I2, Z)) / 2
+GA_2Q = -1j * 2 * np.pi * np.kron(X, I2) / 2
+GB_2Q = -1j * 2 * np.pi * 0.1 * np.kron(Z, X) / 2
+
+
+def _ground_truth_multi(g0, ops, signals, T):
+    """Frame-of-g0 solution for sum_j Re[s_j(t)] ops[j], via DOP853."""
+    from scipy.linalg import expm
+
+    def rhs(t, y):
+        g = np.asarray(g0, dtype=complex).copy()
+        for s, op in zip(signals, ops):
+            g = g + float(np.real(s(t))) * op
+        return g @ y
+
+    res = solve_ode(rhs, [0.0, T], np.eye(g0.shape[0], dtype=complex),
+                    method="DOP853", atol=1e-13, rtol=1e-13)
+    return expm(-T * np.asarray(g0)) @ np.asarray(res.y[-1])
+
+
+class Test2QubitPerturbative:
+    @pytest.fixture(scope="class")
+    def solver_2q(self):
+        return DysonSolver(
+            operators=[GA_2Q, GB_2Q],
+            rotating_frame=G0_2Q,
+            dt=0.02,
+            carrier_freqs=[NU, NU_B],
+            chebyshev_orders=[1, 1],
+            expansion_order=4,
+            atol=1e-13, rtol=1e-13,
+        )
+
+    def test_dyson_2q_vs_ground_truth(self, solver_2q):
+        T, n_steps = 0.5, 25
+        env_a = _gauss(0.4, 0.15, T)
+        env_b = _gauss(0.2, 0.2, T)
+        sigs = [Signal(env_a, carrier_freq=NU), Signal(env_b, carrier_freq=NU_B)]
+        res = solver_2q.solve(0.0, n_steps, np.eye(4, dtype=complex), sigs)
+        expected = _ground_truth_multi(G0_2Q, [GA_2Q, GB_2Q], sigs, T)
+        err = np.max(np.abs(np.asarray(res.y[-1]) - expected))
+        assert err < 1e-4, err
+
+    def test_magnus_2q_vs_ground_truth(self):
+        solver = MagnusSolver(
+            operators=[GA_2Q, GB_2Q],
+            rotating_frame=G0_2Q,
+            dt=0.02,
+            carrier_freqs=[NU, NU_B],
+            chebyshev_orders=[1, 1],
+            expansion_order=3,
+            atol=1e-13, rtol=1e-13,
+        )
+        T, n_steps = 0.3, 15
+        env_a = _gauss(0.4, 0.15, T)
+        env_b = _gauss(0.2, 0.2, T)
+        sigs = [Signal(env_a, carrier_freq=NU), Signal(env_b, carrier_freq=NU_B)]
+        res = solver.solve(0.0, n_steps, np.eye(4, dtype=complex), sigs)
+        expected = _ground_truth_multi(G0_2Q, [GA_2Q, GB_2Q], sigs, T)
+        err = np.max(np.abs(np.asarray(res.y[-1]) - expected))
+        assert err < 1e-4, err
+
+    def test_dyson_2q_zero_carrier(self):
+        """A 0-carrier channel (always-on coupling with a slow envelope)."""
+        solver = DysonSolver(
+            operators=[GA_2Q, GB_2Q],
+            rotating_frame=G0_2Q,
+            dt=0.02,
+            carrier_freqs=[NU, 0.0],
+            chebyshev_orders=[1, 1],
+            expansion_order=4,
+            atol=1e-13, rtol=1e-13,
+        )
+        T, n_steps = 0.5, 25
+        env_a = _gauss(0.4, 0.15, T)
+        sigs = [Signal(env_a, carrier_freq=NU), Signal(0.3, carrier_freq=0.0)]
+        res = solver.solve(0.0, n_steps, np.eye(4, dtype=complex), sigs)
+        expected = _ground_truth_multi(G0_2Q, [GA_2Q, GB_2Q], sigs, T)
+        err = np.max(np.abs(np.asarray(res.y[-1]) - expected))
+        assert err < 1e-4, err
+
+
+class TestIncludeImag:
+    def test_real_envelope_matches_default(self):
+        """include_imag=[False] drops the sin-quadrature perturbations. The
+        shifted-envelope DCT coefficients carry a per-interval carrier
+        realignment phase e^{i 2 pi nu t_k}, so they are real exactly when
+        the envelope is real AND nu * dt is an integer — in that regime the
+        reduced solver must match the default one exactly (the dropped
+        terms' coefficients are identically zero)."""
+        kwargs = dict(
+            operators=[G1],
+            rotating_frame=G0,
+            dt=0.2,  # NU * dt = 1.0: realignment phase is unity
+            carrier_freqs=[NU],
+            chebyshev_orders=[2],
+            expansion_order=4,
+            atol=1e-13, rtol=1e-13,
+        )
+        s_full = DysonSolver(**kwargs)
+        s_real = DysonSolver(include_imag=[False], **kwargs)
+        assert len(s_real.model.expansion_polynomial.monomial_labels) < len(
+            s_full.model.expansion_polynomial.monomial_labels
+        )
+        T, n_steps = 1.0, 5
+        env = _gauss(0.4, 0.2, T)
+        sig = Signal(env, carrier_freq=NU)
+        y0 = np.eye(2, dtype=complex)
+        r_full = s_full.solve(0.0, n_steps, y0, [sig])
+        r_real = s_real.solve(0.0, n_steps, y0, [sig])
+        np.testing.assert_allclose(
+            np.asarray(r_real.y[-1]), np.asarray(r_full.y[-1]), atol=1e-8
+        )
