@@ -311,3 +311,118 @@ class TestRoundTripsAndVariants:
             order="F"
         )
         np.testing.assert_allclose(vec_direct, vec_via_basis, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Frame-basis flag battery (ref: TestRotatingFrame pseudo-random cases with
+# all basis-flag combinations, /root/reference/test/dynamics/models/
+# test_rotating_frame.py:160-438). Expected values are built directly from
+# the eigendecomposition F = U diag(d) U^dagger:
+#   state_into_frame  = [U] diag(e^{-d t}) [U^dagger] y
+#   operator_into_frame = [U] diag(e^{-d t}) U^dag G U diag(e^{d t}) [U^dag]
+#   generator_into_frame = same - diag(d) (frame-basis) / - F (outer basis)
+# with the bracketed factors dropped by the corresponding flag.
+# ---------------------------------------------------------------------------
+
+FLAGS = [(False, False), (False, True), (True, False), (True, True)]
+
+
+class TestBasisFlagBattery:
+    def setup_method(self, method):
+        d = 5
+        H = random_hermitian(d)
+        self.F = -1j * H
+        self.frame = RotatingFrame(self.F)
+        self.d_diag, self.U = np.linalg.eigh(1j * np.asarray(self.F))
+        self.d_diag = -1j * self.d_diag
+        # re-derive U consistently with the frame's own basis (eigh phase
+        # freedom): use the frame's stored basis for expected values
+        self.U = np.asarray(self.frame.frame_basis)
+        self.d_diag = np.asarray(self.frame.frame_diag)
+        self.t = 0.37
+        self.y = rng.normal(size=(d,)) + 1j * rng.normal(size=(d,))
+        self.G = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+
+    def _phase(self, sign):
+        return np.diag(np.exp(sign * self.d_diag * self.t))
+
+    @pytest.mark.parametrize("y_in_fb,ret_in_fb", FLAGS)
+    def test_state_into_frame_flags(self, y_in_fb, ret_in_fb):
+        out = self.frame.state_into_frame(
+            self.t, self.y, y_in_frame_basis=y_in_fb, return_in_frame_basis=ret_in_fb
+        )
+        expected = self._phase(-1) @ (
+            self.y if y_in_fb else self.U.conj().T @ self.y
+        )
+        if not ret_in_fb:
+            expected = self.U @ expected
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-12)
+
+    @pytest.mark.parametrize("y_in_fb,ret_in_fb", FLAGS)
+    def test_state_out_of_frame_flags(self, y_in_fb, ret_in_fb):
+        out = self.frame.state_out_of_frame(
+            self.t, self.y, y_in_frame_basis=y_in_fb, return_in_frame_basis=ret_in_fb
+        )
+        expected = self._phase(+1) @ (
+            self.y if y_in_fb else self.U.conj().T @ self.y
+        )
+        if not ret_in_fb:
+            expected = self.U @ expected
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-12)
+
+    @pytest.mark.parametrize("op_in_fb,ret_in_fb", FLAGS)
+    def test_operator_into_frame_flags(self, op_in_fb, ret_in_fb):
+        out = self.frame.operator_into_frame(
+            self.t, self.G,
+            operator_in_frame_basis=op_in_fb, return_in_frame_basis=ret_in_fb,
+        )
+        g_fb = self.G if op_in_fb else self.U.conj().T @ self.G @ self.U
+        expected = self._phase(-1) @ g_fb @ self._phase(+1)
+        if not ret_in_fb:
+            expected = self.U @ expected @ self.U.conj().T
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-11)
+
+    @pytest.mark.parametrize("op_in_fb,ret_in_fb", FLAGS)
+    def test_generator_into_frame_flags(self, op_in_fb, ret_in_fb):
+        out = self.frame.generator_into_frame(
+            self.t, self.G,
+            operator_in_frame_basis=op_in_fb, return_in_frame_basis=ret_in_fb,
+        )
+        g_fb = self.G if op_in_fb else self.U.conj().T @ self.G @ self.U
+        expected = self._phase(-1) @ g_fb @ self._phase(+1) - np.diag(self.d_diag)
+        if not ret_in_fb:
+            expected = self.U @ expected @ self.U.conj().T
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-11)
+
+    @pytest.mark.parametrize("op_in_fb,ret_in_fb", FLAGS)
+    def test_generator_out_of_frame_flags(self, op_in_fb, ret_in_fb):
+        out = self.frame.generator_out_of_frame(
+            self.t, self.G,
+            operator_in_frame_basis=op_in_fb, return_in_frame_basis=ret_in_fb,
+        )
+        g_fb = self.G if op_in_fb else self.U.conj().T @ self.G @ self.U
+        expected = self._phase(+1) @ g_fb @ self._phase(-1) + np.diag(self.d_diag)
+        if not ret_in_fb:
+            expected = self.U @ expected @ self.U.conj().T
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-11)
+
+    def test_into_out_of_frame_inverse(self):
+        mid = self.frame.operator_into_frame(self.t, self.G)
+        back = self.frame.operator_out_of_frame(self.t, mid)
+        np.testing.assert_allclose(np.asarray(back), self.G, atol=1e-11)
+
+    def test_basis_change_only(self):
+        fb = self.frame.operator_into_frame_basis(self.G)
+        np.testing.assert_allclose(
+            np.asarray(fb), self.U.conj().T @ self.G @ self.U, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(self.frame.operator_out_of_frame_basis(fb)), self.G, atol=1e-11
+        )
+
+    def test_batched_states_flags(self):
+        """(k, dim) state stacks broadcast through the flag combinations."""
+        ys = rng.normal(size=(3, 5)) + 1j * rng.normal(size=(3, 5))
+        out = self.frame.state_into_frame(self.t, ys.T)
+        expected = self.U @ self._phase(-1) @ self.U.conj().T @ ys.T
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-12)

@@ -647,7 +647,7 @@ class TestSolveSweep:
         )
 
 
-class TestSolverValidation:
+class TestSolverHermiticityValidation:
     """Hermiticity validation + override and signals=None semantics
     (reference test_solver_classes.py validation families)."""
 
@@ -738,3 +738,179 @@ class TestSolverValidation:
         psi = np.asarray(results[0].y[-1].data)
         rho = np.asarray(results[1].y[-1].data)
         np.testing.assert_allclose(np.outer(psi, psi.conj()), rho, atol=1e-8)
+
+
+class TestSolverSignalHandling:
+    """Model-signal purity and RWA signal translation (reference
+    TestSolverSignalHandling, test_solver_classes.py:260-460)."""
+
+    def _ham_solver(self, rwa=False):
+        kw = {}
+        if rwa:
+            kw = dict(rwa_cutoff_freq=2 * 5.0, rwa_carrier_freqs=[5.0])
+        return Solver(
+            static_hamiltonian=2 * np.pi * 5.0 * Z / 2,
+            hamiltonian_operators=[2 * np.pi * 0.1 * X / 2],
+            rotating_frame=2 * np.pi * 5.0 * Z / 2,
+            **kw,
+        )
+
+    def test_model_signals_unchanged_after_solve(self):
+        solver = self._ham_solver()
+        before = solver.model.signals
+        solver.solve(
+            t_span=[0.0, 0.5], y0=np.array([1.0, 0.0], dtype=complex),
+            signals=[Signal(1.0, carrier_freq=5.0)],
+            method="DOP853", atol=1e-10, rtol=1e-10,
+        )
+        assert solver.model.signals is before
+
+    def test_rwa_solver_signals_translated(self):
+        """An RWA solver given plain signals must agree with the full model
+        solved without RWA (loose physics tolerance ~ rwa truncation)."""
+        y0 = np.array([1.0, 0.0], dtype=complex)
+        sig = [Signal(1.0, carrier_freq=5.0)]
+        full = self._ham_solver(rwa=False).solve(
+            t_span=[0.0, 2.0], y0=y0, signals=sig,
+            method="DOP853", atol=1e-12, rtol=1e-12,
+        )
+        rwa = self._ham_solver(rwa=True).solve(
+            t_span=[0.0, 2.0], y0=y0, signals=sig,
+            method="DOP853", atol=1e-12, rtol=1e-12,
+        )
+        assert (
+            np.max(np.abs(np.asarray(full.y[-1]) - np.asarray(rwa.y[-1]))) < 2e-2
+        )
+
+    def test_rwa_td_lindblad_signals_translated(self):
+        """RWA Lindblad solver with time-dependent dissipator signals."""
+        y0 = np.array([[1.0, 0.0], [0.0, 0.0]], dtype=complex)
+        sm = np.array([[0.0, 1.0], [0.0, 0.0]], dtype=complex)
+        sig = ([Signal(1.0, carrier_freq=5.0)], [Signal(0.05)])
+        kw = dict(
+            static_hamiltonian=2 * np.pi * 5.0 * Z / 2,
+            hamiltonian_operators=[2 * np.pi * 0.1 * X / 2],
+            dissipator_operators=[sm],
+            rotating_frame=2 * np.pi * 5.0 * Z / 2,
+        )
+        full = Solver(**kw).solve(
+            t_span=[0.0, 2.0], y0=y0, signals=sig,
+            method="DOP853", atol=1e-12, rtol=1e-12,
+        )
+        rwa = Solver(
+            rwa_cutoff_freq=2 * 5.0, rwa_carrier_freqs=([5.0], [0.0]), **kw
+        ).solve(
+            t_span=[0.0, 2.0], y0=y0, signals=sig,
+            method="DOP853", atol=1e-12, rtol=1e-12,
+        )
+        assert (
+            np.max(np.abs(np.asarray(full.y[-1]) - np.asarray(rwa.y[-1]))) < 2e-2
+        )
+
+
+class TestSolverListSimulationCases:
+    """Broadcast combinations of t_span / y0 / signals lists (reference
+    TestSolverListSimulation case1-4, test_solver_classes.py:1389-1600)."""
+
+    def setup_method(self, method):
+        self.solver = Solver(
+            static_hamiltonian=2 * np.pi * 5.0 * Z / 2,
+            hamiltonian_operators=[2 * np.pi * 0.1 * X / 2],
+            rotating_frame=2 * np.pi * 5.0 * Z / 2,
+        )
+        self.y0a = np.array([1.0, 0.0], dtype=complex)
+        self.y0b = np.array([0.0, 1.0], dtype=complex)
+        self.sig_a = [Signal(0.5, carrier_freq=5.0)]
+        self.sig_b = [Signal(1.0, carrier_freq=5.0)]
+        self.kw = dict(method="DOP853", atol=1e-12, rtol=1e-12)
+
+    def _single(self, t_span, y0, signals):
+        return np.asarray(
+            self.solver.solve(t_span=t_span, y0=y0, signals=signals, **self.kw).y[-1]
+        )
+
+    def test_t_span_list(self):
+        res = self.solver.solve(
+            t_span=[[0.0, 0.5], [0.0, 1.0]], y0=self.y0a, signals=self.sig_a, **self.kw
+        )
+        assert isinstance(res, list) and len(res) == 2
+        for r, ts in zip(res, [[0.0, 0.5], [0.0, 1.0]]):
+            np.testing.assert_allclose(
+                np.asarray(r.y[-1]), self._single(ts, self.y0a, self.sig_a), atol=1e-10
+            )
+
+    def test_y0_list(self):
+        res = self.solver.solve(
+            t_span=[0.0, 0.5], y0=[self.y0a, self.y0b], signals=self.sig_a, **self.kw
+        )
+        assert isinstance(res, list) and len(res) == 2
+        for r, y0 in zip(res, [self.y0a, self.y0b]):
+            np.testing.assert_allclose(
+                np.asarray(r.y[-1]), self._single([0.0, 0.5], y0, self.sig_a), atol=1e-10
+            )
+
+    def test_signals_list(self):
+        res = self.solver.solve(
+            t_span=[0.0, 0.5], y0=self.y0a, signals=[self.sig_a, self.sig_b], **self.kw
+        )
+        assert isinstance(res, list) and len(res) == 2
+        for r, sg in zip(res, [self.sig_a, self.sig_b]):
+            np.testing.assert_allclose(
+                np.asarray(r.y[-1]), self._single([0.0, 0.5], self.y0a, sg), atol=1e-10
+            )
+
+    def test_all_lists(self):
+        res = self.solver.solve(
+            t_span=[[0.0, 0.5], [0.0, 1.0]],
+            y0=[self.y0a, self.y0b],
+            signals=[self.sig_a, self.sig_b],
+            **self.kw,
+        )
+        assert isinstance(res, list) and len(res) == 2
+        np.testing.assert_allclose(
+            np.asarray(res[0].y[-1]),
+            self._single([0.0, 0.5], self.y0a, self.sig_a), atol=1e-10,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res[1].y[-1]),
+            self._single([0.0, 1.0], self.y0b, self.sig_b), atol=1e-10,
+        )
+
+    def test_mismatched_list_lengths_raise(self):
+        with pytest.raises(Exception):
+            self.solver.solve(
+                t_span=[[0.0, 0.5]] * 3, y0=[self.y0a] * 2, signals=self.sig_a, **self.kw
+            )
+
+
+def test_schedule_channel_without_instructions():
+    """A pulse-configured channel with no instructions in the schedule
+    contributes zero drive (reference test_channel_without_instructions)."""
+    from qiskit_dynamics_tpu.pulse import Schedule, Play, DriveChannel, Gaussian
+
+    solver = Solver(
+        static_hamiltonian=2 * np.pi * 5.0 * Z / 2,
+        hamiltonian_operators=[2 * np.pi * 0.1 * X / 2, 2 * np.pi * 0.05 * Z / 2],
+        hamiltonian_channels=["d0", "d1"],
+        channel_carrier_freqs={"d0": 5.0, "d1": 4.5},
+        dt=0.1,
+        rotating_frame=2 * np.pi * 5.0 * Z / 2,
+    )
+    sched = Schedule()
+    sched.append(Play(Gaussian(duration=20, amp=0.5, sigma=4), DriveChannel(0)))
+    y0 = np.array([1.0, 0.0], dtype=complex)
+    res_sched = solver.solve(
+        t_span=[0.0, 2.0], y0=y0, signals=sched,
+        method="DOP853", atol=1e-12, rtol=1e-12,
+    )
+    # manual equivalent: d0 from the converter, d1 identically zero
+    sigs = solver._schedule_converter.get_signals(sched)
+    assert len(sigs) >= 1
+    manual = solver.solve(
+        t_span=[0.0, 2.0], y0=y0,
+        signals=[sigs[0], Signal(0.0, carrier_freq=4.5)],
+        method="DOP853", atol=1e-12, rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sched.y[-1]), np.asarray(manual.y[-1]), atol=1e-8
+    )
