@@ -596,3 +596,111 @@ class TestRunValidation:
         sched.insert(8, Acquire(1, AcquireChannel(1), MemorySlot(0)))
         with pytest.warns(UserWarning, match="trivial"):
             backend.run(sched)
+
+
+class TestBackendUtilsBattery:
+    """Extended backend_utils behaviors (reference test_backend_utils.py):
+    dressed-state reordering and degeneracy failure, lab-frame static
+    Hamiltonian recovery across frame types, memory-slot edge cases, and
+    subsystem marginals."""
+
+    def test_dressed_reordering(self):
+        from qiskit_dynamics_tpu.backend.backend_utils import (
+            _get_dressed_state_decomposition,
+        )
+
+        # eigh returns ascending eigenvalues; position sorting must undo it
+        H = np.diag([3.0, 1.0, 2.0]) + 0.01 * (np.ones((3, 3)) - np.eye(3))
+        evals, evecs = _get_dressed_state_decomposition(H)
+        # dressed_evals[j] tracks the basis state j, not the sorted order
+        assert abs(evals[0] - 3.0) < 0.05
+        assert abs(evals[1] - 1.0) < 0.05
+        assert abs(evals[2] - 2.0) < 0.05
+        for j in range(3):
+            assert int(np.argmax(np.abs(evecs[:, j]))) == j
+
+    def test_dressed_degenerate_raises(self):
+        from qiskit_dynamics_tpu.backend.backend_utils import (
+            _get_dressed_state_decomposition,
+        )
+        from qiskit_dynamics_tpu.exceptions import DynamicsError
+
+        # maximal mixing: both eigenvectors have the same dominant component
+        X = np.array([[0.0, 1.0], [1.0, 0.0]])
+        with pytest.raises(DynamicsError, match="sorting failed"):
+            _get_dressed_state_decomposition(X)
+
+    @pytest.mark.parametrize("frame", [None, "diag", "operator"])
+    def test_lab_frame_static_hamiltonian_recovery(self, frame):
+        from qiskit_dynamics_tpu.backend.backend_utils import (
+            _get_lab_frame_static_hamiltonian,
+        )
+        from qiskit_dynamics_tpu.models import HamiltonianModel
+
+        H = 2 * np.pi * np.diag([0.0, 5.0, 9.8]) + 0.1 * (
+            np.diag([1.0, 1.0], 1) + np.diag([1.0, 1.0], -1)
+        )
+        frame_op = {
+            None: None,
+            "diag": np.diag(H).copy(),
+            "operator": H,
+        }[frame]
+        model = HamiltonianModel(
+            operators=[np.diag([1.0, -1.0, 0.0])],
+            static_operator=H,
+            rotating_frame=frame_op,
+        )
+        recovered = _get_lab_frame_static_hamiltonian(model)
+        np.testing.assert_allclose(recovered, H, atol=1e-10)
+
+    def test_lab_frame_static_hamiltonian_lindblad(self):
+        from qiskit_dynamics_tpu.backend.backend_utils import (
+            _get_lab_frame_static_hamiltonian,
+        )
+        from qiskit_dynamics_tpu.models import LindbladModel
+
+        H = 2 * np.pi * 5.0 * np.diag([-0.5, 0.5])
+        sm = np.array([[0.0, 1.0], [0.0, 0.0]], dtype=complex)
+        model = LindbladModel(
+            static_hamiltonian=H,
+            static_dissipators=[0.1 * sm],
+            rotating_frame=H,
+        )
+        np.testing.assert_allclose(
+            _get_lab_frame_static_hamiltonian(model), H, atol=1e-10
+        )
+
+    def test_memory_slots_extra_slots(self):
+        from qiskit_dynamics_tpu.backend.backend_utils import (
+            _get_memory_slot_probabilities,
+        )
+
+        probs = {"10": 0.7, "01": 0.3}
+        # subsystem 0 -> slot 0, subsystem 1 -> slot 2, 4 slots total
+        out = _get_memory_slot_probabilities(probs, [0, 2], num_memory_slots=4)
+        assert out == {"0100": 0.7, "0001": 0.3}
+
+    def test_memory_slots_outcome_bound_merges(self):
+        from qiskit_dynamics_tpu.backend.backend_utils import (
+            _get_memory_slot_probabilities,
+        )
+
+        # levels 2 and 1 both round down to 1 -> probabilities merge
+        probs = {"2": 0.25, "1": 0.35, "0": 0.4}
+        out = _get_memory_slot_probabilities(probs, [0], max_outcome_value=1)
+        assert abs(out["1"] - 0.6) < 1e-13 and abs(out["0"] - 0.4) < 1e-13
+
+    def test_subsystem_probabilities(self):
+        from qiskit_dynamics_tpu.backend.backend_utils import (
+            _get_subsystem_probabilities,
+        )
+
+        # two qubits: P(q0=1) and P(q1=1) marginals of a product state
+        p0 = np.array([0.8, 0.2])
+        p1 = np.array([0.3, 0.7])
+        # tensor with dims reversed-qiskit convention: index (q1, q0)
+        joint = np.einsum("a,b->ab", p1, p0)
+        marg0 = _get_subsystem_probabilities(joint, 0)
+        marg1 = _get_subsystem_probabilities(joint, 1)
+        np.testing.assert_allclose(marg0, p0, atol=1e-13)
+        np.testing.assert_allclose(marg1, p1, atol=1e-13)
