@@ -285,10 +285,9 @@ def magnus_from_dyson(complete_multisets: List[Multiset], dyson_terms, use_jax: 
     ``lax.scan`` over stacked rule tables in the jax path."""
     complete_multisets = [tuple(ms) for ms in complete_multisets]
     q_terms = _magnus_q_ladder(complete_multisets)
-    start_idx, magnus_indices, stacked_rules = _stack_q_ladder_rules(q_terms)
-
-    if start_idx == len(dyson_terms):
+    if all(len(ms) == 1 for ms in complete_multisets):
         return dyson_terms  # all first order: Magnus == Dyson
+    start_idx, magnus_indices, stacked_rules = _stack_q_ladder_rules(q_terms)
 
     q_shape = (len(q_terms) + 1,) + tuple(np.shape(dyson_terms)[1:])
     eye = np.broadcast_to(np.eye(q_shape[-1], dtype=complex), q_shape[1:])
