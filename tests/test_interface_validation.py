@@ -181,3 +181,136 @@ class TestSolverClassValidation:
                 t_span=[0.0, 0.1], y0=Y0, signals=[Signal(1.0)],
                 method="bogus",
             )
+
+
+class TestLMDEFrameBasisSetup:
+    """Frame-basis setup/teardown helpers across model types (reference
+    TestLMDEGeneratorModelSetup, test_solver_functions_interface.py:164-375).
+    Expected transforms built directly from the frame eigenbasis U:
+    state y0 -> U^dag y0; density matrix -> U^dag rho U; vectorized
+    (column-stacked) -> (U^dag kron U^dag^bar acting as the cached
+    vectorized basis adjoint) @ y0."""
+
+    def setup_method(self, method):
+        from qiskit_dynamics_tpu.models import (
+            HamiltonianModel,
+            LindbladModel,
+        )
+
+        rng = np.random.default_rng(11)
+        d = 3
+        H = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+        self.H0 = H + H.conj().T
+        Hd = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+        self.Hdrive = Hd + Hd.conj().T
+        self.L = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+        self.d = d
+        self.ham_model = HamiltonianModel(
+            operators=[self.Hdrive], static_operator=self.H0,
+            rotating_frame=self.H0, signals=[1.0],
+        )
+        self.lind_model = LindbladModel(
+            static_hamiltonian=self.H0,
+            hamiltonian_operators=[self.Hdrive],
+            hamiltonian_signals=[1.0],
+            static_dissipators=[self.L],
+            rotating_frame=self.H0,
+        )
+        self.vec_model = LindbladModel(
+            static_hamiltonian=self.H0,
+            hamiltonian_operators=[self.Hdrive],
+            hamiltonian_signals=[1.0],
+            static_dissipators=[self.L],
+            rotating_frame=self.H0,
+            vectorized=True,
+        )
+        self.U = np.asarray(self.ham_model.rotating_frame.frame_basis)
+
+    def _setup(self, model, y0):
+        from qiskit_dynamics_tpu.solvers.solver_functions import (
+            setup_generator_model_rhs_y0_in_frame_basis,
+        )
+
+        return setup_generator_model_rhs_y0_in_frame_basis(model, y0)
+
+    def test_hamiltonian_y0_transform_and_flag(self):
+        y0 = np.arange(self.d).astype(complex)
+        assert not self.ham_model.in_frame_basis
+        _, rhs, y0_fb, was_fb = self._setup(self.ham_model, y0)
+        try:
+            assert self.ham_model.in_frame_basis and not was_fb
+            np.testing.assert_allclose(
+                np.asarray(y0_fb), self.U.conj().T @ y0, atol=1e-12
+            )
+            # rhs in frame basis == U^dag (lab-frame generator action) U
+            t = 0.21
+            self.ham_model.in_frame_basis = False
+            g_lab = np.asarray(self.ham_model(t))
+            self.ham_model.in_frame_basis = True
+            rhs_val = np.asarray(rhs(t, y0_fb))
+            np.testing.assert_allclose(
+                self.U @ rhs_val, g_lab @ (self.U @ y0_fb), atol=1e-10
+            )
+        finally:
+            self.ham_model.in_frame_basis = was_fb
+
+    def test_lindblad_density_matrix_conjugated(self):
+        rho = np.outer(np.arange(self.d), np.arange(self.d)).astype(complex)
+        _, _, rho_fb, was_fb = self._setup(self.lind_model, rho)
+        try:
+            np.testing.assert_allclose(
+                np.asarray(rho_fb), self.U.conj().T @ rho @ self.U, atol=1e-12
+            )
+        finally:
+            self.lind_model.in_frame_basis = was_fb
+
+    def test_vectorized_lindblad_uses_vectorized_basis(self):
+        rho = np.outer(np.arange(self.d), np.arange(self.d)).astype(complex)
+        vec = rho.flatten(order="F")
+        _, _, vec_fb, was_fb = self._setup(self.vec_model, vec)
+        try:
+            expected = (
+                self.U.conj().T @ rho @ self.U
+            ).flatten(order="F")
+            np.testing.assert_allclose(np.asarray(vec_fb), expected, atol=1e-12)
+        finally:
+            self.vec_model.in_frame_basis = was_fb
+
+    def test_already_in_frame_basis_y0_untouched(self):
+        y0 = np.arange(self.d).astype(complex)
+        self.ham_model.in_frame_basis = True
+        try:
+            _, _, y0_fb, was_fb = self._setup(self.ham_model, y0)
+            assert was_fb
+            np.testing.assert_allclose(np.asarray(y0_fb), y0, atol=0.0)
+        finally:
+            self.ham_model.in_frame_basis = False
+
+    def test_results_conversion_roundtrip(self):
+        from qiskit_dynamics_tpu.solvers.solver_functions import (
+            results_y_out_of_frame_basis,
+        )
+
+        y0 = np.arange(self.d).astype(complex)
+        _, _, y0_fb, was_fb = self._setup(self.ham_model, y0)
+        try:
+            stacked = np.asarray([y0_fb, 2 * y0_fb])  # (T, d) time stack
+            out = results_y_out_of_frame_basis(self.ham_model, stacked, y0.ndim)
+            np.testing.assert_allclose(np.asarray(out)[0], y0, atol=1e-12)
+            np.testing.assert_allclose(np.asarray(out)[1], 2 * y0, atol=1e-12)
+        finally:
+            self.ham_model.in_frame_basis = was_fb
+
+    def test_results_conversion_density_matrix(self):
+        from qiskit_dynamics_tpu.solvers.solver_functions import (
+            results_y_out_of_frame_basis,
+        )
+
+        rho = np.outer(np.arange(self.d), np.arange(self.d)).astype(complex)
+        _, _, rho_fb, was_fb = self._setup(self.lind_model, rho)
+        try:
+            stacked = np.asarray([rho_fb])
+            out = results_y_out_of_frame_basis(self.lind_model, stacked, rho.ndim)
+            np.testing.assert_allclose(np.asarray(out)[0], rho, atol=1e-12)
+        finally:
+            self.lind_model.in_frame_basis = was_fb
