@@ -462,12 +462,6 @@ def sweep_expm_magnus_df(
             rank-1/fixed-shape envelope case where one reference member's
             envelope trajectory (carrier folded in) is host-sampled and
             every member is a complex scale of it.
-        devices: optional list of ``jax.Device`` — chunk dispatches
-            round-robin across them (host-fed data parallelism; the
-            invariant tables ship to every device once). ``None`` = the
-            default device. Either way chunk result transfers are deferred
-            until all chunks are enqueued, overlapping compute with the
-            host link.
             ``coefficients`` must then be ``None`` and ``dt`` must be a
             (T,) array (the step count is otherwise unknown). The full
             (T, n_nodes, k, B) table is assembled ON DEVICE in df32
@@ -475,6 +469,12 @@ def sweep_expm_magnus_df(
             drops from O(T * B) to O(T + B), which otherwise dominates
             the sweep on slow links (measured ~20 s of a 25 s 10k-member
             call through the axon tunnel).
+        devices: optional list of ``jax.Device`` — chunk dispatches
+            round-robin across them (host-fed data parallelism; the
+            invariant tables ship to every device once). ``None`` = the
+            default device. Either way chunk result transfers are deferred
+            until all chunks are enqueued, overlapping compute with the
+            host link.
 
     Returns:
         (n, B) complex128 final states (frame basis) at ``t0 + sum(dt)``.
