@@ -337,7 +337,12 @@ class Solver:
                 and reconstructs the whole sweep with a certified
                 interpolant — 1e-8-class accuracy at fused-sweep speed for
                 smooth parameter dependence; see
-                :func:`~qiskit_dynamics_tpu.solvers.sweep_interpolation.interpolated_sweep_solve`).
+                :func:`~qiskit_dynamics_tpu.solvers.sweep_interpolation.interpolated_sweep_solve`.
+                2-d calibration MAPS dispatch automatically: pass params as
+                a ``(p1_vals, p2_vals)`` tuple (product grid) or a
+                ``(B, 2)`` point array for the anisotropic tensor-product
+                variant,
+                :func:`~qiskit_dynamics_tpu.solvers.sweep_interpolation.interpolated_sweep_solve_2d`).
             kwargs: forwarded to the chosen fused solver.
 
         Returns:
@@ -360,9 +365,24 @@ class Solver:
                 rwa_signal_map=rwa_signal_map, **kwargs,
             )
         if method == "chebyshev":
-            from .sweep_interpolation import interpolated_sweep_solve
+            from .sweep_interpolation import (
+                interpolated_sweep_solve,
+                interpolated_sweep_solve_2d,
+            )
 
-            return interpolated_sweep_solve(
+            # 2-d forms: a (p1_vals, p2_vals) tuple (product grid) or a
+            # (B, 2) point array — everything else is the 1-d scalar sweep
+            is_2d = (
+                isinstance(params, tuple)
+                and len(params) == 2
+                and all(np.ndim(q) == 1 for q in params)
+            ) or (
+                not isinstance(params, tuple)
+                and np.ndim(params) == 2
+                and np.shape(params)[1] == 2
+            )
+            cheb = interpolated_sweep_solve_2d if is_2d else interpolated_sweep_solve
+            return cheb(
                 self.model, signals_fn, params, t_span=t_span, y0=y0,
                 rwa_signal_map=rwa_signal_map, **kwargs,
             )

@@ -165,3 +165,147 @@ class TestInterpolatedSweepPhysics:
             method="fused_magnus2", max_dt=0.1, precision="df32",
         )
         assert np.max(np.abs(out - np.asarray(direct))) < 1e-7
+
+
+class Test2DInterpolation:
+    """Tensor-product 2-d sweeps (interpolated_sweep_solve_2d)."""
+
+    def test_analytic_function_product_grid(self):
+        from qiskit_dynamics_tpu.solvers.sweep_interpolation import (
+            interpolated_sweep_solve_2d,
+        )
+
+        calls = []
+
+        def node_solver(q1, q2):
+            calls.append(len(q1))
+            q1, q2 = np.asarray(q1), np.asarray(q2)
+            return (
+                np.exp(1j * (2.0 * q1 + 0.7 * q2))[:, None]
+                * np.array([[1.0, 0.5]])
+            )
+
+        p1 = np.linspace(0.0, 1.5, 40)
+        p2 = np.linspace(-1.0, 1.0, 30)
+        out, info = interpolated_sweep_solve_2d(
+            model=None, signals_fn=None, params=(p1, p2), t_span=(0, 1),
+            y0=None, tol=1e-10, min_level=2, max_level=6,
+            node_solver=node_solver, full_output=True,
+        )
+        assert out.shape == (40, 30, 2)
+        expected = (
+            np.exp(1j * (2.0 * p1[:, None] + 0.7 * p2[None, :]))[:, :, None]
+            * np.array([1.0, 0.5])[None, None, :]
+        )
+        assert np.max(np.abs(out - expected)) < 1e-9
+        assert info.converged and info.est_error < 1e-10
+        assert sum(calls) == info.n_nodes < 40 * 30
+
+    def test_anisotropic_refinement(self):
+        """A solution nearly independent of p2 must not pay p2 nodes: the
+        tail-driven refinement keeps axis 2 at min_level."""
+        from qiskit_dynamics_tpu.solvers.sweep_interpolation import (
+            interpolated_sweep_solve_2d,
+        )
+
+        def node_solver(q1, q2):
+            q1, q2 = np.asarray(q1), np.asarray(q2)
+            # strong oscillation in p1, linear (degree-1, exactly resolved)
+            # dependence on p2
+            return (np.exp(1j * 9.0 * q1) + 0.01 * q2)[:, None].astype(complex)
+
+        out, info = interpolated_sweep_solve_2d(
+            model=None, signals_fn=None,
+            params=(np.linspace(0, 1, 20), np.linspace(0, 1, 20)),
+            t_span=(0, 1), y0=None, tol=1e-10, min_level=2, max_level=7,
+            node_solver=node_solver, full_output=True,
+        )
+        assert info.converged
+        l1, l2 = info.levels
+        assert l1 > 2 and l2 == 2, info.levels
+
+    def test_scattered_points(self):
+        from qiskit_dynamics_tpu.solvers.sweep_interpolation import (
+            interpolated_sweep_solve_2d,
+        )
+
+        def node_solver(q1, q2):
+            return np.cos(np.asarray(q1) * np.asarray(q2))[:, None].astype(complex)
+
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(0.0, 2.0, size=(100, 2))
+        out = interpolated_sweep_solve_2d(
+            model=None, signals_fn=None, params=pts, t_span=(0, 1), y0=None,
+            tol=1e-10, min_level=2, max_level=6, node_solver=node_solver,
+        )
+        expected = np.cos(pts[:, 0] * pts[:, 1])[:, None]
+        assert out.shape == (100, 1)
+        assert np.max(np.abs(out - expected)) < 1e-9
+
+    def test_non_smooth_fails_loudly(self):
+        from qiskit_dynamics_tpu.solvers.sweep_interpolation import (
+            interpolated_sweep_solve_2d,
+        )
+
+        def node_solver(q1, q2):
+            return np.where(
+                (np.asarray(q1) + np.asarray(q2))[:, None] > 1.0, 1.0, -1.0
+            ).astype(complex)
+
+        with pytest.raises(DynamicsError, match="did not reach tol"):
+            interpolated_sweep_solve_2d(
+                model=None, signals_fn=None,
+                params=(np.linspace(0, 1, 10), np.linspace(0, 1, 10)),
+                t_span=(0, 1), y0=None, tol=1e-8, min_level=2, max_level=4,
+                node_solver=node_solver,
+            )
+
+    def test_validations(self):
+        from qiskit_dynamics_tpu.solvers.sweep_interpolation import (
+            interpolated_sweep_solve_2d,
+        )
+
+        ns = lambda q1, q2: np.ones((len(q1), 1), dtype=complex)
+        with pytest.raises(DynamicsError, match="tuple.*or"):
+            interpolated_sweep_solve_2d(
+                None, None, np.ones((3, 3)), (0, 1), None, node_solver=ns
+            )
+        with pytest.raises(DynamicsError, match="nonzero"):
+            interpolated_sweep_solve_2d(
+                None, None, (np.array([1.0, 1.0]), np.array([0.0, 1.0])),
+                (0, 1), None, node_solver=ns,
+            )
+
+    def test_physics_amp_detuning_map(self):
+        """2-d amplitude x carrier-detuning calibration map vs direct
+        per-point DOP853 (the real workload this method targets)."""
+        solver, nu = _rabi_solver()
+        y0 = np.array([1.0, 0.0], dtype=complex)
+        T = 2.0
+
+        def signals_fn(pq):
+            amp, det = pq
+            return [Signal(lambda t: amp * 0.05, carrier_freq=nu + det * 0.02)]
+
+        p1 = np.linspace(0.2, 1.0, 25)  # amplitude scale
+        p2 = np.linspace(-1.0, 1.0, 21)  # detuning scale
+        out, info = solver.solve_sweep(
+            lambda pq: signals_fn(pq), (p1, p2), t_span=(0.0, T), y0=y0,
+            method="chebyshev", tol=1e-8, min_level=2, max_level=6,
+            max_dt=0.02, full_output=True,
+        )
+        assert out.shape == (25, 21, 2)
+        assert info.converged
+        for i, j in [(0, 0), (12, 7), (24, 20)]:
+            res = solver.solve(
+                t_span=[0.0, T], y0=y0,
+                signals=[
+                    Signal(
+                        lambda t, a=p1[i]: a * 0.05,
+                        carrier_freq=nu + p2[j] * 0.02,
+                    )
+                ],
+                method="DOP853", atol=1e-12, rtol=1e-12,
+            )
+            err = np.max(np.abs(out[i, j] - np.asarray(res.y[-1])))
+            assert err < 1e-6, f"({i},{j}): {err:.2e}"
