@@ -424,6 +424,30 @@ def interpolated_sweep_solve_2d(
             "check that signals_fn is smooth in both parameters."
         )
 
+    # ---- genuinely-2-d certificate: off-node probe points ----
+    # The per-refinement certificate samples at the OTHER axis's nodes,
+    # where that axis's interpolation is exact by construction — an axis
+    # the tail heuristic under-refines would be invisible to it. A final
+    # batch of interior points off BOTH node sets closes that hole.
+    rng = np.random.default_rng(0)  # deterministic: resume/repro-friendly
+    q1 = rng.uniform(lo1, hi1, size=16)
+    q2 = rng.uniform(lo2, hi2, size=16)
+    probe_vals = np.asarray(node_solver(q1, q2)).reshape((16,) + state_shape)
+    n_nodes += 16
+    probe_pred = _eval_2d(coeffs, q1, q2, lo1, hi1, lo2, hi2, False).reshape(
+        probe_vals.shape
+    )
+    probe_err = float(np.max(np.abs(probe_pred - probe_vals)))
+    est_error = max(est_error, probe_err)
+    if probe_err > 10 * tol:  # interpolation error, not inner-solver noise
+        raise DynamicsError(
+            f"interpolated_sweep_solve_2d: off-node probe certification "
+            f"failed ({probe_err:.2e} vs tol={tol:.1e}) after the per-axis "
+            "certificates passed — the anisotropic refinement under-resolved "
+            "one axis (oscillation aliased below the node density). Raise "
+            "min_level or tighten tol."
+        )
+
     out = _eval_2d(coeffs, p1, p2, lo1, hi1, lo2, hi2, product_grid)
     if full_output:
         info = SweepInterpolation2DInfo(

@@ -309,3 +309,29 @@ class Test2DInterpolation:
             )
             err = np.max(np.abs(out[i, j] - np.asarray(res.y[-1])))
             assert err < 1e-6, f"({i},{j}): {err:.2e}"
+
+
+def test_2d_probe_certificate_catches_aliasing():
+    """An axis-2 dependence that vanishes exactly at the level-2 Lobatto
+    nodes (T_8(x2) == 1 there) fools the tail heuristic — only the final
+    off-node probe certificate can catch it, and must raise."""
+    from qiskit_dynamics_tpu.solvers.sweep_interpolation import (
+        interpolated_sweep_solve_2d,
+    )
+
+    def node_solver(q1, q2):
+        q1, q2 = np.asarray(q1), np.asarray(q2)
+        x2 = 2.0 * q2 - 1.0  # [0,1] -> [-1,1]
+        t8 = np.polynomial.chebyshev.chebval(x2, [0] * 8 + [1])
+        # q1 dependence is quadratic (exactly resolved at level 2), so the
+        # very first axis-1 refinement certificate passes and convergence
+        # is declared with the T_8 structure still hidden
+        return (q1**2 + 1e-3 * (t8 - 1.0))[:, None].astype(complex)
+
+    with pytest.raises(DynamicsError, match="probe certification"):
+        interpolated_sweep_solve_2d(
+            model=None, signals_fn=None,
+            params=(np.linspace(0, 1, 10), np.linspace(0, 1, 10)),
+            t_span=(0, 1), y0=None, tol=1e-9, min_level=2, max_level=4,
+            node_solver=node_solver,
+        )
