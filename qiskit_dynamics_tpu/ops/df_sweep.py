@@ -160,7 +160,7 @@ def _comm32(a, b, hermitian):
     jax.jit,
     static_argnames=(
         "n", "k", "order", "magnus_order", "hermitian", "fast_commutators",
-        "horner_df_tail", "coef_const",
+        "horner_df_tail", "coef_const", "eval_slots",
     ),
 )
 def _df_scan(
@@ -170,6 +170,7 @@ def _df_scan(
     fast_commutators=True,
     coef_const=False,
     horner_df_tail=6,
+    eval_slots=None,
 ):
     """The jitted df32 time loop.
 
@@ -311,8 +312,31 @@ def _df_scan(
     xs = (
         coefs[0], coefs[1], phases[0][0], phases[0][1], phases[1][0], phases[1][1],
     ) + tuple(x for pair in step_consts for x in pair)
-    out, _ = jax.lax.scan(step, _flatten_c(y0), xs)
-    return out
+    if eval_slots is None:
+        out, _ = jax.lax.scan(step, _flatten_c(y0), xs)
+        return out
+
+    # trajectory variant: after step j, store the state into slot
+    # eval_slots[j] of an (n_eval + 1)-deep buffer (slot -1 writes the
+    # sacrificial extra row — branch-free)
+    n_eval = max(eval_slots) + 1
+    slots = jnp.asarray(np.asarray(eval_slots, dtype=np.int32))
+    bufs = tuple(
+        jnp.zeros((n_eval + 1,) + y0[0][0].shape, dtype=jnp.float32)
+        for _ in range(4)
+    )
+
+    def step_traj(carry, xs_t):
+        xs_core, slot = xs_t
+        new_y, _ = step(carry[:4], xs_core)
+        slot_safe = jnp.where(slot >= 0, slot, n_eval)
+        new_bufs = tuple(
+            b.at[slot_safe].set(v) for b, v in zip(carry[4:], new_y)
+        )
+        return new_y + new_bufs, None
+
+    out, _ = jax.lax.scan(step_traj, _flatten_c(y0) + bufs, (xs, slots))
+    return out[:4], tuple(b[:n_eval] for b in out[4:])
 
 
 #: Gauss-Legendre nodes used per magnus_order
@@ -418,6 +442,7 @@ def sweep_expm_magnus_df(
     horner_df_tail: int = 6,
     coef_factors=None,
     devices=None,
+    eval_slots=None,
 ):
     r"""Fixed-step Magnus sweep (order 2 or 3 rule) in double-float32.
 
@@ -475,6 +500,11 @@ def sweep_expm_magnus_df(
             default device. Either way chunk result transfers are deferred
             until all chunks are enqueued, overlapping compute with the
             host link.
+        eval_slots: optional tuple of per-step trajectory slots (length T
+            ints; ``-1`` = no store, otherwise the state AFTER step ``j``
+            writes slot ``eval_slots[j]``). When given the return value is
+            ``(final, traj)`` with ``traj`` (n_eval, n, B) complex128 in
+            the same (frame) basis as ``final``.
 
     Returns:
         (n, B) complex128 final states (frame basis) at ``t0 + sum(dt)``.
@@ -676,13 +706,23 @@ def sweep_expm_magnus_df(
             coefs_dev, df32.cfrom_f64(y_sl), consts, step_c,
             hermitian=hermitian, fast_commutators=fast_commutators,
             horner_df_tail=horner_df_tail, coef_const=coef_const,
+            eval_slots=eval_slots,
         )
         # transfers are deferred: every chunk dispatch is enqueued (round-
         # robin across ``devices``) before the first result is pulled back,
         # so device compute overlaps host transfer and devices run
         # concurrently
         pending.append((lo_b, hi_b, res))
+    out_traj = (
+        None
+        if eval_slots is None
+        else np.empty((max(eval_slots) + 1, n, B), dtype=np.complex128)
+    )
     for lo_b, hi_b, res in pending:
+        if eval_slots is not None:
+            res, traj = res
+            tr = df32.cto_f64(_unflatten_c(traj))
+            out_traj[:, :, lo_b:hi_b] = tr[..., : hi_b - lo_b]
         chunk = df32.cto_f64(_unflatten_c(res))
         out[:, lo_b:hi_b] = chunk[:, : hi_b - lo_b]
-    return out
+    return out if eval_slots is None else (out, out_traj)

@@ -64,6 +64,7 @@ def _kernel(
     horner: str,
     c2_sign: float,
     resident: bool,
+    hoist: bool,
     *refs,
 ):
     (
@@ -88,6 +89,9 @@ def _kernel(
         tall_s,                        # (2n, n) wide-product operand
         wide_s,                        # (n, 2n)
         cos1, sin1, cos2, sin2,        # (n, n) Gauss-point phase scratch
+        rsr, rsi,                      # (2(k+1), n, n) hoisted rotated
+                                       # tables (or (1,1,1) dummies): static
+                                       # at gauss*(k+1), ops after
         y_s, v_s,                      # (bm, 2n) state scratch
     ) = refs
     f = statr_ref.dtype
@@ -106,9 +110,36 @@ def _kernel(
         cosb[...] = jnp.cos(ph)
         sinb[...] = jnp.sin(ph)
 
+    def rotate_tables(gauss_idx, cosb, sinb):
+        """Frame-rotate the SHARED static + op tables once per step/Gauss
+        point into ``rsr``/``rsi`` — the rotation is elementwise-linear, so
+        ``rot(stat + sum_j c_j ops_j) = rot(stat) + sum_j c_j rot(ops_j)``
+        and the per-member build below reduces to ``k`` fused
+        multiply-adds (the first-generation kernel paid the 6-op rotation
+        PER MEMBER; with ``bm > k + 1`` members sharing the tables this
+        removes most of the VPU build work the tuning campaign measured
+        as the bottleneck)."""
+        base = gauss_idx * (k + 1)
+        rsr[base] = statr_ref[...] * cosb[...] - stati_ref[...] * sinb[...]
+        rsi[base] = statr_ref[...] * sinb[...] + stati_ref[...] * cosb[...]
+        for j in range(k):
+            rsr[base + 1 + j] = opsr_ref[j] * cosb[...] - opsi_ref[j] * sinb[...]
+            rsi[base + 1 + j] = opsr_ref[j] * sinb[...] + opsi_ref[j] * cosb[...]
+
     def build_one(step, gauss_idx, m, slot, out_r, out_i, cosb, sinb):
         """Member ``m``'s frame-rotated generator into scratch index ``slot``
         (``m`` may be a traced index — it rides the untiled leading dim)."""
+        if hoist:
+            base = gauss_idx * (k + 1)
+            acc_r = rsr[base]
+            acc_i = rsi[base]
+            for j in range(k):
+                c = coef_ref[m, step, gauss_idx * k + j]
+                acc_r = acc_r + c * rsr[base + 1 + j]
+                acc_i = acc_i + c * rsi[base + 1 + j]
+            out_r[slot] = acc_r
+            out_i[slot] = acc_i
+            return
         acc_r = statr_ref[...]
         acc_i = stati_ref[...]
         for j in range(k):
@@ -171,6 +202,9 @@ def _kernel(
     def body(step, _):
         phase_tables(step, _GAUSS_C1, cos1, sin1)
         phase_tables(step, _GAUSS_C2, cos2, sin2)
+        if hoist:
+            rotate_tables(0, cos1, sin1)
+            rotate_tables(1, cos2, sin2)
         if resident:
             # all bm members' M matrices live at once; the Horner loop
             # interleaves members within each Taylor iteration so the MXU
@@ -228,7 +262,7 @@ def _kernel(
 def sweep_expm_magnus2_member(
     static_op, operators, frame_omega, coefficients, y0,
     dt, t0=0.0, order=8, block_m=8, interpret=False, hermitian=False,
-    frame_omega_lo=None, horner="mxu", resident=None,
+    frame_omega_lo=None, horner="mxu", resident=None, hoist_rotation=None,
 ):
     """Public shim (host-side frequency split, see
     :func:`.sweep_solver.split_omega_host`) over the jitted member-major
@@ -239,7 +273,11 @@ def sweep_expm_magnus2_member(
     (real-rep MXU mat-vec) or "vpu" (transposed-space sublane-reduce
     mat-vec, see module docstring); ``resident`` = keep all ``block_m``
     members' matrices in VMEM at once (defaults to ``n <= 64``; above that
-    the ~16 MB scoped-VMEM budget forces the one-member-at-a-time path)."""
+    the ~16 MB scoped-VMEM budget forces the one-member-at-a-time path);
+    ``hoist_rotation`` = frame-rotate the shared static/op tables once per
+    step instead of per member (defaults to on whenever the rotated-table
+    scratch fits ~4 MB VMEM; identical polynomial, f32-reassociation-level
+    result differences only)."""
     if horner not in ("mxu", "vpu", "hybrid", "bvpu"):
         raise ValueError(
             f"horner must be 'mxu', 'vpu', 'hybrid' or 'bvpu', got {horner!r}"
@@ -271,6 +309,7 @@ def sweep_expm_magnus2_member(
         static_op, operators, frame_omega, frame_omega_lo, coefficients, y0,
         dt=dt, t0=t0, order=order, block_m=block_m, interpret=interpret,
         hermitian=hermitian, horner=horner, resident=bool(resident),
+        hoist_rotation=hoist_rotation,
     )
 
 
@@ -278,14 +317,14 @@ def sweep_expm_magnus2_member(
     jax.jit,
     static_argnames=(
         "dt", "t0", "order", "block_m", "interpret", "hermitian", "horner",
-        "resident",
+        "resident", "hoist_rotation",
     ),
 )
 def _sweep_expm_magnus2_member_jit(
     static_op, operators, frame_omega, frame_omega_lo, coefficients, y0,
     dt: float, t0: float = 0.0, order: int = 8, block_m: int = 8,
     interpret: bool = False, hermitian: bool = False, horner: str = "mxu",
-    resident: bool = True,
+    resident: bool = True, hoist_rotation=None,
 ):
     T, _, k, B = coefficients.shape
     n = y0.shape[0]
@@ -321,9 +360,17 @@ def _sweep_expm_magnus2_member_jit(
         )
     n_blocks = (B + pad) // block_m
 
+    # hoisted shared-table rotation: a VMEM-budget call — the two Gauss
+    # points' rotated (k+1)-table sets cost 2(k+1) n^2 * 2 arrays; skip the
+    # hoist when that exceeds ~4 MB f32 (very large n or many operators)
+    hoist = (
+        hoist_rotation
+        if hoist_rotation is not None
+        else 2 * (k + 1) * n * n * 2 * 4 <= 4 * 1024 * 1024
+    )
     kernel = functools.partial(
         _kernel, n, k, T, float(dt), float(t0), int(order), int(block_m),
-        bool(hermitian), str(horner), -1.0, bool(resident),
+        bool(hermitian), str(horner), -1.0, bool(resident), bool(hoist),
     )
     full = lambda arr: pl.BlockSpec(
         arr.shape, lambda b: (0,) * arr.ndim, memory_space=pltpu.VMEM
@@ -356,6 +403,12 @@ def _sweep_expm_magnus2_member_jit(
                 pltpu.VMEM((n, 2 * n), f32),
             ]
             + [mat] * 4
+            + [
+                pltpu.VMEM(
+                    (2 * (k + 1), n, n) if hoist else (1, 1, 1), f32
+                )
+            ]
+            * 2
             + [state_block] * 2
         ),
         interpret=interpret,

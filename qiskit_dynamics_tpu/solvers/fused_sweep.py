@@ -288,10 +288,6 @@ def fused_sweep_solve(
         y0_fb = np.asarray(model.rotating_frame.state_into_frame_basis(np.asarray(y0)))
 
     if precision == "df32":
-        if t_eval is not None:
-            raise DynamicsError(
-                'fused_sweep_solve(precision="df32") does not support t_eval.'
-            )
         if df_grid == "adaptive":
             dts = _adaptive_df_grid(
                 signals_as_list, params, static_fb, ops_fb, omega, t0, tf,
@@ -303,11 +299,13 @@ def fused_sweep_solve(
             raise DynamicsError(
                 f"unknown df_grid {df_grid!r}; use 'uniform' or 'adaptive'."
             )
+        df_eval_slots, df_include_t0 = _df_eval_slots(t_eval, dts, t0, tf)
         return _fused_sweep_solve_df(
             model, signals_as_list, params, dts, static_fb, ops_fb, omega,
             y0_fb, vectorized_lindblad, t0, expm_order, df_chunk_b,
             df_magnus_order, df_engine, fast_commutators=df_fast,
             horner_df_tail=df_horner_tail, devices=df_devices,
+            eval_slots=df_eval_slots, include_t0=df_include_t0,
         )
 
     eval_slots = None
@@ -980,10 +978,53 @@ def _adaptive_df_grid(
     return np.asarray(dts)
 
 
+def _df_eval_slots(t_eval, dts, t0: float, tf: float):
+    """Map ``t_eval`` onto the df step grid ``t0 + cumsum(dts)``.
+
+    Returns ``(eval_slots, include_t0)`` with ``eval_slots`` a length-T
+    tuple of per-step trajectory slots (-1 = no store), or ``(None, False)``
+    when ``t_eval`` is None. Mirrors the f32 fixed-step path's validation:
+    strictly increasing, within the span, on-grid, no duplicate steps.
+    """
+    if t_eval is None:
+        return None, False
+    te = np.atleast_1d(np.asarray(t_eval, dtype=float))
+    if te.ndim != 1 or te.size == 0:
+        raise DynamicsError("t_eval must be a non-empty 1d sequence of times.")
+    if te.size > 1 and np.any(np.diff(te) <= 0):
+        raise DynamicsError("t_eval must be strictly increasing.")
+    if te[0] < t0 - 1e-9 or te[-1] > tf + 1e-9 * max(1.0, abs(tf)):
+        raise DynamicsError(f"t_eval must lie within t_span ({t0}, {tf}).")
+    edges = t0 + np.cumsum(np.asarray(dts, dtype=float))  # time AFTER step j
+    include_t0 = te[0] - t0 <= 1e-9 * max(1.0, abs(t0))
+    kept = te[1:] if include_t0 else te
+    slots = np.full(len(edges), -1, dtype=int)
+    used_steps = set()
+    for j, t in enumerate(kept):
+        step_idx = int(np.argmin(np.abs(edges - t)))
+        if abs(edges[step_idx] - t) > 1e-6 * max(1.0, abs(t)):
+            raise DynamicsError(
+                "t_eval points must lie on the df32 step grid "
+                "(t0 + cumsum of the step sizes); off-grid trajectory "
+                "output is not supported — tighten max_dt so the grid "
+                "contains the requested times, or use the generic solvers."
+            )
+        if step_idx in used_steps:
+            raise DynamicsError(
+                "t_eval contains points that map to the same df32 step; "
+                "remove the duplicates."
+            )
+        used_steps.add(step_idx)
+        slots[step_idx] = j
+    eval_slots = tuple(int(x) for x in slots) if len(kept) else None
+    return eval_slots, bool(include_t0)
+
+
 def _fused_sweep_solve_df(
     model, signals_as_list, params, dts, static_fb, ops_fb, omega,
     y0_fb, vectorized_lindblad, t0, expm_order, chunk_b, magnus_order,
     engine="auto", fast_commutators=True, horner_df_tail=6, devices=None,
+    eval_slots=None, include_t0=False,
 ):
     """df32 branch of :func:`fused_sweep_solve` (host-facing, float64 I/O).
 
@@ -1057,9 +1098,16 @@ def _fused_sweep_solve_df(
     else:
         y0_cols = np.broadcast_to(y0_fb[:, None], (y0_fb.shape[0], B))
 
+    want_traj = eval_slots is not None or include_t0
+    traj = None
     if engine == "pallas":
         from ..ops.df_sweep_pallas import sweep_expm_magnus_df_pallas
 
+        if want_traj:
+            raise DynamicsError(
+                "df_engine='pallas' does not support t_eval; use the default "
+                "xla engine."
+            )
         if not np.allclose(dts, dts[0]):
             raise DynamicsError(
                 "df_engine='pallas' supports only uniform step grids; use the "
@@ -1071,13 +1119,35 @@ def _fused_sweep_solve_df(
             interpret=jax.default_backend() != "tpu",
         )
     else:
-        yf = sweep_expm_magnus_df(
+        out = sweep_expm_magnus_df(
             static_fb, ops_fb, omega, coefs, y0_cols, dt=dts, t0=t0,
             magnus_order=magnus_order, order=max(expm_order, 12), chunk_b=chunk_b,
             hermitian=_all_anti_hermitian(static_fb, ops_fb),
             fast_commutators=fast_commutators, horner_df_tail=horner_df_tail,
-            coef_factors=factors, devices=devices,
+            coef_factors=factors, devices=devices, eval_slots=eval_slots,
         )
+        yf, traj = out if eval_slots is not None else (out, None)
+
+    if want_traj:
+        pieces = []
+        if include_t0:
+            pieces.append(np.asarray(y0_cols, dtype=complex)[None])
+        if traj is not None:
+            pieces.append(traj)
+        traj = pieces[0] if len(pieces) == 1 else np.concatenate(pieces, axis=0)
+        # host-numpy collector: jnp would downcast complex128 -> complex64
+        # on TPU (x64 off) and throw away the df precision
+        if vectorized_lindblad:
+            n = model.dim
+            rho = np.transpose(traj[:, :, :B].reshape(-1, n, n, B), (3, 0, 2, 1))
+            return np.asarray(model.rotating_frame.operator_out_of_frame_basis(rho))
+        traj = np.asarray(
+            model.rotating_frame.state_out_of_frame_basis(traj[:, :, : B * m])
+        )
+        if m == 1:
+            return np.transpose(traj, (2, 0, 1))  # (B, n_eval, dim)
+        n_eval_t, dim = traj.shape[0], traj.shape[1]
+        return np.moveaxis(traj.reshape(n_eval_t, dim, B, m), 2, 0)
 
     if vectorized_lindblad:
         n = model.dim

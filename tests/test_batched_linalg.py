@@ -1007,6 +1007,22 @@ class TestMemberMajorEngine:
         b = sweep_expm_magnus2_member(*args, horner=horner, **kw)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
 
+    def test_hoisted_rotation_matches_per_member(self):
+        # hoist_rotation frame-rotates the shared static/op tables once per
+        # step (k fused multiply-adds per member) instead of paying the 6-op
+        # rotation per member — identical polynomial, so interpret-mode f32
+        # results must agree to reassociation level
+        from qiskit_dynamics_tpu.ops.member_sweep import sweep_expm_magnus2_member
+
+        args = self._problem(B=8)
+        kw = dict(dt=0.04, t0=0.1, order=10, interpret=True, block_m=4)
+        a = sweep_expm_magnus2_member(*args, hoist_rotation=False, **kw)
+        b = sweep_expm_magnus2_member(*args, hoist_rotation=True, **kw)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+        # default heuristic at this size (n=6, k=2) enables the hoist
+        c = sweep_expm_magnus2_member(*args, **kw)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(c), atol=0)
+
     def test_bvpu_requires_resident(self):
         from qiskit_dynamics_tpu.ops.member_sweep import sweep_expm_magnus2_member
 

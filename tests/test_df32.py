@@ -1144,3 +1144,145 @@ def test_df32_no_time_dependent_terms():
     ref = expm(-1j * 2 * np.pi * Z / 2) @ y0
     assert out.shape == (3, 2)
     assert np.max(np.abs(np.asarray(out) - ref[None, :])) < 1e-10
+
+
+class TestDf32Trajectories:
+    """t_eval trajectory output through the df32 engine (in-scan slot
+    stores; host f64 collector). Parity with the f32 fixed-step path's
+    on-grid contract; reference t_eval semantics at
+    /root/reference/qiskit_dynamics/solvers/solver_functions.py (t_eval
+    subsetting of solve output)."""
+
+    def _cr(self):
+        from qiskit_dynamics_tpu import Signal
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+
+        solver, w1 = cr_solver(dim=2)
+        sig_fn = lambda a: [Signal(lambda t: a * 0.02, carrier_freq=w1)]
+        return solver, sig_fn
+
+    def test_vector_y0_trajectory_1e_8(self):
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+
+        solver, sig_fn = self._cr()
+        y0 = np.zeros(4, dtype=complex)
+        y0[0] = 1.0
+        amps = np.array([0.4, 0.9])
+        t_eval = [0.0, 1.0, 2.0, 3.0]  # includes t0
+        out = fused_sweep_solve(
+            solver.model, sig_fn, amps, t_span=(0.0, 3.0), max_dt=0.05,
+            y0=y0, precision="df32", t_eval=t_eval,
+            rwa_signal_map=solver._rwa_signal_map, df_chunk_b=8,
+        )
+        assert np.asarray(out).shape == (2, 4, 4)
+        assert np.asarray(out).dtype == np.complex128
+        for i, a in enumerate(amps):
+            ref = solver.solve(
+                t_span=[0.0, 3.0], y0=y0, signals=sig_fn(float(a)),
+                t_eval=t_eval, method="DOP853", atol=1e-13, rtol=1e-13,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[i]), np.asarray(ref.y), rtol=1e-8, atol=1e-8
+            )
+
+    def test_matrix_y0_trajectory(self):
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+
+        solver, sig_fn = self._cr()
+        y0 = np.eye(4, dtype=complex)
+        amps = np.array([0.4, 0.9])
+        t_eval = [1.0, 3.0]  # no t0
+        out = fused_sweep_solve(
+            solver.model, sig_fn, amps, t_span=(0.0, 3.0), max_dt=0.1,
+            y0=y0, precision="df32", t_eval=t_eval,
+            rwa_signal_map=solver._rwa_signal_map, df_chunk_b=8,
+        )
+        assert np.asarray(out).shape == (2, 2, 4, 4)
+        ref = solver.solve(
+            t_span=[0.0, 3.0], y0=y0, signals=sig_fn(0.9), t_eval=t_eval,
+            method="DOP853", atol=1e-13, rtol=1e-13,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[1]), np.asarray(ref.y), rtol=1e-8, atol=1e-8
+        )
+
+    def test_vectorized_lindblad_trajectory(self):
+        from qiskit_dynamics_tpu import Signal, Solver
+        from qiskit_dynamics_tpu.quantum_info import DensityMatrix
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+
+        X = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex)
+        Z = np.array([[1.0, 0.0], [0.0, -1.0]], dtype=complex)
+        H0 = 2 * np.pi * 5.0 * Z / 2
+        solver = Solver(
+            static_hamiltonian=H0,
+            hamiltonian_operators=[2 * np.pi * 0.1 * X / 2],
+            static_dissipators=[0.05 * np.array([[0.0, 1.0], [0.0, 0.0]])],
+            rotating_frame=H0,
+            vectorized=True,
+        )
+        amps = np.array([0.4, 0.9])
+        sig_fn = lambda a: [Signal(lambda t: a, carrier_freq=5.0)]
+        rho0 = np.diag([1.0, 0.0]).astype(complex)
+        t_eval = [0.5, 1.0]
+        out = fused_sweep_solve(
+            solver.model, sig_fn, amps, t_span=(0.0, 1.0), max_dt=0.01,
+            y0=rho0, precision="df32", t_eval=t_eval, df_chunk_b=8,
+        )
+        assert np.asarray(out).shape == (2, 2, 2, 2)
+        for i, a in enumerate(amps):
+            ref = solver.solve(
+                t_span=[0.0, 1.0], y0=DensityMatrix(rho0),
+                signals=sig_fn(float(a)), t_eval=t_eval,
+                method="DOP853", atol=1e-13, rtol=1e-13,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[i]), np.asarray([y.data for y in ref.y]),
+                rtol=1e-8, atol=1e-8,
+            )
+
+    def test_t0_only(self):
+        """t_eval=[t0] returns just the (frame-converted) initial state."""
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+
+        solver, sig_fn = self._cr()
+        y0 = np.zeros(4, dtype=complex)
+        y0[0] = 0.6
+        y0[2] = 0.8
+        amps = np.array([0.4, 0.9])
+        out = fused_sweep_solve(
+            solver.model, sig_fn, amps, t_span=(0.0, 2.0), max_dt=0.1,
+            y0=y0, precision="df32", t_eval=[0.0],
+            rwa_signal_map=solver._rwa_signal_map, df_chunk_b=8,
+        )
+        assert np.asarray(out).shape == (2, 1, 4)
+        np.testing.assert_allclose(np.asarray(out[0, 0]), y0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(out[1, 0]), y0, atol=1e-12)
+
+    def test_validation_errors(self):
+        from qiskit_dynamics_tpu.exceptions import DynamicsError
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+
+        solver, sig_fn = self._cr()
+        y0 = np.zeros(4, dtype=complex)
+        y0[0] = 1.0
+        amps = np.array([0.4])
+
+        def run(t_eval, **kw):
+            return fused_sweep_solve(
+                solver.model, sig_fn, amps, t_span=(0.0, 3.0), max_dt=0.1,
+                y0=y0, precision="df32", t_eval=t_eval,
+                rwa_signal_map=solver._rwa_signal_map, **kw,
+            )
+
+        with pytest.raises(DynamicsError, match="step grid"):
+            run([0.05, 1.0])
+        with pytest.raises(DynamicsError, match="increasing"):
+            run([1.0, 1.0])
+        with pytest.raises(DynamicsError, match="within t_span"):
+            run([1.0, 5.0])
+        with pytest.raises(DynamicsError, match="same df32 step"):
+            # 1.0 and 1.0 + 1e-8 both snap to the same step edge
+            run([1.0, 1.0 + 1e-8])
+        with pytest.raises(DynamicsError, match="pallas.*t_eval|t_eval"):
+            run([1.0, 2.0], df_engine="pallas")
