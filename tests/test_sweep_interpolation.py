@@ -167,6 +167,49 @@ class TestInterpolatedSweepPhysics:
         assert np.max(np.abs(out - np.asarray(direct))) < 1e-7
 
 
+class TestInterpolatedLindbladSweep:
+    """Chebyshev interpolation over an OPEN-system sweep: the df32 node
+    solver handles vectorized Lindblad models, so certified calibration
+    curves work for density-matrix dynamics too (T1-limited calibration)."""
+
+    def test_vectorized_lindblad_nodes(self):
+        from qiskit_dynamics_tpu.models import LindbladModel
+        from qiskit_dynamics_tpu.quantum_info import DensityMatrix
+
+        X = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex)
+        Z = np.diag([1.0, -1.0]).astype(complex)
+        SM = np.array([[0.0, 1.0], [0.0, 0.0]], dtype=complex)
+        H0 = 2 * np.pi * 5.0 * Z / 2
+        solver = Solver(
+            static_hamiltonian=H0,
+            hamiltonian_operators=[2 * np.pi * 0.1 * X / 2],
+            static_dissipators=[0.06 * SM],
+            rotating_frame=H0,
+            vectorized=True,
+        )
+        rho0 = np.diag([1.0, 0.0]).astype(complex)
+        sig_fn = lambda a: [Signal(lambda t: a, carrier_freq=5.0)]
+        params = np.linspace(0.2, 1.0, 120)
+        out, info = interpolated_sweep_solve(
+            solver.model, sig_fn, params, t_span=(0.0, 3.0), y0=rho0,
+            tol=1e-9, min_level=3, max_dt=0.01, df_chunk_b=32,
+            full_output=True,
+        )
+        assert info.converged
+        assert out.shape == (120, 2, 2)
+        for i in (0, 61, 119):
+            ref = solver.solve(
+                t_span=[0.0, 3.0], y0=DensityMatrix(rho0),
+                signals=sig_fn(float(params[i])),
+                method="DOP853", atol=1e-12, rtol=1e-12,
+            )
+            err = np.max(np.abs(out[i] - np.asarray(ref.y[-1].data)))
+            assert err < 5e-8, f"point {i}: {err:.2e}"
+        # physical sanity across the whole certified curve
+        traces = np.einsum("bii->b", out)
+        np.testing.assert_allclose(traces.real, 1.0, atol=1e-7)
+
+
 class Test2DInterpolation:
     """Tensor-product 2-d sweeps (interpolated_sweep_solve_2d)."""
 
