@@ -167,6 +167,38 @@ class TestInterpolatedSweepPhysics:
         assert np.max(np.abs(out - np.asarray(direct))) < 1e-7
 
 
+class TestInterpolatedTrajectorySweep:
+    """t_eval forwards to the df32 node solver, so the certified interpolant
+    covers WHOLE TRAJECTORIES: node values are (M, n_eval, dim) and the
+    certification bounds the error at every evaluation time at once."""
+
+    def test_trajectory_nodes_certified(self):
+        solver, nu = _rabi_solver()
+        y0 = np.array([1.0, 0.0], dtype=complex)
+        T = 4.0
+        t_eval = [1.0, 2.0, 3.0, 4.0]
+
+        def signals_fn(amp):
+            return [Signal(lambda t: amp * 0.05, carrier_freq=nu)]
+
+        params = np.linspace(0.1, 1.0, 150)
+        out, info = interpolated_sweep_solve(
+            solver.model, signals_fn, params, t_span=(0.0, T), y0=y0,
+            tol=1e-9, min_level=3, rwa_signal_map=solver._rwa_signal_map,
+            max_dt=0.02, t_eval=t_eval, full_output=True,
+        )
+        assert info.converged
+        assert out.shape == (150, 4, 2)
+        for i in (0, 74, 149):
+            res = solver.solve(
+                t_span=[0.0, T], y0=y0,
+                signals=[Signal(lambda t, a=params[i]: a * 0.05, carrier_freq=nu)],
+                t_eval=t_eval, method="DOP853", atol=1e-12, rtol=1e-12,
+            )
+            err = np.max(np.abs(out[i] - np.asarray(res.y)))
+            assert err < 5e-8, f"point {i}: {err:.2e}"
+
+
 class TestInterpolatedLindbladSweep:
     """Chebyshev interpolation over an OPEN-system sweep: the df32 node
     solver handles vectorized Lindblad models, so certified calibration
