@@ -232,6 +232,55 @@ def main():
         except Exception as exc:  # never let a row kill the bench JSON
             log(f"cheb row failed: {exc!r}")
 
+    # --- 2-d calibration map row: anisotropic tensor-Chebyshev over an
+    # amplitude x drive-detuning product grid (100 x 100 = 10k points) ---
+    if os.environ.get("BENCH_CHEB2D", "1") == "1":
+        try:
+            from qiskit_dynamics_tpu.solvers import interpolated_sweep_solve_2d
+
+            def map_fn(pq):
+                amp, det = pq
+                return [Signal(lambda t: amp * amp_scale, carrier_freq=w1 + det)]
+
+            map_amps = np.linspace(0.25, 1.0, 100)
+            map_dets = np.linspace(-0.002, 0.002, 100)
+            map_kwargs = dict(
+                t_span=(0.0, T), y0=y0, tol=1e-9, min_level=3, max_level=7,
+                rwa_signal_map=solver._rwa_signal_map, max_dt=0.2,
+                full_output=True,
+            )
+            t0 = time.time()
+            map_out, map_info = interpolated_sweep_solve_2d(
+                solver.model, map_fn, (map_amps, map_dets), **map_kwargs
+            )
+            log(f"cheb2d compile+first: {time.time() - t0:.1f}s (nodes="
+                f"{map_info.n_nodes}, levels={map_info.levels}, "
+                f"certified {map_info.est_error:.1e})")
+            map_time = median_time(
+                lambda: interpolated_sweep_solve_2d(
+                    solver.model, map_fn, (map_amps, map_dets), **map_kwargs
+                )
+            )
+            n_map = map_amps.size * map_dets.size
+            log(f"cheb2d steady (median of 3): {map_time:.2f}s -> "
+                f"{n_map / map_time:.0f} sims/s")
+            map_err = 0.0
+            for i, j in ((0, 0), (50, 50), (99, 99)):
+                r = solver.solve(
+                    t_span=[0.0, T], y0=y0,
+                    signals=map_fn((map_amps[i], map_dets[j])),
+                    method="DOP853", atol=1e-12, rtol=1e-12,
+                )
+                map_err = max(map_err, float(np.max(np.abs(map_out[i, j] - np.asarray(r.y[-1])))))
+            log(f"cheb2d max |map - DOP853(1e-12)| over 3 probes: {map_err:.2e}")
+            cheb_metrics.update(
+                cheb2d_map_throughput=round(n_map / map_time, 1),
+                cheb2d_nodes=int(map_info.n_nodes),
+                cheb2d_max_err=float(f"{map_err:.3g}"),
+            )
+        except Exception as exc:
+            log(f"cheb2d row failed: {exc!r}")
+
     # --- gradient row: whole-sweep gradient through the fused fixed-step
     # kernel (custom vjp: Pallas primal, checkpointed XLA adjoint) ---
     grad_metrics = {}
