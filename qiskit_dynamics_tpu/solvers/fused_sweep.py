@@ -180,15 +180,17 @@ def fused_sweep_solve(
         magnus_mode: in-kernel Magnus-2 evaluation strategy (``"auto"``
             picks by matmul cost; see
             :func:`~qiskit_dynamics_tpu.ops.sweep_solver.sweep_expm_magnus2`).
-        t_eval: optional strictly-increasing trajectory times. Each must lie
-            on the fixed step grid ``t0 + j dt`` (the same rule as the
-            generic fixed-step solvers applies the grid; points off the grid
-            raise). When given, the return value is the full trajectory
-            ``(B, len(t_eval), ...)`` instead of final states only — stored
-            in-kernel at the marked steps (near-zero overhead) and
-            differentiable (the custom-vjp's XLA adjoint computes the
-            identical trajectory stores). Unsupported with
-            ``precision="df32"``.
+        t_eval: optional strictly-increasing trajectory times. When given,
+            the return value is the full trajectory ``(B, len(t_eval), ...)``
+            instead of final states only — stored in-kernel at the marked
+            steps (near-zero overhead) and differentiable (the custom-vjp's
+            XLA adjoint computes the identical trajectory stores). On the
+            ``"f32"`` path each time must lie on the fixed step grid
+            ``t0 + j dt`` (the kernels take one scalar ``dt``; off-grid
+            points raise). With ``precision="df32"`` ARBITRARY times are
+            accepted: the engine takes per-step sizes, so an off-grid point
+            splits the containing step at exactly that time (truncation
+            error can only shrink; see ``_df_eval_slots``).
         sweep_engine: ``"pallas"`` (batch-on-lanes fused kernel — fastest for
             small dims, but Mosaic compile time grows with the unrolled
             ``n^2`` loops), ``"xla"`` (batch-major MXU matmuls under one
@@ -299,7 +301,7 @@ def fused_sweep_solve(
             raise DynamicsError(
                 f"unknown df_grid {df_grid!r}; use 'uniform' or 'adaptive'."
             )
-        df_eval_slots, df_include_t0 = _df_eval_slots(t_eval, dts, t0, tf)
+        dts, df_eval_slots, df_include_t0 = _df_eval_slots(t_eval, dts, t0, tf)
         return _fused_sweep_solve_df(
             model, signals_as_list, params, dts, static_fb, ops_fb, omega,
             y0_fb, vectorized_lindblad, t0, expm_order, df_chunk_b,
@@ -979,15 +981,24 @@ def _adaptive_df_grid(
 
 
 def _df_eval_slots(t_eval, dts, t0: float, tf: float):
-    """Map ``t_eval`` onto the df step grid ``t0 + cumsum(dts)``.
+    """Fit ``t_eval`` into the df step grid ``t0 + cumsum(dts)``.
 
-    Returns ``(eval_slots, include_t0)`` with ``eval_slots`` a length-T
-    tuple of per-step trajectory slots (-1 = no store), or ``(None, False)``
-    when ``t_eval`` is None. Mirrors the f32 fixed-step path's validation:
-    strictly increasing, within the span, on-grid, no duplicate steps.
+    Unlike the f32 fixed-step kernels (scalar ``dt``), the df32 engine takes
+    per-step sizes, so OFF-GRID evaluation times are handled exactly by
+    splitting the containing step at the requested time (the split can only
+    shrink steps, so the Magnus truncation error never grows). Points within
+    1e-9-relative of an existing edge snap to it instead of creating a
+    sliver step.
+
+    Returns ``(dts, eval_slots, include_t0)``: the (possibly refined) step
+    sizes, a length-T' tuple of per-step trajectory slots (-1 = no store,
+    else the state AFTER that step writes slot ``eval_slots[j]``), and
+    whether ``t_eval[0]`` is ``t0`` itself. ``(dts, None, False)`` when
+    ``t_eval`` is None.
     """
+    dts = np.asarray(dts, dtype=float)
     if t_eval is None:
-        return None, False
+        return dts, None, False
     te = np.atleast_1d(np.asarray(t_eval, dtype=float))
     if te.ndim != 1 or te.size == 0:
         raise DynamicsError("t_eval must be a non-empty 1d sequence of times.")
@@ -995,29 +1006,45 @@ def _df_eval_slots(t_eval, dts, t0: float, tf: float):
         raise DynamicsError("t_eval must be strictly increasing.")
     if te[0] < t0 - 1e-9 or te[-1] > tf + 1e-9 * max(1.0, abs(tf)):
         raise DynamicsError(f"t_eval must lie within t_span ({t0}, {tf}).")
-    edges = t0 + np.cumsum(np.asarray(dts, dtype=float))  # time AFTER step j
     include_t0 = te[0] - t0 <= 1e-9 * max(1.0, abs(t0))
     kept = te[1:] if include_t0 else te
-    slots = np.full(len(edges), -1, dtype=int)
-    used_steps = set()
-    for j, t in enumerate(kept):
-        step_idx = int(np.argmin(np.abs(edges - t)))
-        if abs(edges[step_idx] - t) > 1e-6 * max(1.0, abs(t)):
-            raise DynamicsError(
-                "t_eval points must lie on the df32 step grid "
-                "(t0 + cumsum of the step sizes); off-grid trajectory "
-                "output is not supported — tighten max_dt so the grid "
-                "contains the requested times, or use the generic solvers."
-            )
-        if step_idx in used_steps:
-            raise DynamicsError(
-                "t_eval contains points that map to the same df32 step; "
-                "remove the duplicates."
-            )
-        used_steps.add(step_idx)
-        slots[step_idx] = j
-    eval_slots = tuple(int(x) for x in slots) if len(kept) else None
-    return eval_slots, bool(include_t0)
+
+    tol = lambda t: 1e-9 * max(1.0, abs(t))
+    edges = t0 + np.cumsum(dts)  # time AFTER step j
+    new_dts: list = []
+    slots: list = []
+    prev = t0
+    i = 0
+    for e in edges:
+        # eval points strictly inside (prev, e) split the step at the point
+        while i < len(kept) and kept[i] < e - tol(e):
+            t = float(kept[i])
+            if t - prev <= 0.0:
+                raise DynamicsError(
+                    "t_eval contains points too close together to separate "
+                    f"on the step grid (around t={t})."
+                )
+            new_dts.append(t - prev)
+            slots.append(i)
+            prev = t
+            i += 1
+        new_dts.append(float(e) - prev)
+        if i < len(kept) and abs(kept[i] - e) <= tol(e):
+            slots.append(i)
+            i += 1
+        else:
+            slots.append(-1)
+        prev = float(e)
+    if i < len(kept):
+        # can only happen for points past the last edge within the span
+        # tolerance — snap them to the final edge if free, else error
+        raise DynamicsError(
+            "t_eval points could not be placed on the step grid; the last "
+            f"{len(kept) - i} point(s) fall beyond the final step edge "
+            f"({edges[-1]})."
+        )
+    eval_slots = tuple(slots) if len(kept) else None
+    return np.asarray(new_dts), eval_slots, bool(include_t0)
 
 
 def _fused_sweep_solve_df(

@@ -1275,14 +1275,35 @@ class TestDf32Trajectories:
                 rwa_signal_map=solver._rwa_signal_map, **kw,
             )
 
-        with pytest.raises(DynamicsError, match="step grid"):
-            run([0.05, 1.0])
         with pytest.raises(DynamicsError, match="increasing"):
             run([1.0, 1.0])
         with pytest.raises(DynamicsError, match="within t_span"):
             run([1.0, 5.0])
-        with pytest.raises(DynamicsError, match="same df32 step"):
-            # 1.0 and 1.0 + 1e-8 both snap to the same step edge
-            run([1.0, 1.0 + 1e-8])
         with pytest.raises(DynamicsError, match="pallas.*t_eval|t_eval"):
             run([1.0, 2.0], df_engine="pallas")
+
+    def test_off_grid_t_eval_splits_steps(self):
+        """Off-grid evaluation times split the containing step exactly (the
+        df32 engine takes per-step sizes), so arbitrary t_eval works —
+        including points 1e-8 apart (a sliver step, computed exactly)."""
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+
+        solver, sig_fn = self._cr()
+        y0 = np.zeros(4, dtype=complex)
+        y0[0] = 1.0
+        amps = np.array([0.4, 0.9])
+        t_eval = [0.437, 1.0, 2.2513]  # none on the max_dt=0.1 grid
+        out = fused_sweep_solve(
+            solver.model, sig_fn, amps, t_span=(0.0, 3.0), max_dt=0.1,
+            y0=y0, precision="df32", t_eval=t_eval,
+            rwa_signal_map=solver._rwa_signal_map, df_chunk_b=8,
+        )
+        assert np.asarray(out).shape == (2, 3, 4)
+        for i, a in enumerate(amps):
+            ref = solver.solve(
+                t_span=[0.0, 3.0], y0=y0, signals=sig_fn(float(a)),
+                t_eval=t_eval, method="DOP853", atol=1e-13, rtol=1e-13,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[i]), np.asarray(ref.y), rtol=1e-8, atol=1e-8
+            )
