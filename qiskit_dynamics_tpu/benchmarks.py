@@ -137,7 +137,10 @@ def fused_cr_sweep(
     return jnp.abs(yf) ** 2
 
 
-def expm_chain(generators, dt: float, y0, order: int = 12, squarings: int = 2):
+def expm_chain(
+    generators, dt: float, y0, order: int = 12, squarings: int = 2,
+    engine: str = "xla",
+):
     """Sustained expm-propagator chain: ``y <- expm(G_t dt) @ y`` over steps.
 
     North-star metric 2 (BASELINE.md): the single-matrix dim-256 expm time is
@@ -149,10 +152,20 @@ def expm_chain(generators, dt: float, y0, order: int = 12, squarings: int = 2):
         generators: (T, ..., n, n) per-step (optionally batched) generators.
         dt: step size.
         y0: (..., n, m) states/propagators to which the chain is applied.
+        engine: ``"xla"`` (``lax.scan`` over ``expm_taylor`` — every matmul
+            round-trips HBM) or ``"pallas"`` (fused-VMEM kernel,
+            :func:`.ops.expm_chain_pallas.expm_chain_fused`; identical
+            polynomial, requires (T, b, n, n)/(T, n, n) shapes).
 
     Returns:
         (..., n, m) final states.
     """
+    if engine == "pallas":
+        from .ops.expm_chain_pallas import expm_chain_fused
+
+        return expm_chain_fused(
+            generators, dt, y0, order=order, squarings=squarings
+        )
     from .ops.expm import expm_taylor
 
     def step(y, g):
