@@ -1,0 +1,110 @@
+r"""Tensor (Hilbert-space) sharding: large-dim solves across chips.
+
+Third parallel axis, complementing ``"data"`` (:mod:`.sweep`) and ``"time"``
+(:mod:`.scan`): shard the *matrices themselves* — operators, propagators,
+states — over a ``"model"`` mesh axis, so a single solve whose
+:math:`O(n^3)` matmul cost exceeds one chip runs SPMD over ICI. The
+reference is single-process with no counterpart (SURVEY.md §5); this module
+is new TPU-native capability.
+
+The design follows the scaling-book recipe verbatim: pick a mesh, annotate
+shardings (row-sharded ``P("model", None)`` matrices here), and let XLA's
+GSPMD partitioner insert the collectives. Per complex matmul each chip
+computes an ``(n/P, n) @ (n, n)`` local product (``n^3/P`` FLOPs) and the
+chain's next step all-gathers the ``n^2/P`` row shard — comms
+:math:`O(n^2)` against compute :math:`O(n^3/P)`, so the axis pays off once
+``n`` is large (ICI crossover around ``n ~ 4k`` at f32; below that use
+``"data"``/``"time"`` sharding, which never communicate mid-solve). Axes
+compose: a ``("data", "model")`` mesh runs a BATCH of chains with the batch
+on ``"data"`` and every matrix row-sharded on ``"model"``.
+
+Correctness is mesh-size-independent (GSPMD partitions a fixed program), so
+the 8-device virtual CPU mesh validates what real multi-chip hardware would
+run; ``__graft_entry__.dryrun_multichip`` exercises this module end-to-end.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS, make_mesh
+
+__all__ = ["MODEL_AXIS", "model_mesh", "shard_rows", "tensor_expm_chain"]
+
+MODEL_AXIS = "model"
+
+
+def model_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-axis ``"model"`` mesh over ``n_devices`` (default: all)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return make_mesh(len(devices), (MODEL_AXIS,), devices=devices)
+
+
+def shard_rows(x, mesh: Mesh, batch_axes: int = 0):
+    """Device-put ``x`` with its row dim (axis ``batch_axes``) sharded.
+
+    ``batch_axes`` leading dims are sharded over ``"data"`` when the mesh has
+    that axis, else replicated; the first matrix dim shards over ``"model"``.
+    """
+    data = DATA_AXIS if DATA_AXIS in mesh.shape and batch_axes else None
+    spec = P(*((data,) * min(1, batch_axes) + (None,) * (batch_axes - 1)
+               + (MODEL_AXIS,) + (None,) * (jnp.ndim(x) - batch_axes - 1)))
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+
+def tensor_expm_chain(
+    generators, dt: float, y0, mesh: Mesh,
+    order: int = 12, squarings: int = 2,
+):
+    """Propagator chain ``y <- expm(G_t dt) @ y`` with row-sharded matrices.
+
+    Same step semantics/polynomial as :func:`..benchmarks.expm_chain`, but
+    every ``(n, n)`` matrix is sharded ``P("model", None)`` over the mesh so
+    the :math:`O(n^3)` expm/apply matmuls split across chips (GSPMD inserts
+    the all-gathers). Accepts batched ``(T, b, n, n)`` generators with
+    ``(b, n, n|m)`` states — the batch dim additionally shards over a
+    ``"data"`` axis when the mesh has one (2-d tensor+data parallelism).
+
+    Args:
+        generators: ``(T, n, n)`` or ``(T, b, n, n)`` complex generators.
+        dt: step size.
+        y0: ``(n, m)`` / ``(b, n, m)`` initial states or propagators.
+        mesh: mesh with a ``"model"`` axis (optionally also ``"data"``).
+        order / squarings: as in :func:`..ops.expm.expm_taylor`.
+
+    Returns:
+        Final states, sharded like ``y0`` (same leading-batch convention).
+    """
+    from ..ops.expm import expm_taylor
+
+    if MODEL_AXIS not in mesh.shape:
+        raise ValueError(f'mesh must have a "{MODEL_AXIS}" axis; got {mesh.shape}.')
+    generators = jnp.asarray(generators)
+    y0 = jnp.asarray(y0)
+    batched = generators.ndim == 4
+    data = DATA_AXIS if (batched and DATA_AXIS in mesh.shape) else None
+    b_axes = (data,) if batched else ()
+    g_spec = P(None, *b_axes, MODEL_AXIS, None)   # time leading, rows sharded
+    y_spec = P(*b_axes, MODEL_AXIS, None)
+    gen = jax.device_put(generators, NamedSharding(mesh, g_spec))
+    y = jax.device_put(y0, NamedSharding(mesh, y_spec))
+
+    @jax.jit
+    def run(gen, y):
+        constraint = NamedSharding(mesh, y_spec)
+
+        def step(y, g):
+            prop = expm_taylor(g * dt, order=order, squarings=squarings)
+            y = jax.lax.with_sharding_constraint(prop @ y, constraint)
+            return y, None
+
+        yf, _ = jax.lax.scan(step, y, gen)
+        return yf
+
+    return run(gen, y)

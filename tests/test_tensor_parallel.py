@@ -1,0 +1,69 @@
+"""Tensor (Hilbert-space) sharding layer (parallel/tensor.py).
+
+Runs on the 8-device virtual CPU mesh (conftest). GSPMD partitions a fixed
+program, so equality with the single-device chain here validates what the
+real multi-chip mesh would compute.
+"""
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+from qiskit_dynamics_tpu import parallel
+from qiskit_dynamics_tpu.benchmarks import expm_chain
+
+
+def _chain(T, b, n, m, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (T, b, n, n) if b else (T, n, n)
+    G = rng.normal(size=shape) + 1j * rng.normal(size=shape)
+    G = -0.5j * (G + np.conj(np.swapaxes(G, -1, -2)))
+    G = G / np.linalg.norm(G, axis=(-2, -1), keepdims=True) * 2.0
+    yshape = (b, n, m) if b else (n, m)
+    y0 = rng.normal(size=yshape) + 1j * rng.normal(size=yshape)
+    return G, y0
+
+
+class TestTensorExpmChain:
+    def test_matches_single_device_unbatched(self):
+        G, y0 = _chain(T=5, b=0, n=16, m=16)
+        mesh = parallel.model_mesh(4)
+        out = parallel.tensor_expm_chain(G, 0.8, y0, mesh)
+        ref = expm_chain(G, 0.8, y0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-12)
+        # the result is actually row-sharded over the model axis
+        spec = out.sharding.spec
+        assert spec[0] == parallel.MODEL_AXIS
+
+    def test_data_by_model_mesh_batched(self):
+        # 2-d parallelism: batch over "data", Hilbert space over "model"
+        G, y0 = _chain(T=4, b=6, n=16, m=8, seed=1)
+        mesh = parallel.make_mesh(
+            (2, 4), (parallel.DATA_AXIS, parallel.MODEL_AXIS)
+        )
+        out = parallel.tensor_expm_chain(G, 0.6, y0, mesh)
+        ref = expm_chain(G, 0.6, y0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-12)
+        assert out.sharding.spec[:2] == P(parallel.DATA_AXIS, parallel.MODEL_AXIS)[:2]
+
+    def test_model_only_mesh_batched(self):
+        # batched chain on a model-only mesh: batch replicated, rows sharded
+        G, y0 = _chain(T=3, b=2, n=8, m=8, seed=2)
+        mesh = parallel.model_mesh(2)
+        out = parallel.tensor_expm_chain(G, 0.5, y0, mesh)
+        ref = expm_chain(G, 0.5, y0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-12)
+
+    def test_shard_rows_helper(self):
+        mesh = parallel.model_mesh(4)
+        x = np.arange(16 * 16, dtype=float).reshape(16, 16)
+        sx = parallel.shard_rows(x, mesh)
+        assert sx.sharding.spec[0] == parallel.MODEL_AXIS
+        np.testing.assert_array_equal(np.asarray(sx), x)
+
+    def test_requires_model_axis(self):
+        G, y0 = _chain(T=2, b=0, n=8, m=8)
+        mesh = parallel.data_mesh()
+        with pytest.raises(ValueError, match="model"):
+            parallel.tensor_expm_chain(G, 0.5, y0, mesh)
