@@ -67,3 +67,63 @@ class TestTensorExpmChain:
         mesh = parallel.data_mesh()
         with pytest.raises(ValueError, match="model"):
             parallel.tensor_expm_chain(G, 0.5, y0, mesh)
+
+
+class TestTensorMagnusSolve:
+    def _ham_model(self, n=8, seed=3):
+        from qiskit_dynamics_tpu import Signal
+        from qiskit_dynamics_tpu.models import HamiltonianModel
+
+        rng = np.random.default_rng(seed)
+        H0 = rng.normal(size=(n, n))
+        H0 = H0 + H0.T
+        Hd = rng.normal(size=(n, n))
+        Hd = Hd + Hd.T
+        model = HamiltonianModel(
+            static_operator=H0, operators=[Hd],
+            signals=[Signal(0.4, carrier_freq=1.1)],
+            rotating_frame=np.diag(np.diag(H0)),
+        )
+        y0 = np.zeros(n, dtype=complex)
+        y0[0] = 1.0
+        return model, y0
+
+    @pytest.mark.parametrize("magnus_order", [1, 2, 3])
+    def test_matches_solve_lmde(self, magnus_order):
+        from qiskit_dynamics_tpu.solvers import solve_lmde
+
+        model, y0 = self._ham_model()
+        mesh = parallel.model_mesh(4)
+        out = parallel.tensor_magnus_solve(
+            model, (0.0, 1.0), y0, mesh, max_dt=0.1, magnus_order=magnus_order
+        )
+        ref = solve_lmde(
+            model, t_span=[0.0, 1.0], y0=y0, method="jax_expm", max_dt=0.1,
+            magnus_order=magnus_order, expm_method="taylor",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref.y[-1]), atol=1e-12
+        )
+        assert out.sharding.spec[0] == parallel.MODEL_AXIS
+        # the model's frame flag is restored
+        assert model.in_frame_basis is False
+
+    def test_matrix_y0(self):
+        from qiskit_dynamics_tpu.solvers import solve_lmde
+
+        model, _ = self._ham_model(seed=5)
+        mesh = parallel.model_mesh(2)
+        y0 = np.eye(8, dtype=complex)
+        out = parallel.tensor_magnus_solve(model, (0.0, 0.5), y0, mesh, max_dt=0.05)
+        ref = solve_lmde(
+            model, t_span=[0.0, 0.5], y0=y0, method="jax_expm", max_dt=0.05,
+            magnus_order=2, expm_method="taylor",
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref.y[-1]), atol=1e-12)
+
+    def test_requires_model_axis(self):
+        model, y0 = self._ham_model()
+        with pytest.raises(ValueError, match="model"):
+            parallel.tensor_magnus_solve(
+                model, (0.0, 1.0), y0, parallel.data_mesh(), max_dt=0.1
+            )
