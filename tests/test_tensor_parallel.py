@@ -127,3 +127,31 @@ class TestTensorMagnusSolve:
             parallel.tensor_magnus_solve(
                 model, (0.0, 1.0), y0, parallel.data_mesh(), max_dt=0.1
             )
+
+    def test_vectorized_lindblad(self):
+        # open system: the sharded solve handles the vectorized dim^2 space
+        from qiskit_dynamics_tpu import Signal
+        from qiskit_dynamics_tpu.models import LindbladModel
+        from qiskit_dynamics_tpu.solvers import solve_lmde
+
+        dim = 3
+        a = np.diag(np.sqrt(np.arange(1, dim)), 1)
+        N = np.diag(np.arange(dim, dtype=float))
+        H0 = 2 * np.pi * 5.0 * N
+        Hd = 2 * np.pi * 0.1 * (a + a.conj().T)
+        model = LindbladModel(
+            static_hamiltonian=H0, hamiltonian_operators=[Hd],
+            hamiltonian_signals=[Signal(0.5, carrier_freq=5.0)],
+            static_dissipators=[np.sqrt(0.02) * a],
+            rotating_frame=np.diag(H0), vectorized=True,
+        )
+        rho0 = np.zeros((dim, dim), dtype=complex)
+        rho0[1, 1] = 1.0
+        y0 = rho0.flatten(order="F")
+        mesh = parallel.model_mesh(3)  # dim^2 = 9 rows over 3 shards
+        out = parallel.tensor_magnus_solve(model, (0.0, 1.0), y0, mesh, max_dt=0.01)
+        ref = solve_lmde(
+            model, t_span=[0.0, 1.0], y0=y0, method="jax_expm", max_dt=0.01,
+            magnus_order=2, expm_method="taylor",
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref.y[-1]), atol=1e-12)
