@@ -410,3 +410,36 @@ def test_2d_probe_certificate_catches_aliasing():
             t_span=(0, 1), y0=None, tol=1e-9, min_level=2, max_level=4,
             node_solver=node_solver,
         )
+
+
+def test_2d_map_with_trajectories():
+    """2-d calibration map over WHOLE trajectories: t_eval forwards to the
+    df32 node solver (arbitrary off-grid times via step splitting), and the
+    tensor-Chebyshev certificate bounds every evaluation time at once."""
+    solver, nu = _rabi_solver()
+    y0 = np.array([1.0, 0.0], dtype=complex)
+    T = 2.0
+    t_eval = [0.73, 1.5, 2.0]  # first point off the max_dt grid
+
+    def signals_fn(pq):
+        amp, det = pq
+        return [Signal(lambda t: amp * 0.05, carrier_freq=nu + det * 0.02)]
+
+    p1 = np.linspace(0.2, 1.0, 9)
+    p2 = np.linspace(-1.0, 1.0, 7)
+    out, info = solver.solve_sweep(
+        signals_fn, (p1, p2), t_span=(0.0, T), y0=y0,
+        method="chebyshev", tol=1e-8, min_level=2, max_level=6,
+        max_dt=0.02, t_eval=t_eval, full_output=True,
+    )
+    assert out.shape == (9, 7, 3, 2)
+    assert info.converged
+    for i, j in [(0, 0), (4, 3), (8, 6)]:
+        res = solver.solve(
+            t_span=[0.0, T], y0=y0,
+            signals=[Signal(lambda t, a=p1[i]: a * 0.05,
+                            carrier_freq=nu + p2[j] * 0.02)],
+            t_eval=t_eval, method="DOP853", atol=1e-12, rtol=1e-12,
+        )
+        err = np.max(np.abs(out[i, j] - np.asarray(res.y)))
+        assert err < 1e-6, f"({i},{j}): {err:.2e}"
