@@ -188,44 +188,14 @@ class Solver:
         self._model = model
 
         if rwa_cutoff_freq:
-            if rwa_carrier_freqs is None:
-                if self._channel_carrier_freqs is not None:
-                    if self._hamiltonian_channels is not None:
-                        rwa_carrier_freqs = [
-                            self._channel_carrier_freqs[c] for c in self._hamiltonian_channels
-                        ]
-                    if self._dissipator_channels is not None:
-                        rwa_carrier_freqs = (
-                            rwa_carrier_freqs,
-                            [self._channel_carrier_freqs[c] for c in self._dissipator_channels],
-                        )
-                else:
-                    rwa_carrier_freqs = []
-                    if hamiltonian_operators is not None:
-                        rwa_carrier_freqs = [0.0] * len(hamiltonian_operators)
-                    if dissipator_operators is not None:
-                        rwa_carrier_freqs = (rwa_carrier_freqs, [0.0] * len(dissipator_operators))
-
-            if isinstance(rwa_carrier_freqs, tuple):
-                rwa_ham_sigs = None
-                rwa_lindblad_sigs = None
-                if rwa_carrier_freqs[0]:
-                    rwa_ham_sigs = [Signal(1.0, carrier_freq=f) for f in rwa_carrier_freqs[0]]
-                if rwa_carrier_freqs[1]:
-                    rwa_lindblad_sigs = [
-                        Signal(1.0, carrier_freq=f) for f in rwa_carrier_freqs[1]
-                    ]
-                self._model.signals = (rwa_ham_sigs, rwa_lindblad_sigs)
-            else:
-                rwa_sigs = [Signal(1.0, carrier_freq=f) for f in rwa_carrier_freqs]
-                if isinstance(model, LindbladModel):
-                    rwa_sigs = (rwa_sigs, None)
-                self._model.signals = rwa_sigs
-
-            self._model, rwa_signal_map = rotating_wave_approximation(
+            self._model.signals = _rwa_seed_signals(
+                model, rwa_carrier_freqs, self._channel_carrier_freqs,
+                self._hamiltonian_channels, self._dissipator_channels,
+                hamiltonian_operators, dissipator_operators,
+            )
+            self._model, self._rwa_signal_map = rotating_wave_approximation(
                 self._model, rwa_cutoff_freq, return_signal_map=True
             )
-            self._rwa_signal_map = rwa_signal_map
             self._set_new_signals(None)
 
     @property
@@ -721,6 +691,38 @@ class Solver:
 
 
 # ---------------------------------------------------------------------------
+def _rwa_seed_signals(
+    model, carrier_freqs, channel_carriers, ham_channels, dis_channels,
+    ham_ops, dis_ops,
+):
+    """Placeholder ``Signal(1.0, f)`` lists seeding the RWA term masking.
+
+    Normalizes every way the constructor can imply the carrier frequencies —
+    explicit ``rwa_carrier_freqs`` (flat list or ``(ham, dissipator)``
+    tuple), the pulse ``channel_carrier_freqs`` table, or all-zeros by
+    operator count — into the signal container shape the model expects
+    (reference defaulting rules: ``solver_classes.py:330-368``).
+    """
+
+    def sigs(freqs):
+        return [Signal(1.0, carrier_freq=f) for f in freqs] if freqs else None
+
+    if carrier_freqs is None:
+        if channel_carriers is not None:
+            ham = [channel_carriers[c] for c in ham_channels] if ham_channels else None
+            dis = [channel_carriers[c] for c in dis_channels] if dis_channels else None
+        else:
+            ham = [0.0] * len(ham_ops) if ham_ops is not None else None
+            dis = [0.0] * len(dis_ops) if dis_ops is not None else None
+        if dis is not None:
+            return (sigs(ham), sigs(dis))
+        carrier_freqs = ham if ham is not None else []
+    if isinstance(carrier_freqs, tuple):
+        return (sigs(carrier_freqs[0]), sigs(carrier_freqs[1]))
+    flat = [Signal(1.0, carrier_freq=f) for f in carrier_freqs]
+    return (flat, None) if isinstance(model, LindbladModel) else flat
+
+
 # state type handling
 # ---------------------------------------------------------------------------
 
