@@ -363,3 +363,50 @@ class TestMultiChannelLayouts:
         jitted = jax.jit(build_and_sample)(0.5)
         eager = build_and_sample(0.5)
         np.testing.assert_allclose(jitted, eager, rtol=1e-6)
+
+
+class TestDirectiveInstructions:
+    """Directive-type instructions (barriers: `.channels`, no `.channel`)
+    produce no samples and must not disturb conversion — the converter skips
+    any instruction without a single-channel binding (reference behavior:
+    `test/dynamics/pulse/test_pulse_to_signals.py` barrier battery)."""
+
+    def test_barrier_aligns_but_emits_nothing(self):
+        import numpy as np
+        from qiskit_dynamics_tpu.pulse import (
+            Schedule, Play, DriveChannel, Gaussian, InstructionToSignals,
+        )
+
+        class RelativeBarrier:
+            """Stand-in for qiskit's directive: channels plural, no samples."""
+            def __init__(self, *channels):
+                self.channels = channels
+            @property
+            def duration(self):
+                return 0
+
+        d0, d1 = DriveChannel(0), DriveChannel(1)
+        pulse = Gaussian(duration=16, amp=0.5, sigma=4)
+
+        # barrier aligns d1's play to d0's stop time but adds no samples...
+        barred = Schedule(name="barred")
+        barred.append(Play(pulse, d0))
+        barred.append(RelativeBarrier(d0, d1))
+        barred.append(Play(pulse, d1))
+
+        # ...equivalent to inserting the d1 play explicitly at t=16
+        shifted = Schedule(name="shifted")
+        shifted.append(Play(pulse, d0))
+        shifted.insert(16, Play(pulse, d1))
+
+        conv = InstructionToSignals(dt=0.1, carriers={"d0": 5.0, "d1": 5.1},
+                                    channels=["d0", "d1"])
+        sig_barred = conv.get_signals(barred)
+        sig_shifted = conv.get_signals(shifted)
+        for a, b in zip(sig_barred, sig_shifted):
+            np.testing.assert_allclose(np.asarray(a.samples), np.asarray(b.samples))
+        # and the barrier itself changed the timing vs a bare append
+        plain = Schedule(name="plain")
+        plain.append(Play(pulse, d0))
+        plain.append(Play(pulse, d1))
+        assert plain.ch_duration("d1") == 16 and barred.ch_duration("d1") == 32
