@@ -63,9 +63,17 @@ def jax_RK4_solver(rhs, t_span, y0, max_dt, t_eval=None):
     )
 
 
+def _dense_scipy_expm(a):
+    """``scipy.linalg.expm`` is dense-only; densify sparse step generators
+    (the propagator is dense regardless, so nothing is lost)."""
+    if hasattr(a, "toarray"):
+        a = a.toarray()
+    return scipy_expm(a)
+
+
 def scipy_expm_solver(generator, t_span, y0, max_dt, t_eval=None, magnus_order: int = 1):
     """Fixed-step matrix-exponential solver via ``scipy.linalg.expm``."""
-    take_step = get_exponential_take_step(magnus_order, expm_func=scipy_expm)
+    take_step = get_exponential_take_step(magnus_order, expm_func=_dense_scipy_expm)
     return fixed_step_solver_template(
         take_step, rhs_func=generator, t_span=t_span, y0=y0, max_dt=max_dt, t_eval=t_eval
     )

@@ -107,6 +107,24 @@ def _lanczos_validation(rhs, t_span, y0, k_dim):
         raise DynamicsError("y0 must be 1d or 2d.")
 
 
+def _validate_not_scipy_sparse_under_jax(method, model):
+    """jax/tpu methods trace the model; scipy-sparse evaluation cannot run
+    under a tracer — fail loudly instead of leaking a TracerArrayConversionError
+    (use ``array_library="jax_sparse"`` for sparse evaluation under jax)."""
+    if (
+        isinstance(method, str)
+        and method.startswith(("jax_", "tpu_", "fused_"))
+        and isinstance(model, BaseGeneratorModel)
+        and getattr(model, "array_library", None) == "scipy_sparse"
+    ):
+        raise DynamicsError(
+            f"method {method!r} traces the generator under jax and cannot "
+            'evaluate a scipy_sparse model; use array_library="jax_sparse" '
+            "for sparse evaluation under jax, or a numpy-path method "
+            "(e.g. lanczos_diag, scipy_expm, DOP853)."
+        )
+
+
 def solve_ode(
     rhs: Union[Callable, BaseGeneratorModel],
     t_span,
@@ -122,6 +140,8 @@ def solve_ode(
         and not _is_diffrax_method(method)
     ):
         raise DynamicsError(f"Method {method} not supported by solve_ode.")
+
+    _validate_not_scipy_sparse_under_jax(method, rhs)
 
     if isinstance(rhs, BaseGeneratorModel):
         _, solver_rhs, y0, model_in_frame_basis = setup_generator_model_rhs_y0_in_frame_basis(
@@ -190,6 +210,8 @@ def solve_lmde(
         raise DynamicsError(
             "LMDE-specific methods with LindbladModel requires setting vectorized=True."
         )
+
+    _validate_not_scipy_sparse_under_jax(method, generator)
 
     if isinstance(generator, BaseGeneratorModel):
         solver_generator, _, y0, model_in_frame_basis = (
