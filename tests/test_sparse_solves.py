@@ -87,3 +87,12 @@ class TestSparseEndToEnd:
             solve_lmde(
                 model, t_span=[0.0, 2.0], y0=y0, method="jax_expm", max_dt=0.02
             )
+
+    def test_jax_sparse_adaptive_tpu_dopri5(self, dense_reference):
+        # BCOO model RHS under the native adaptive jax solver
+        model, y0 = _chain_model(lib="jax_sparse")
+        res = solve_ode(
+            model, t_span=[0.0, 2.0], y0=y0, method="tpu_dopri5",
+            atol=1e-10, rtol=1e-10,
+        )
+        assert np.max(np.abs(np.asarray(res.y[-1]) - dense_reference)) < 5e-5
