@@ -413,6 +413,48 @@ def main():
         except Exception as exc:
             log(f"lindblad8 row failed: {exc!r}")
 
+    # --- dim-256 expm chain (north-star metric 2): XLA scan vs fused-VMEM ---
+    expm_metrics = {}
+    if os.environ.get("BENCH_EXPM_CHAIN", "1") == "1":
+        try:
+            from qiskit_dynamics_tpu.benchmarks import expm_chain
+
+            Tc, bc, nc = 64, 8, 256
+            rng = np.random.default_rng(0)
+            A = rng.normal(size=(Tc, bc, nc, nc)) + 1j * rng.normal(
+                size=(Tc, bc, nc, nc)
+            )
+            A = -0.5j * (A + np.conj(np.swapaxes(A, -1, -2)))
+            A = A / np.linalg.norm(A, axis=(-2, -1), keepdims=True) * 2.0
+            eye = np.broadcast_to(np.eye(nc, dtype=complex), (bc, nc, nc))
+            f32 = np.float32
+            Ar, Ai = jax.device_put(A.real.astype(f32)), jax.device_put(A.imag.astype(f32))
+            yr, yi = jax.device_put(eye.real.astype(f32)), jax.device_put(eye.imag.astype(f32))
+            vals = {}
+            for eng in ("xla", "pallas"):
+                f = jax.jit(
+                    lambda ar, ai, br, bi, e=eng: jnp.sum(
+                        jnp.abs(expm_chain(ar + 1j * ai, 0.9, br + 1j * bi, engine=e))
+                    )
+                )
+                t0 = time.time()
+                val = np.asarray(f(Ar, Ai, yr, yi))
+                log(f"expm-chain[{eng}]: compile+first {time.time() - t0:.1f}s")
+                med = median_time(lambda: np.asarray(f(Ar, Ai, yr, yi)))
+                us = med / (Tc * bc) * 1e6
+                log(f"expm-chain[{eng}]: {us:.1f} us/expm+apply (median of 3)")
+                expm_metrics[f"expm_chain_{eng}_us"] = round(us, 1)
+                vals[eng] = float(val)
+            rel = abs(vals["xla"] - vals["pallas"]) / abs(vals["xla"])
+            log(f"expm-chain checksum rel diff: {rel:.2e}")
+            expm_metrics["expm_chain_fused_speedup"] = round(
+                expm_metrics["expm_chain_xla_us"]
+                / expm_metrics["expm_chain_pallas_us"],
+                2,
+            )
+        except Exception as exc:
+            log(f"expm-chain row failed: {exc!r}")
+
     print(
         json.dumps(
             {
@@ -425,6 +467,7 @@ def main():
                 **grad_metrics,
                 **sched_metrics,
                 **lind_metrics,
+                **expm_metrics,
             }
         )
     )
