@@ -13,6 +13,7 @@ from .member_sweep import sweep_expm_magnus2_member
 from .adaptive_sweep import sweep_dopri5_lockstep
 from .df_sweep import sweep_expm_magnus_df
 from .chain_apply import chain_apply_bol
+from .expm_chain_pallas import expm_chain_fused
 
 __all__ = [
     "linear_combo",
@@ -23,4 +24,5 @@ __all__ = [
     "sweep_dopri5_lockstep",
     "sweep_expm_magnus_df",
     "chain_apply_bol",
+    "expm_chain_fused",
 ]
