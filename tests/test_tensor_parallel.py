@@ -155,3 +155,40 @@ class TestTensorMagnusSolve:
             magnus_order=2, expm_method="taylor",
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref.y[-1]), atol=1e-12)
+
+    def test_grad_through_sharded_solve(self):
+        # autodiff-everywhere extends to the model-sharded path: grad of a
+        # population objective w.r.t. a signal amplitude matches the
+        # single-device fixed-step solver's grad exactly
+        import jax
+        import jax.numpy as jnp
+        from qiskit_dynamics_tpu import Signal
+        from qiskit_dynamics_tpu.models import HamiltonianModel
+        from qiskit_dynamics_tpu.solvers import solve_lmde
+
+        n = 8
+        rng = np.random.default_rng(3)
+        H0 = rng.normal(size=(n, n)); H0 = H0 + H0.T
+        Hd = rng.normal(size=(n, n)); Hd = Hd + Hd.T
+        y0 = np.zeros(n, dtype=complex); y0[0] = 1.0
+        mesh = parallel.model_mesh(4)
+
+        def build(amp):
+            return HamiltonianModel(
+                static_operator=H0, operators=[Hd],
+                signals=[Signal(amp, carrier_freq=1.1)],
+                rotating_frame=np.diag(np.diag(H0)),
+            )
+
+        def loss_tensor(amp):
+            yf = parallel.tensor_magnus_solve(build(amp), (0.0, 1.0), y0, mesh, max_dt=0.1)
+            return jnp.abs(yf[1]) ** 2
+
+        def loss_ref(amp):
+            r = solve_lmde(build(amp), t_span=[0.0, 1.0], y0=y0, method="jax_expm",
+                           max_dt=0.1, magnus_order=2, expm_method="taylor")
+            return jnp.abs(r.y[-1][1]) ** 2
+
+        g1 = jax.grad(loss_tensor)(0.4)
+        g2 = jax.grad(loss_ref)(0.4)
+        assert abs(g1 - g2) < 1e-12
