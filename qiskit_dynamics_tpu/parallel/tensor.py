@@ -28,6 +28,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import DATA_AXIS, make_mesh
@@ -117,19 +118,22 @@ def tensor_expm_chain(
 
 
 def tensor_magnus_solve(
-    model, t_span, y0, mesh: Mesh, max_dt: float,
+    model, t_span, y0, mesh: Mesh, max_dt: float, t_eval=None,
     magnus_order: int = 2, expm_order: int = 12, expm_squarings: int = 2,
 ):
     """Model-level fixed-step Magnus solve with Hilbert-space-sharded matmuls.
 
     The large-dim counterpart of ``solve_lmde(method="jax_expm",
-    expm_method="taylor")``: identical step rule and frame handling
-    (:func:`..solvers.fixed_step_solvers.get_exponential_take_step` over the
-    frame-basis fast path), but every per-step generator, Magnus matrix, and
-    expm intermediate carries a ``P("model", None)`` sharding constraint, so
-    GSPMD splits the :math:`O(n^3)` expm matmuls across the mesh. The model's
-    stored operators stay replicated (memory :math:`O(n^2)` per chip — not
-    the constraint until ``n ~ 30k``); the FLOPs shard.
+    expm_method="taylor")`` — also reachable as ``solve_lmde(method=
+    "tensor_expm", mesh=...)``. Identical step rule, time grid, and frame
+    handling (the shared fixed-step template over
+    :func:`..solvers.fixed_step_solvers.get_exponential_take_step`), but
+    every per-step generator, Magnus matrix, and expm intermediate carries a
+    ``P("model", None)`` sharding constraint, so GSPMD splits the
+    :math:`O(n^3)` expm matmuls across the mesh. The model's stored
+    operators stay replicated (memory :math:`O(n^2)` per chip — not the
+    constraint until ``n ~ 30k``); the FLOPs shard. Differentiable like the
+    single-device path (plain ``jnp`` + scan under the constraints).
 
     Args:
         model: a ``GeneratorModel``/``HamiltonianModel`` (or vectorized
@@ -137,26 +141,30 @@ def tensor_magnus_solve(
         t_span: ``(t0, tf)``.
         y0: initial state ``(n,)`` or matrix ``(n, m)``.
         mesh: mesh with a ``"model"`` axis.
-        max_dt: step bound; the grid is ``ceil((tf - t0)/max_dt)`` equal steps.
+        max_dt: step bound (intervals between requested times subdivide into
+            equal steps ``<= max_dt``, as in the fixed-step solvers).
+        t_eval: optional evaluation times within ``t_span``.
         magnus_order: 1-3, as in the fixed-step solvers.
         expm_order / expm_squarings: Taylor expm parameters (``ops/expm.py``).
 
     Returns:
-        Final state at ``tf`` (standard basis, in-frame values — the same
-        convention as ``solve_lmde``), sharded over the ``"model"`` axis.
+        ``OdeResult`` with the ``solve_lmde`` conventions (standard basis,
+        in-frame values); ``result.y`` stays sharded over ``"model"``.
     """
     from ..ops.expm import expm_taylor
-    from ..solvers.fixed_step_solvers import get_exponential_take_step
+    from ..solvers.fixed_step_solvers import (
+        fixed_step_solver_template_jax,
+        get_exponential_take_step,
+    )
+    from ..solvers.results import OdeResult
     from ..solvers.solver_functions import (
         results_y_out_of_frame_basis,
         setup_generator_model_rhs_y0_in_frame_basis,
     )
+    from ..solvers.solver_utils import merge_t_args
 
     if MODEL_AXIS not in mesh.shape:
         raise ValueError(f'mesh must have a "{MODEL_AXIS}" axis; got {mesh.shape}.')
-    t0, tf = float(t_span[0]), float(t_span[-1])
-    T = max(1, int(-(-(tf - t0) // float(max_dt))))
-    h = (tf - t0) / T
 
     generator, _, y0_fb, prev_flag = setup_generator_model_rhs_y0_in_frame_basis(
         model, jnp.asarray(y0, dtype=complex)
@@ -178,16 +186,15 @@ def tensor_magnus_solve(
 
         @jax.jit
         def run(y):
-            def body(y, j):
-                t = t0 + j * h
-                y = take_step(sharded_generator, t, y, h)
-                return jax.lax.with_sharding_constraint(y, y_sharding), None
-
-            yf, _ = jax.lax.scan(body, y, jnp.arange(T))
+            res = fixed_step_solver_template_jax(
+                take_step, sharded_generator, t_span, y, max_dt, t_eval=t_eval
+            )
             # frame-BASIS conversion on device so the result stays sharded
-            yf = results_y_out_of_frame_basis(model, yf, jnp.ndim(y))
-            return jax.lax.with_sharding_constraint(yf, y_sharding)
+            return results_y_out_of_frame_basis(model, res.y, jnp.ndim(y))
 
-        return run(jax.device_put(y0_fb, y_sharding))
+        ys = run(jax.device_put(y0_fb, y_sharding))
+        t_merged = np.asarray(merge_t_args(t_span, t_eval))
+        t_out = t_merged[1:-1] if t_eval is not None else t_merged
+        return OdeResult(t=t_out, y=ys)
     finally:
         model.in_frame_basis = prev_flag

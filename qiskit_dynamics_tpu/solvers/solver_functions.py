@@ -72,6 +72,7 @@ LMDE_METHODS = [
     "jax_expm",
     "jax_expm_parallel",
     "jax_RK4_parallel",
+    "tensor_expm",
 ]
 
 
@@ -212,6 +213,25 @@ def solve_lmde(
         )
 
     _validate_not_scipy_sparse_under_jax(method, generator)
+
+    if method == "tensor_expm":
+        # Hilbert-space-sharded fixed-step Magnus solve: dispatch to the
+        # parallel layer (it owns the frame setup) — see parallel/tensor.py
+        from ..parallel.tensor import tensor_magnus_solve
+
+        if not isinstance(generator, BaseGeneratorModel):
+            raise DynamicsError(
+                'method="tensor_expm" requires a model generator (it shards '
+                "the model's operators over the mesh)."
+            )
+        if "mesh" not in kwargs:
+            raise DynamicsError(
+                'method="tensor_expm" requires mesh= (a jax.sharding.Mesh '
+                'with a "model" axis; see parallel.model_mesh).'
+            )
+        return tensor_magnus_solve(
+            generator, t_span, y0, kwargs.pop("mesh"), t_eval=t_eval, **kwargs
+        )
 
     if isinstance(generator, BaseGeneratorModel):
         solver_generator, _, y0, model_in_frame_basis = (
