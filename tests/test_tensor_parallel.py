@@ -246,3 +246,23 @@ def test_time_by_model_propagator_scan():
     )
     ref = jax.lax.associative_scan(lambda a, b: jnp.matmul(b, a), jnp.asarray(props))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-12)
+
+
+def test_tensor_expm_through_solver_class():
+    """method='tensor_expm' flows through Solver.solve (signal handling,
+    quantum_info y0 table, results conversion) like any other LMDE method."""
+    from qiskit_dynamics_tpu import Solver, Signal
+
+    n = 8
+    rng = np.random.default_rng(1)
+    H0 = rng.normal(size=(n, n)); H0 = H0 + H0.T
+    Hd = rng.normal(size=(n, n)); Hd = Hd + Hd.T
+    solver = Solver(static_hamiltonian=H0, hamiltonian_operators=[Hd],
+                    rotating_frame=np.diag(np.diag(H0)))
+    y0 = np.zeros(n, dtype=complex); y0[0] = 1.0
+    sig = [Signal(0.4, carrier_freq=1.1)]
+    r = solver.solve(t_span=[0.0, 1.0], y0=y0, signals=sig,
+                     method="tensor_expm", mesh=parallel.model_mesh(4), max_dt=0.1)
+    ref = solver.solve(t_span=[0.0, 1.0], y0=y0, signals=sig, method="jax_expm",
+                       max_dt=0.1, magnus_order=2, expm_method="taylor")
+    np.testing.assert_allclose(np.asarray(r.y[-1]), np.asarray(ref.y[-1]), atol=1e-12)
