@@ -15,6 +15,8 @@ LMDE methods (``dy/dt = G(t) y``):
 - ``scipy_expm``, ``jax_expm`` (fixed-step Magnus 1/2/3 exponential)
 - ``lanczos_diag``, ``jax_lanczos_diag`` (Krylov expm action)
 - ``jax_expm_parallel``, ``jax_RK4_parallel`` (vmap + associative_scan)
+- ``tensor_expm`` (Hilbert-space-sharded fixed-step Magnus over a
+  ``"model"`` mesh axis; requires ``mesh=`` — see ``parallel/tensor.py``)
 
 Models are flipped into the frame eigenbasis for solving (diagonal-phase
 transforms instead of dense basis changes per step) and results rotated back —
