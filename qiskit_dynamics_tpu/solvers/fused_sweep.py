@@ -1231,7 +1231,9 @@ def fused_adaptive_sweep_solve(
     over the mesh's ``"data"`` axis (``parallel.pshard_batch``) — each chip
     runs the fused kernel and its stiffness bucketing on its own shard,
     SPMD with no collectives on the solve path; batches pad to a multiple
-    of the axis size and trim on return.
+    of the axis size and trim on return. Gradients shard too, but wrap the
+    loss in ``jax.jit`` (``jit(grad(loss))``): jax cannot yet evaluate the
+    custom-VJP's inner call eagerly inside ``shard_map``.
 
     Precision: the kernel arithmetic is hard-float32 with EFT-reduced phase
     arguments (``ops/trig_reduce.py``); tolerances are honored down to

@@ -315,3 +315,36 @@ def test_fused_adaptive_sweep_solve_mesh_kwarg():
         solver.model, signals_fn, amps, mesh=data_mesh(), **kw
     )
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(serial), atol=5e-7)
+
+
+def test_adaptive_mesh_gradient_matches_single_device():
+    """jit(grad(loss)) through fused_adaptive_sweep_solve(mesh=...): the
+    recorded-grid replay adjoint runs per-shard under shard_map and the
+    sharded gradient equals the single-device gradient (the jit wrapper is
+    required — jax cannot evaluate the custom-VJP call eagerly inside
+    shard_map; documented in the mesh= docstring)."""
+    import jax
+    import jax.numpy as jnp
+    from qiskit_dynamics_tpu import Signal, parallel
+    from qiskit_dynamics_tpu.benchmarks import cr_solver
+    from qiskit_dynamics_tpu.solvers import fused_adaptive_sweep_solve
+
+    solver, w1 = cr_solver(dim=2)
+    y0 = np.zeros(4, dtype=complex)
+    y0[0] = 1.0
+    mesh = parallel.data_mesh(4)
+    amps = jnp.linspace(0.2, 1.0, 8)
+
+    def loss(a, use_mesh):
+        yf = fused_adaptive_sweep_solve(
+            solver.model,
+            lambda amp: [Signal(lambda t: amp * 0.02, carrier_freq=w1)],
+            a, t_span=(0.0, 1.0), y0=y0, atol=1e-6, rtol=1e-6, tile_b=2,
+            interpret=True, rwa_signal_map=solver._rwa_signal_map,
+            mesh=mesh if use_mesh else None,
+        )
+        return jnp.mean(jnp.abs(yf[:, 1]) ** 2)
+
+    g_mesh = jax.jit(jax.grad(lambda a: loss(a, True)))(amps)
+    g_single = jax.grad(lambda a: loss(a, False))(amps)
+    np.testing.assert_allclose(np.asarray(g_mesh), np.asarray(g_single), atol=1e-15)
