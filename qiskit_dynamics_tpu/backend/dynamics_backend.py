@@ -241,7 +241,7 @@ def _get_acquire_instruction_timings(
 class DynamicsBackend:
     """Pulse-level simulator backend around a pulse-configured :class:`Solver`."""
 
-    def __init__(self, solver: Solver, **options):
+    def __init__(self, solver: Solver, target=None, **options):
         self.name = "DynamicsBackend"
         self.backend_version = "0.1"
 
@@ -262,6 +262,77 @@ class DynamicsBackend:
 
         self.dt = solver._dt
         self.num_qubits = len(self.options.subsystem_dims)
+        self._target = self._build_target(target)
+
+    def _build_target(self, target):
+        """Resolve the transpilation target (reference
+        ``dynamics_backend.py:197-221``): copy a provided target, else build
+        one — a real ``qiskit.transpiler.Target`` with default measure
+        calibrations when qiskit is importable, a native stand-in otherwise.
+        Either way ``dt``/``num_qubits`` are stamped from the solver/options."""
+        if target is None:
+            try:
+                from qiskit.transpiler import Target
+
+                target = Target()
+                self._add_default_measure_instructions(target)
+            except ImportError:
+                target = SimpleNamespace(dt=None, num_qubits=None)
+        else:
+            # copy so backend-side dt/num_qubits stamps don't mutate the input
+            target = copy.copy(target)
+        try:
+            target.dt = self.dt
+            target.num_qubits = self.num_qubits
+        except AttributeError:  # frozen/exotic target objects: leave as-is
+            pass
+        return target
+
+    def _add_default_measure_instructions(self, target):
+        """Register a default measure calibration (1-sample acquire) for
+        each subsystem on a qiskit ``Target`` (reference
+        ``dynamics_backend.py:203-217``)."""
+        try:
+            from qiskit import pulse as qiskit_pulse
+            from qiskit.circuit.library import Measure
+            from qiskit.transpiler import InstructionProperties
+
+            measure_properties = {}
+            instruction_schedule_map = target.instruction_schedule_map()
+            for qubit in range(len(self.options.subsystem_dims)):
+                if not instruction_schedule_map.has(instruction="measure", qubits=qubit):
+                    with qiskit_pulse.build() as meas_sched:
+                        qiskit_pulse.acquire(
+                            duration=1,
+                            qubit_or_channel=qubit,
+                            register=qiskit_pulse.MemorySlot(qubit),
+                        )
+                    measure_properties[(qubit,)] = InstructionProperties(
+                        calibration=meas_sched
+                    )
+            if measure_properties:
+                target.add_instruction(Measure(), measure_properties)
+        except Exception:  # qiskit API drift must not break construction
+            pass
+
+    @property
+    def target(self):
+        """The transpilation target (a ``qiskit.transpiler.Target`` when
+        qiskit is installed; reference ``dynamics_backend.py:527-528``)."""
+        return self._target
+
+    @property
+    def max_circuits(self):
+        """No limit on batch size (reference ``dynamics_backend.py:522-524``)."""
+        return None
+
+    def configuration(self):
+        """The ``configuration`` option (reference ``dynamics_backend.py:585-587``)."""
+        return self.options.configuration
+
+    def defaults(self):
+        """The ``defaults`` option (reference ``dynamics_backend.py:589-591``)."""
+        return self.options.defaults
 
     @staticmethod
     def _default_options() -> _Options:
@@ -282,6 +353,8 @@ class DynamicsBackend:
             memory=True,
             seed_simulator=None,
             experiment_result_function=None,  # resolved to default at use
+            configuration=None,
+            defaults=None,
         )
 
     @property

@@ -74,11 +74,24 @@ class ArrayPolynomial:
         constant_term=None,
         array_coefficients=None,
         monomial_labels: Optional[List] = None,
+        array_library: Optional[str] = None,
     ):
         if array_coefficients is None and constant_term is None:
             raise DynamicsError(
                 "At least one of array_coefficients and constant_term must be specified."
             )
+
+        # reference-compat kwarg (ref array_polynomial.py:139,169): under the
+        # one-JAX-core design "numpy"/"jax" need no storage conversion;
+        # "jax"/"jax_sparse" force jnp storage so evaluation stays on device
+        if array_library is not None:
+            if array_library not in ("numpy", "jax", "jax_sparse", "scipy_sparse"):
+                raise DynamicsError(f"Unsupported array_library {array_library!r}.")
+            if "jax" in array_library:
+                if array_coefficients is not None:
+                    array_coefficients = jnp.asarray(array_coefficients)
+                if constant_term is not None:
+                    constant_term = jnp.asarray(constant_term)
 
         if monomial_labels is not None:
             self._monomial_labels = [to_multiset(m) for m in monomial_labels]
