@@ -65,6 +65,7 @@ def _kernel(
     c2_sign: float,
     resident: bool,
     hoist: bool,
+    build: str,
     *refs,
 ):
     (
@@ -199,6 +200,59 @@ def _kernel(
             w = jnp.sum(prod, axis=0, keepdims=True)  # (1, 2n)
         v_s[row, :] = y_s[row, :] + inv * w
 
+    def build_all(step, gauss_idx, out_r, out_i, cosb, sinb):
+        """Whole-block generator build: ONE broadcast FMA chain over
+        ``(bm, n, n)`` per operator instead of ``bm`` separate per-member
+        chains (gen-2 layout — the tuning campaign measured the per-member
+        VPU build/assembly op stream, not its flops, as the plateau)."""
+        if hoist:
+            base = gauss_idx * (k + 1)
+            acc_r = jnp.broadcast_to(rsr[base][None], (bm, n, n))
+            acc_i = jnp.broadcast_to(rsi[base][None], (bm, n, n))
+            for j in range(k):
+                c = coef_ref[:, step, gauss_idx * k + j].reshape(bm, 1, 1)
+                acc_r = acc_r + c * rsr[base + 1 + j][None]
+                acc_i = acc_i + c * rsi[base + 1 + j][None]
+            out_r[...] = acc_r
+            out_i[...] = acc_i
+            return
+        acc_r = jnp.broadcast_to(statr_ref[...][None], (bm, n, n))
+        acc_i = jnp.broadcast_to(stati_ref[...][None], (bm, n, n))
+        for j in range(k):
+            c = coef_ref[:, step, gauss_idx * k + j].reshape(bm, 1, 1)
+            acc_r = acc_r + c * opsr_ref[j][None]
+            acc_i = acc_i + c * opsi_ref[j][None]
+        out_r[...] = acc_r * cosb[...][None] - acc_i * sinb[...][None]
+        out_i[...] = acc_r * sinb[...][None] + acc_i * cosb[...][None]
+
+    def assemble_all():
+        """Whole-block Magnus assembly: per-member MXU wide products stay a
+        loop (they pipeline behind VPU work), but the linear part, the
+        commutator finish, and the quadrant writes run batched over
+        ``(bm, n, n)``. The G blocks are dead after their products, so the
+        commutators stage in-place into ``g1``."""
+        mrr[:, 0:n, 0:n] = c1 * (g1r[...] + g2r[...])
+        mrr[:, 0:n, n:n2] = c1 * (g1i[...] + g2i[...])
+        if hermitian:
+            for m in range(bm):
+                pr, pi = wide_product(g2r, g2i, g1r, g1i, m)
+                g1r[m] = pr
+                g1i[m] = pi
+            comm_r = g1r[...] - jnp.swapaxes(g1r[...], -1, -2)
+            comm_i = g1i[...] + jnp.swapaxes(g1i[...], -1, -2)
+        else:
+            for m in range(bm):
+                pr, pi = wide_product(g2r, g2i, g1r, g1i, m)
+                qr, qi = wide_product(g1r, g1i, g2r, g2i, m)
+                g1r[m] = pr - qr
+                g1i[m] = pi - qi
+            comm_r = g1r[...]
+            comm_i = g1i[...]
+        mrr[:, 0:n, 0:n] = mrr[:, 0:n, 0:n] + c2 * comm_r
+        mrr[:, 0:n, n:n2] = mrr[:, 0:n, n:n2] + c2 * comm_i
+        mrr[:, n:n2, 0:n] = -mrr[:, 0:n, n:n2]
+        mrr[:, n:n2, n:n2] = mrr[:, 0:n, 0:n]
+
     def body(step, _):
         phase_tables(step, _GAUSS_C1, cos1, sin1)
         phase_tables(step, _GAUSS_C2, cos2, sin2)
@@ -209,11 +263,16 @@ def _kernel(
             # all bm members' M matrices live at once; the Horner loop
             # interleaves members within each Taylor iteration so the MXU
             # pipelines independent mat-vec passes
-            for m in range(bm):
-                build_one(step, 0, m, m, g1r, g1i, cos1, sin1)
-                build_one(step, 1, m, m, g2r, g2i, cos2, sin2)
-            for m in range(bm):
-                assemble_mrr(m)
+            if build == "batched":
+                build_all(step, 0, g1r, g1i, cos1, sin1)
+                build_all(step, 1, g2r, g2i, cos2, sin2)
+                assemble_all()
+            else:
+                for m in range(bm):
+                    build_one(step, 0, m, m, g1r, g1i, cos1, sin1)
+                    build_one(step, 1, m, m, g2r, g2i, cos2, sin2)
+                for m in range(bm):
+                    assemble_mrr(m)
             v_s[...] = y_s[...]
             if horner == "bvpu":
                 # ALL members' mat-vecs in one fused multiply + sublane
@@ -263,6 +322,7 @@ def sweep_expm_magnus2_member(
     static_op, operators, frame_omega, coefficients, y0,
     dt, t0=0.0, order=8, block_m=8, interpret=False, hermitian=False,
     frame_omega_lo=None, horner="mxu", resident=None, hoist_rotation=None,
+    build="member",
 ):
     """Public shim (host-side frequency split, see
     :func:`.sweep_solver.split_omega_host`) over the jitted member-major
@@ -282,12 +342,19 @@ def sweep_expm_magnus2_member(
         raise ValueError(
             f"horner must be 'mxu', 'vpu', 'hybrid' or 'bvpu', got {horner!r}"
         )
+    if build not in ("member", "batched"):
+        raise ValueError(f"build must be 'member' or 'batched', got {build!r}")
     if resident is None:
         resident = jnp.shape(y0)[0] <= 64
     if horner == "bvpu" and not resident:
         raise ValueError(
             "horner='bvpu' batches the Horner mat-vec across the resident "
             "member block; use 'mxu'/'vpu' in non-resident mode."
+        )
+    if build == "batched" and not resident:
+        raise ValueError(
+            "build='batched' builds the whole resident member block at once; "
+            "use build='member' in non-resident mode."
         )
     # run the whole solve in transposed space: M^T blocks come out of
     # the same kernel math fed with transposed statics, EXCEPT the
@@ -309,7 +376,7 @@ def sweep_expm_magnus2_member(
         static_op, operators, frame_omega, frame_omega_lo, coefficients, y0,
         dt=dt, t0=t0, order=order, block_m=block_m, interpret=interpret,
         hermitian=hermitian, horner=horner, resident=bool(resident),
-        hoist_rotation=hoist_rotation,
+        hoist_rotation=hoist_rotation, build=str(build),
     )
 
 
@@ -317,14 +384,14 @@ def sweep_expm_magnus2_member(
     jax.jit,
     static_argnames=(
         "dt", "t0", "order", "block_m", "interpret", "hermitian", "horner",
-        "resident", "hoist_rotation",
+        "resident", "hoist_rotation", "build",
     ),
 )
 def _sweep_expm_magnus2_member_jit(
     static_op, operators, frame_omega, frame_omega_lo, coefficients, y0,
     dt: float, t0: float = 0.0, order: int = 8, block_m: int = 8,
     interpret: bool = False, hermitian: bool = False, horner: str = "mxu",
-    resident: bool = True, hoist_rotation=None,
+    resident: bool = True, hoist_rotation=None, build: str = "member",
 ):
     T, _, k, B = coefficients.shape
     n = y0.shape[0]
@@ -371,6 +438,7 @@ def _sweep_expm_magnus2_member_jit(
     kernel = functools.partial(
         _kernel, n, k, T, float(dt), float(t0), int(order), int(block_m),
         bool(hermitian), str(horner), -1.0, bool(resident), bool(hoist),
+        str(build),
     )
     full = lambda arr: pl.BlockSpec(
         arr.shape, lambda b: (0,) * arr.ndim, memory_space=pltpu.VMEM

@@ -79,10 +79,13 @@ def _bwd(dt, t0, order, hermitian, mode, tile_b, interpret, eval_slots,
 sweep_expm_magnus2_ad.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13)
+)
 def sweep_expm_magnus2_member_ad(
     static_op, operators, frame_omega, frame_omega_lo, coefficients, y0,
-    dt, t0, order, hermitian, block_m, interpret,
+    dt, t0, order, hermitian, block_m, interpret, horner="mxu",
+    build="member",
 ):
     """:func:`~qiskit_dynamics_tpu.ops.member_sweep.sweep_expm_magnus2_member`
     with gradients — member-major Pallas primal, XLA-engine adjoint (the
@@ -93,24 +96,25 @@ def sweep_expm_magnus2_member_ad(
     return sweep_expm_magnus2_member(
         static_op, operators, frame_omega, coefficients, y0,
         dt=dt, t0=t0, order=order, block_m=block_m, interpret=interpret,
-        hermitian=hermitian, frame_omega_lo=frame_omega_lo,
+        hermitian=hermitian, frame_omega_lo=frame_omega_lo, horner=horner,
+        build=build,
     )
 
 
 def _member_fwd(static_op, operators, frame_omega, frame_omega_lo,
                 coefficients, y0, dt, t0, order, hermitian, block_m,
-                interpret):
+                interpret, horner, build):
     out = sweep_expm_magnus2_member_ad(
         static_op, operators, frame_omega, frame_omega_lo, coefficients, y0,
-        dt, t0, order, hermitian, block_m, interpret,
+        dt, t0, order, hermitian, block_m, interpret, horner, build,
     )
     return out, (
         static_op, operators, frame_omega, frame_omega_lo, coefficients, y0
     )
 
 
-def _member_bwd(dt, t0, order, hermitian, block_m, interpret, residuals,
-                cotangent):
+def _member_bwd(dt, t0, order, hermitian, block_m, interpret, horner, build,
+                residuals, cotangent):
     def f(static_op, operators, frame_omega, frame_omega_lo, coefficients, y0):
         return sweep_expm_magnus2_xla(
             static_op, operators, frame_omega, coefficients, y0,

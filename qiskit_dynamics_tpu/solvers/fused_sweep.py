@@ -127,6 +127,8 @@ def fused_sweep_solve(
     df_devices=None,
     magnus_mode: str = "auto",
     sweep_engine: str = "auto",
+    member_horner: str = "mxu",
+    member_build: str = "member",
     t_eval=None,
     mesh=None,
 ):
@@ -197,6 +199,14 @@ def fused_sweep_solve(
             ``lax.scan`` — compiles in seconds at any dim), or ``"auto"``
             (default): pallas for ``solve_dim <= 32``, xla above. Identical
             Magnus-2/Taylor polynomial either way.
+        member_horner: (member engine only) Horner mat-vec variant —
+            ``"mxu"`` (default), ``"vpu"``, ``"hybrid"``, or ``"bvpu"``
+            (see :mod:`~qiskit_dynamics_tpu.ops.member_sweep`).
+        member_build: (member engine only) per-step generator build/assembly
+            layout — ``"member"`` (per-member op chains, default) or
+            ``"batched"`` (whole-block broadcast FMAs + batched Magnus
+            assembly; identical polynomial, results agree to f32
+            reassociation).
         mesh: optional ``jax.sharding.Mesh`` — shard the sweep batch over the
             mesh's ``"data"`` axis (``parallel.pshard_batch``): each chip
             runs the fused kernel on its shard of ``params``, SPMD with no
@@ -238,6 +248,7 @@ def fused_sweep_solve(
                 expm_order=expm_order, tile_b=tile_b, interpret=interpret,
                 rwa_signal_map=rwa_signal_map, precision=precision,
                 magnus_mode=magnus_mode, sweep_engine=sweep_engine,
+                member_horner=member_horner, member_build=member_build,
                 t_eval=t_eval, mesh=None,
             )
 
@@ -443,7 +454,8 @@ def fused_sweep_solve(
         omega_hi, omega_lo = split_omega_host(omega)
         yf = sweep_expm_magnus2_member_ad(
             static_fb, ops_fb, omega_hi, omega_lo, coeffs, y0_cols,
-            dt, t0, expm_order, hermitian, 8, interpret,
+            dt, t0, expm_order, hermitian, 8, interpret, member_horner,
+            member_build,
         )
     else:
         if tile_b is None:

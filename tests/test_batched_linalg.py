@@ -1032,6 +1032,66 @@ class TestMemberMajorEngine:
                 *args, dt=0.04, horner="bvpu", resident=False, interpret=True
             )
 
+    @pytest.mark.parametrize("hermitian", [False, True])
+    @pytest.mark.parametrize("hoist", [False, True])
+    def test_batched_build_matches_member(self, hermitian, hoist):
+        # gen-2 whole-block build/assembly (build="batched"): identical
+        # polynomial as the per-member op chains, so interpret results agree
+        # to reassociation level in every (hermitian, hoist) combination
+        from qiskit_dynamics_tpu.ops.member_sweep import sweep_expm_magnus2_member
+
+        args = self._problem(B=8, anti_hermitian=hermitian)
+        kw = dict(
+            dt=0.04, t0=0.1, order=10, interpret=True, block_m=4,
+            hermitian=hermitian, hoist_rotation=hoist,
+        )
+        a = sweep_expm_magnus2_member(*args, build="member", **kw)
+        b = sweep_expm_magnus2_member(*args, build="batched", **kw)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+    def test_batched_build_requires_resident(self):
+        from qiskit_dynamics_tpu.ops.member_sweep import sweep_expm_magnus2_member
+
+        args = self._problem(B=4)
+        with pytest.raises(ValueError, match="batched"):
+            sweep_expm_magnus2_member(
+                *args, dt=0.04, build="batched", resident=False, interpret=True
+            )
+
+    def test_glue_member_build_batched_and_gradient(self):
+        # member_build="batched" through fused_sweep_solve: forward matches
+        # the XLA engine; gradient (member primal, XLA adjoint) matches too
+        import jax
+        from qiskit_dynamics_tpu import Signal
+        from qiskit_dynamics_tpu.benchmarks import cr_solver
+        from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+
+        solver, w1 = cr_solver(dim=2)
+        y0 = np.zeros(4, dtype=complex)
+        y0[0] = 1.0
+        sig_fn = lambda a: [Signal(lambda t: a * 0.02, carrier_freq=w1)]
+        kw = dict(
+            t_span=(0.0, 2.0), max_dt=0.25, y0=y0,
+            rwa_signal_map=solver._rwa_signal_map, interpret=True,
+        )
+        amps = jnp.array([0.3, 0.75, 1.0])
+        out_b = fused_sweep_solve(
+            solver.model, sig_fn, amps, sweep_engine="member",
+            member_build="batched", **kw
+        )
+        out_x = fused_sweep_solve(solver.model, sig_fn, amps, sweep_engine="xla", **kw)
+        np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_x), atol=1e-12)
+
+        def loss(amps, **ekw):
+            yf = fused_sweep_solve(solver.model, sig_fn, amps, **ekw, **kw)
+            return jnp.mean(jnp.abs(yf[:, 1]) ** 2)
+
+        g_b = jax.grad(
+            lambda a: loss(a, sweep_engine="member", member_build="batched")
+        )(amps)
+        g_x = jax.grad(lambda a: loss(a, sweep_engine="xla"))(amps)
+        np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_x), rtol=1e-6, atol=1e-12)
+
     def test_glue_member_engine(self):
         # through fused_sweep_solve with sweep_engine="member"
         import jax
