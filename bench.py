@@ -42,7 +42,56 @@ def median_time(fn, repeats=3):
     return float(np.median(times))
 
 
+def tunnel_preflight(max_wait_s=1800, probe_timeout=180):
+    """The axon TPU tunnel goes down intermittently (observed hours-long);
+    a down tunnel makes the first device dispatch hang SILENTLY. Probe with
+    a tiny subprocess (inherits this process's env/platform) under a hard
+    timeout, retrying within ``max_wait_s``, so the driver's bench run
+    either waits out a short outage or fails fast with an honest record
+    instead of hanging."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "print(np.asarray(jax.jit(lambda a: (a @ a).sum())"
+        "(jnp.ones((64, 64), jnp.float32))))"
+    )
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=probe_timeout, check=True, capture_output=True,
+            )
+            return True
+        except Exception as exc:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                log(f"device preflight failed for {max_wait_s}s: {exc!r}")
+                return False
+            log(f"device unreachable ({type(exc).__name__}); retrying "
+                f"({remaining:.0f}s left)")
+            time.sleep(min(120, max(1, remaining)))
+
+
 def main():
+    if not tunnel_preflight(
+        max_wait_s=int(os.environ.get("BENCH_PREFLIGHT_WAIT_S", "1800"))
+    ):
+        # honest failure record: no device, no numbers
+        print(
+            json.dumps(
+                {
+                    "metric": "cr_sweep_throughput_dim16",
+                    "value": 0,
+                    "unit": "sims/sec",
+                    "vs_baseline": 0,
+                    "error": "device unreachable (axon tunnel down) after preflight wait",
+                }
+            )
+        )
+        return
+
     from qiskit_dynamics_tpu.benchmarks import cr_solver
     from qiskit_dynamics_tpu.solvers import fused_adaptive_sweep_solve
     from qiskit_dynamics_tpu import Signal
