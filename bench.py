@@ -42,42 +42,61 @@ def median_time(fn, repeats=3):
     return float(np.median(times))
 
 
-def tunnel_preflight(max_wait_s=1800, probe_timeout=180):
+def tunnel_preflight(max_wait_s=1800, probe_timeout=300):
     """The axon TPU tunnel goes down intermittently (observed hours-long);
     a down tunnel makes the first device dispatch hang SILENTLY. Probe with
     a tiny subprocess (inherits this process's env/platform) under a hard
     timeout, retrying within ``max_wait_s``, so the driver's bench run
     either waits out a short outage or fails fast with an honest record
-    instead of hanging."""
+    instead of hanging.
+
+    Returns ``(ok, reason)``. A hang (``TimeoutExpired``) is the tunnel-down
+    signature and retries; a probe that ERRORS twice in a row is
+    deterministic breakage (bad install, sitecustomize change) and fails
+    fast with its stderr instead of burning the whole wait."""
     import subprocess
 
     code = (
-        "import jax, jax.numpy as jnp, numpy as np;"
+        "import jax;"
+        "jax.config.update('jax_compilation_cache_dir',"
+        f" {os.path.join(os.path.dirname(os.path.abspath(__file__)), '.jax_cache')!r});"
+        "import jax.numpy as jnp, numpy as np;"
         "print(np.asarray(jax.jit(lambda a: (a @ a).sum())"
         "(jnp.ones((64, 64), jnp.float32))))"
     )
     deadline = time.time() + max_wait_s
+    consecutive_errors = 0
     while True:
         try:
             subprocess.run(
                 [sys.executable, "-c", code],
                 timeout=probe_timeout, check=True, capture_output=True,
             )
-            return True
-        except Exception as exc:
+            return True, None
+        except subprocess.CalledProcessError as exc:
+            consecutive_errors += 1
+            stderr = (exc.stderr or b"").decode(errors="replace")[-400:]
+            if consecutive_errors >= 2:
+                log(f"device probe errored twice; failing fast: {stderr}")
+                return False, f"device probe errored (not a hang): {stderr}"
+            log(f"device probe error (1st, will retry once): {stderr}")
+            time.sleep(5)
+        except Exception as exc:  # TimeoutExpired etc: tunnel-down signature
+            consecutive_errors = 0
             remaining = deadline - time.time()
             if remaining <= 0:
                 log(f"device preflight failed for {max_wait_s}s: {exc!r}")
-                return False
+                return False, "device unreachable (tunnel down) after preflight wait"
             log(f"device unreachable ({type(exc).__name__}); retrying "
                 f"({remaining:.0f}s left)")
             time.sleep(min(120, max(1, remaining)))
 
 
 def main():
-    if not tunnel_preflight(
+    ok, reason = tunnel_preflight(
         max_wait_s=int(os.environ.get("BENCH_PREFLIGHT_WAIT_S", "1800"))
-    ):
+    )
+    if not ok:
         # honest failure record: no device, no numbers
         print(
             json.dumps(
@@ -86,7 +105,7 @@ def main():
                     "value": 0,
                     "unit": "sims/sec",
                     "vs_baseline": 0,
-                    "error": "device unreachable (axon tunnel down) after preflight wait",
+                    "error": reason,
                 }
             )
         )

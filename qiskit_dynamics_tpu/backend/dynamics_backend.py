@@ -275,16 +275,24 @@ class DynamicsBackend:
                 from qiskit.transpiler import Target
 
                 target = Target()
-                self._add_default_measure_instructions(target)
             except ImportError:
                 target = SimpleNamespace(dt=None, num_qubits=None)
         else:
             # copy so backend-side dt/num_qubits stamps don't mutate the input
             target = copy.copy(target)
+        # the reference adds default measure calibrations to user-provided
+        # targets too (dynamics_backend.py:202-215); the helper no-ops on
+        # targets without the qiskit Target API (native stand-ins)
+        self._add_default_measure_instructions(target)
+        # stamp independently: a read-only attribute on one must not skip
+        # the other (e.g. frozen/Rust-backed Target variants)
         try:
             target.dt = self.dt
+        except AttributeError:
+            pass
+        try:
             target.num_qubits = self.num_qubits
-        except AttributeError:  # frozen/exotic target objects: leave as-is
+        except AttributeError:
             pass
         return target
 

@@ -87,6 +87,29 @@ class ArrayPolynomial:
         if array_library is not None:
             if array_library not in ("numpy", "jax", "jax_sparse", "scipy_sparse"):
                 raise DynamicsError(f"Unsupported array_library {array_library!r}.")
+            if array_library == "scipy_sparse":
+                # the reference keeps scipy-sparse coefficient storage; the
+                # one-JAX-core build densifies — warn rather than silently
+                # blow up memory on large sparse terms
+                import warnings
+
+                warnings.warn(
+                    "ArrayPolynomial stores coefficients dense in this build; "
+                    "array_library='scipy_sparse' inputs are densified "
+                    "(O(n^2) per term).",
+                    stacklevel=2,
+                )
+                densify = lambda x: (
+                    x.toarray()
+                    if hasattr(x, "toarray")
+                    else [e.toarray() if hasattr(e, "toarray") else e for e in x]
+                    if isinstance(x, (list, tuple))
+                    else x
+                )
+                if array_coefficients is not None:
+                    array_coefficients = densify(array_coefficients)
+                if constant_term is not None:
+                    constant_term = densify(constant_term)
             if "jax" in array_library:
                 if array_coefficients is not None:
                     array_coefficients = jnp.asarray(array_coefficients)

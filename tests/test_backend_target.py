@@ -77,3 +77,46 @@ def test_array_polynomial_array_library_kwarg():
 
     with pytest.raises(DynamicsError):
         ArrayPolynomial(constant_term=np.eye(2), array_library="torch")
+
+
+def test_array_polynomial_scipy_sparse_densifies_with_warning():
+    from scipy.sparse import csr_matrix
+
+    with pytest.warns(UserWarning, match="densified"):
+        ap = ArrayPolynomial(
+            constant_term=csr_matrix(np.eye(2)),
+            array_coefficients=[csr_matrix(2.0 * np.eye(2))],
+            monomial_labels=[[0]],
+            array_library="scipy_sparse",
+        )
+    assert isinstance(ap.constant_term, np.ndarray)
+    out = ap(np.array([3.0]))
+    assert np.allclose(np.asarray(out), 7.0 * np.eye(2))
+
+
+def test_measure_calibrations_attempted_on_provided_target():
+    """The reference adds default measure calibrations to user-provided
+    targets too (ref dynamics_backend.py:202-215); with qiskit absent the
+    helper must no-op gracefully on native stand-ins."""
+    calls = []
+
+    class RecordingTarget:
+        dt = None
+        num_qubits = None
+
+        def instruction_schedule_map(self):
+            calls.append("ism")
+            raise RuntimeError("native stand-in without qiskit")
+
+    X = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex)
+    solver = Solver(
+        static_hamiltonian=np.pi * np.diag([1.0, -1.0]),
+        hamiltonian_operators=[np.pi * X],
+        hamiltonian_channels=["d0"],
+        channel_carrier_freqs={"d0": 1.0},
+        dt=0.1,
+    )
+    backend = DynamicsBackend(solver=solver, target=RecordingTarget())
+    # the helper attempted the calibration walk (qiskit importable or not,
+    # construction survives a target that cannot register instructions)
+    assert backend.target.dt == 0.1
