@@ -17,6 +17,12 @@ from .scipy_solve_ivp import scipy_solve_ivp
 from .solver_classes import Solver
 from .perturbative_solvers import ExpansionModel, DysonSolver, MagnusSolver
 from .fused_sweep import fused_sweep_solve, fused_adaptive_sweep_solve
+from .analysis import (
+    lindblad_steady_state,
+    lindblad_steady_state_sweep,
+    floquet_basis,
+    FloquetResult,
+)
 from .sweep_interpolation import (
     interpolated_sweep_solve,
     interpolated_sweep_solve_2d,

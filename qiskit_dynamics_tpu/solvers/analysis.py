@@ -1,0 +1,247 @@
+r"""Steady-state and Floquet analysis.
+
+Capabilities beyond the reference (qiskit-dynamics has no steady-state or
+Floquet API) for its core audience — open-system characterization and
+periodically driven qubit control:
+
+- :func:`lindblad_steady_state` / :func:`lindblad_steady_state_sweep`:
+  :math:`\rho_{ss}` with :math:`\mathcal{L}(\rho_{ss}) = 0` for a
+  (vectorized) Lindblad generator, as one batched MXU-friendly linear
+  solve — differentiable, so dissipative calibration targets (e.g. fitting
+  :math:`T_1`/:math:`T_\phi` from saturation spectroscopy) can sit inside
+  ``jax.grad``.
+- :func:`floquet_basis`: Floquet quasienergies/modes of a time-periodic
+  generator from its one-period propagator (device solve through any
+  ``solve_lmde`` method, host eigendecomposition).
+
+Steady-state method: with the column-stacking convention
+(``models/model_utils.py``), :math:`\mathrm{vec}(\rho_{ss})` spans the
+nullspace of the :math:`(n^2, n^2)` superoperator :math:`L`. Instead of an
+eigensolve (no general ``eig`` on TPU), solve the trace-bordered normal
+equations
+
+.. math:: (L^\dagger L + v v^\dagger)\, x = v,
+          \qquad v = \mathrm{vec}(I)/\sqrt{n},
+
+whose unique solution for an irreducible Lindbladian is the trace-scaled
+steady state: :math:`L^\dagger L` is PSD with kernel spanned by
+:math:`\mathrm{vec}(\rho_{ss})`, and the rank-1 trace border makes the
+system positive-definite because a physical steady state has nonzero
+trace. One Hermitian solve, batched over sweep members, MXU throughout.
+For a degenerate steady-state manifold this returns the trace-normalized
+element selected by the border (the maximally-mixed-direction projection);
+pass ``check_residual`` tolerance to NaN-poison non-converged members
+instead of returning them silently.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..exceptions import DynamicsError
+
+__all__ = [
+    "lindblad_steady_state",
+    "lindblad_steady_state_sweep",
+    "floquet_basis",
+    "FloquetResult",
+]
+
+
+def _steady_from_superop(L, check_residual: Optional[float]):
+    """Trace-bordered normal-equations steady state of superoperator(s)
+    ``L`` with shape ``(..., n^2, n^2)``; returns ``(..., n, n)``."""
+    n2 = L.shape[-1]
+    n = int(round(np.sqrt(n2)))
+    if n * n != n2:
+        raise DynamicsError(f"superoperator dimension {n2} is not a square.")
+    v = jnp.eye(n, dtype=L.dtype).T.reshape(-1) / np.sqrt(n)  # vec(I)/sqrt(n)
+    LH = jnp.conj(jnp.swapaxes(L, -1, -2))
+    A = LH @ L + v[:, None] * jnp.conj(v)[None, :]
+    x = jnp.linalg.solve(A, jnp.broadcast_to(v, L.shape[:-2] + (n2,))[..., None])
+    x = x[..., 0]
+    if check_residual is not None:
+        # NaN-poison members whose nullspace residual exceeds the tolerance
+        # (no raises under trace — package convention)
+        res = jnp.linalg.norm((L @ x[..., None])[..., 0], axis=-1)
+        res = res / jnp.linalg.norm(x, axis=-1)
+        x = jnp.where(
+            (res <= check_residual)[..., None], x, jnp.full_like(x, jnp.nan)
+        )
+    # column-stacking unvec: vec index a = col*n + row
+    rho = jnp.swapaxes(x.reshape(x.shape[:-1] + (n, n)), -1, -2)
+    rho = 0.5 * (rho + jnp.conj(jnp.swapaxes(rho, -1, -2)))
+    tr = jnp.trace(rho, axis1=-2, axis2=-1)[..., None, None]
+    return rho / tr
+
+
+def _validate_steady_model(model):
+    from ..models import LindbladModel
+
+    if not isinstance(model, LindbladModel) or not model.vectorized:
+        raise DynamicsError(
+            "lindblad_steady_state requires a LindbladModel with vectorized=True."
+        )
+    if model._rotating_frame.frame_diag is not None:
+        raise DynamicsError(
+            "lindblad_steady_state requires rotating_frame=None: in a "
+            "nontrivial frame the generator is time-dependent even for "
+            "constant signals, so a static steady state is not defined. "
+            "Build the model without a frame (the solve is one linear "
+            "system — no stiffness to rotate away)."
+        )
+
+
+def lindblad_steady_state(model, time: float = 0.0, check_residual: Optional[float] = 1e-6):
+    r"""Steady state :math:`\rho_{ss}` of a vectorized Lindblad model.
+
+    The generator is evaluated at ``time`` with the model's current signals
+    and treated as time-independent (use constant signals; for periodically
+    driven systems see :func:`floquet_basis`).
+
+    Args:
+        model: ``LindbladModel`` with ``vectorized=True`` and no rotating
+            frame.
+        time: evaluation time for the (constant) generator.
+        check_residual: relative nullspace-residual tolerance above which
+            the result is NaN-poisoned (``None`` disables). Degenerate
+            steady-state manifolds return the trace-bordered projection.
+
+    Returns:
+        ``(dim, dim)`` density matrix, Hermitized and trace-normalized.
+    """
+    _validate_steady_model(model)
+    L = model.evaluate(time)
+    return _steady_from_superop(jnp.asarray(L), check_residual)
+
+
+def lindblad_steady_state_sweep(
+    model,
+    hamiltonian_values=None,
+    dissipator_values=None,
+    check_residual: Optional[float] = 1e-6,
+):
+    r"""Batched steady states over a sweep of constant signal values.
+
+    The Lindblad generator is linear in the Hamiltonian signal values and
+    dissipator rates, so the whole sweep assembles as one tensor
+    contraction over precomputed basis superoperators and solves as one
+    batched Hermitian system (MXU end to end; differentiable w.r.t. the
+    values).
+
+    Args:
+        model: ``LindbladModel`` with ``vectorized=True``, no rotating
+            frame.
+        hamiltonian_values: ``(B, k_h)`` constant Hamiltonian signal
+            values (or ``None`` if the model has no Hamiltonian operators).
+        dissipator_values: ``(B, k_d)`` dissipator rates (or ``None``).
+        check_residual: see :func:`lindblad_steady_state`.
+
+    Returns:
+        ``(B, dim, dim)`` density matrices.
+    """
+    _validate_steady_model(model)
+    coll = model._operator_collection
+
+    k_h = 0 if model.hamiltonian_operators is None else len(model.hamiltonian_operators)
+    k_d = 0 if model.dissipator_operators is None else len(model.dissipator_operators)
+    if (hamiltonian_values is None) != (k_h == 0):
+        raise DynamicsError(
+            f"hamiltonian_values must match the model's {k_h} Hamiltonian operators."
+        )
+    if (dissipator_values is None) != (k_d == 0):
+        raise DynamicsError(
+            f"dissipator_values must match the model's {k_d} dissipator operators."
+        )
+
+    zeros_h = jnp.zeros(k_h) if k_h else None
+    zeros_d = jnp.zeros(k_d) if k_d else None
+    L0 = jnp.asarray(coll.evaluate(zeros_h, zeros_d))
+    basis = []
+    values = []
+    if k_h:
+        hamiltonian_values = jnp.asarray(hamiltonian_values)
+        for j in range(k_h):
+            e = jnp.zeros(k_h).at[j].set(1.0)
+            basis.append(jnp.asarray(coll.evaluate(e, zeros_d)) - L0)
+        values.append(hamiltonian_values)
+    if k_d:
+        dissipator_values = jnp.asarray(dissipator_values)
+        for j in range(k_d):
+            e = jnp.zeros(k_d).at[j].set(1.0)
+            basis.append(jnp.asarray(coll.evaluate(zeros_h, e)) - L0)
+        values.append(dissipator_values)
+    Ls = L0
+    if basis:
+        stacked = jnp.stack(basis)  # (k, n2, n2)
+        coeffs = jnp.concatenate(values, axis=-1)  # (B, k)
+        Ls = L0[None] + jnp.tensordot(coeffs, stacked, axes=1)
+    return _steady_from_superop(Ls, check_residual)
+
+
+class FloquetResult(NamedTuple):
+    """Floquet analysis of a time-periodic generator.
+
+    Attributes:
+        quasienergies: ``(dim,)`` quasienergies in ``(-pi/T, pi/T]``.
+        decay_rates: ``(dim,)`` per-mode decay rates ``-log|lambda|/T``
+            (zero for unitary dynamics up to solver error).
+        modes: ``(dim, dim)`` Floquet modes at ``t0`` (columns).
+        propagator: the one-period propagator ``U(t0 + T, t0)``.
+    """
+
+    quasienergies: np.ndarray
+    decay_rates: np.ndarray
+    modes: np.ndarray
+    propagator: np.ndarray
+
+
+def floquet_basis(
+    model, T: float, t0: float = 0.0, method: str = "tpu_dopri5", **kwargs
+) -> FloquetResult:
+    r"""Floquet quasienergies and modes of a T-periodic generator.
+
+    Solves the one-period propagator :math:`U(t_0+T, t_0)` on device with
+    any ``solve_lmde`` method, then eigendecomposes host-side (general
+    ``eig`` has no TPU lowering; ``dim`` is small once the propagator is
+    in hand): :math:`U u_j = e^{-i \epsilon_j T} u_j` with quasienergies
+    folded to the first Brillouin zone :math:`(-\pi/T, \pi/T]`.
+
+    The model's signals must be ``T``-periodic over ``[t0, t0 + T]`` —
+    this is the caller's contract (it cannot be checked cheaply). If the
+    model carries a rotating frame, the analysis applies to the generator
+    *in that frame*; use a frame whose phases are themselves ``T``-periodic
+    (or no frame) for lab-frame quasienergies.
+
+    Args:
+        model: a generator model (Hamiltonian/Generator, or vectorized
+            Lindblad — then the ``propagator`` is the superoperator
+            one-period map and ``decay_rates`` carry the physics).
+        T: drive period.
+        t0: period start.
+        method: any ``solve_lmde`` method.
+        kwargs: forwarded to ``solve_lmde`` (tolerances etc.).
+
+    Returns:
+        :class:`FloquetResult`.
+    """
+    from .solver_functions import solve_lmde
+
+    if T <= 0:
+        raise DynamicsError("floquet_basis requires a positive period T.")
+    dim = model.dim * model.dim if getattr(model, "vectorized", False) else model.dim
+    y0 = np.eye(dim, dtype=complex)
+    result = solve_lmde(model, t_span=[t0, t0 + T], y0=y0, method=method, **kwargs)
+    U = np.asarray(result.y[-1])
+    evals, modes = np.linalg.eig(U)
+    quasi = -np.angle(evals) / T
+    rates = -np.log(np.clip(np.abs(evals), 1e-300, None)) / T
+    order = np.argsort(quasi)
+    return FloquetResult(
+        quasienergies=quasi[order],
+        decay_rates=rates[order],
+        modes=modes[:, order],
+        propagator=U,
+    )

@@ -1,0 +1,191 @@
+"""Steady-state and Floquet analysis (solvers/analysis.py).
+
+Beyond-reference capabilities; validated against long-time evolution,
+closed-form results, and finite differences.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qiskit_dynamics_tpu import Signal
+from qiskit_dynamics_tpu.exceptions import DynamicsError
+from qiskit_dynamics_tpu.models import HamiltonianModel, LindbladModel
+from qiskit_dynamics_tpu.solvers import (
+    FloquetResult,
+    floquet_basis,
+    lindblad_steady_state,
+    lindblad_steady_state_sweep,
+    solve_lmde,
+)
+
+X = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex)
+Y = np.array([[0.0, -1.0j], [1.0j, 0.0]], dtype=complex)
+Z = np.array([[1.0, 0.0], [0.0, -1.0]], dtype=complex)
+# lowering operator INTO basis state 0 (the +1 eigenstate of Z): decay
+# targets |0><0|, so steady-state <sz> comes out positive in this basis
+SM = np.array([[0.0, 1.0], [0.0, 0.0]], dtype=complex)
+
+
+def driven_damped_qubit(delta=0.4, omega=1.1, gamma=0.7, vectorized=True):
+    """Resonance-fluorescence config: H = delta Z/2 + omega X/2, decay gamma."""
+    return LindbladModel(
+        static_hamiltonian=0.5 * delta * Z + 0.5 * omega * X,
+        static_dissipators=[np.sqrt(gamma) * SM],
+        vectorized=vectorized,
+    )
+
+
+class TestSteadyState:
+    def test_matches_closed_form_bloch(self):
+        # optical Bloch steady state of the driven damped qubit:
+        # |<sz>_ss| = (gamma^2 + 4 delta^2) / (gamma^2 + 4 delta^2 + 2 omega^2),
+        # sign set by the decay target (+Z eigenstate with this SM)
+        delta, omega, gamma = 0.4, 1.1, 0.7
+        rho = np.asarray(lindblad_steady_state(driven_damped_qubit(delta, omega, gamma)))
+        sz = np.real(np.trace(rho @ Z))
+        expected = (gamma**2 + 4 * delta**2) / (gamma**2 + 4 * delta**2 + 2 * omega**2)
+        assert abs(sz - expected) < 1e-10
+        assert abs(np.trace(rho) - 1.0) < 1e-12
+        assert np.allclose(rho, rho.conj().T)
+        evals = np.linalg.eigvalsh(rho)
+        assert evals.min() > -1e-12  # positive semidefinite
+
+    def test_matches_long_time_evolution(self):
+        model = driven_damped_qubit()
+        rho_ss = np.asarray(lindblad_steady_state(model))
+        rho0 = np.zeros((2, 2), dtype=complex)
+        rho0[0, 0] = 1.0
+        res = solve_lmde(
+            model, t_span=[0.0, 60.0], y0=rho0.T.reshape(-1),
+            method="tpu_dopri5", atol=1e-10, rtol=1e-10,
+        )
+        rho_T = np.asarray(res.y[-1]).reshape(2, 2).T
+        assert np.max(np.abs(rho_T - rho_ss)) < 1e-8
+
+    def test_pure_decay_ground_state(self):
+        model = LindbladModel(
+            static_hamiltonian=0.5 * Z, static_dissipators=[SM], vectorized=True
+        )
+        rho = np.asarray(lindblad_steady_state(model))
+        # SM maps basis state 1 -> 0, so the decay fixed point is |0><0|
+        target = np.zeros((2, 2), dtype=complex)
+        target[0, 0] = 1.0
+        assert np.max(np.abs(rho - target)) < 1e-10
+
+    def test_sweep_matches_pointwise(self):
+        delta, gamma = 0.3, 0.5
+        model = LindbladModel(
+            static_hamiltonian=0.5 * delta * Z,
+            hamiltonian_operators=[0.5 * X],
+            static_dissipators=[np.sqrt(gamma) * SM],
+            vectorized=True,
+        )
+        omegas = np.linspace(0.2, 2.0, 7)
+        rhos = np.asarray(
+            lindblad_steady_state_sweep(model, hamiltonian_values=omegas[:, None])
+        )
+        assert rhos.shape == (7, 2, 2)
+        for i, w in enumerate(omegas):
+            point = LindbladModel(
+                static_hamiltonian=0.5 * delta * Z + 0.5 * w * X,
+                static_dissipators=[np.sqrt(gamma) * SM],
+                vectorized=True,
+            )
+            rho_i = np.asarray(lindblad_steady_state(point))
+            assert np.max(np.abs(rhos[i] - rho_i)) < 1e-10
+
+    def test_sweep_dissipator_values_and_grad(self):
+        model = LindbladModel(
+            static_hamiltonian=0.5 * 0.3 * Z,
+            hamiltonian_operators=[0.5 * X],
+            dissipator_operators=[SM],
+            vectorized=True,
+        )
+
+        def mean_excited(params):
+            amps, gammas = params
+            rhos = lindblad_steady_state_sweep(
+                model,
+                hamiltonian_values=amps[:, None],
+                dissipator_values=gammas[:, None],
+            )
+            return jnp.mean(jnp.real(rhos[:, 0, 0]))
+
+        amps = jnp.linspace(0.5, 1.5, 4)
+        gammas = jnp.linspace(0.4, 0.8, 4)
+        val, grads = jax.value_and_grad(mean_excited)((amps, gammas))
+        assert 0.0 < float(val) < 1.0
+        # finite-difference check on the first amplitude
+        eps = 1e-6
+        amps_p = amps.at[0].add(eps)
+        fd = (mean_excited((amps_p, gammas)) - mean_excited((amps, gammas))) / eps
+        assert abs(float(grads[0][0]) - float(fd)) < 1e-4
+
+    def test_validation(self):
+        ham_only = HamiltonianModel(static_operator=Z)
+        with pytest.raises(DynamicsError, match="vectorized"):
+            lindblad_steady_state(ham_only)
+        framed = LindbladModel(
+            static_hamiltonian=0.5 * Z, static_dissipators=[SM],
+            rotating_frame=0.5 * Z, vectorized=True,
+        )
+        with pytest.raises(DynamicsError, match="rotating_frame=None"):
+            lindblad_steady_state(framed)
+        plain = driven_damped_qubit()
+        with pytest.raises(DynamicsError, match="hamiltonian_values"):
+            lindblad_steady_state_sweep(plain, hamiltonian_values=np.ones((3, 1)))
+
+
+class TestFloquet:
+    def test_static_limit_recovers_eigenvalues(self):
+        # constant H: quasienergies are the eigenvalues folded to (-pi/T, pi/T]
+        h = 0.3 * Z + 0.2 * X
+        model = HamiltonianModel(static_operator=h)
+        T = 1.0
+        res = floquet_basis(model, T, method="tpu_dopri5", atol=1e-12, rtol=1e-12)
+        assert isinstance(res, FloquetResult)
+        expected = np.sort(np.linalg.eigvalsh(h))
+        assert np.max(np.abs(np.sort(res.quasienergies) - expected)) < 1e-8
+        assert np.max(np.abs(res.decay_rates)) < 1e-8
+        # modes are the Hamiltonian eigenvectors: U modes = e^{-i e T} modes
+        U = res.propagator
+        lam = np.exp(-1j * res.quasienergies * T)
+        assert np.max(np.abs(U @ res.modes - res.modes * lam[None, :])) < 1e-8
+
+    def test_rabi_quasienergies(self):
+        # resonantly driven qubit, RWA-exact: quasienergy splitting = Rabi
+        # rate omega/2 (in the frame of the drive). Use the full model and
+        # compare against dressed splitting from the one-period propagator
+        # of an analytically solvable RWA Hamiltonian.
+        nu, omega = 5.0, 0.08
+        model = HamiltonianModel(
+            static_operator=np.pi * nu * Z,
+            operators=[2 * np.pi * omega * X / 2],
+            signals=[Signal(1.0, carrier_freq=nu)],
+            rotating_frame=np.pi * nu * Z,
+        )
+        T = 1.0 / nu
+        res = floquet_basis(model, T, method="tpu_dopri5", atol=1e-12, rtol=1e-12)
+        # counter-rotating corrections (Bloch-Siegert) shift the splitting
+        # by O(omega^2/nu); at omega/nu = 0.016 the RWA value holds to ~1e-4
+        splitting = abs(res.quasienergies[1] - res.quasienergies[0])
+        assert abs(splitting - 2 * np.pi * omega / 2) < 2e-3 * 2 * np.pi * omega
+
+    def test_lindblad_floquet_decay(self):
+        # undriven damped qubit through the vectorized-Lindblad branch:
+        # one-period map eigenvalues give decay rates {0, gamma/2 (x2), gamma}
+        gamma = 0.6
+        model = LindbladModel(
+            static_hamiltonian=0.5 * Z,
+            static_dissipators=[np.sqrt(gamma) * SM],
+            vectorized=True,
+        )
+        res = floquet_basis(model, T=2.0, method="tpu_dopri5", atol=1e-12, rtol=1e-12)
+        rates = np.sort(res.decay_rates)
+        assert np.max(np.abs(rates - np.array([0.0, gamma / 2, gamma / 2, gamma]))) < 1e-7
+
+    def test_validation(self):
+        model = HamiltonianModel(static_operator=Z)
+        with pytest.raises(DynamicsError, match="positive period"):
+            floquet_basis(model, T=0.0)
