@@ -22,6 +22,8 @@ from .analysis import (
     lindblad_steady_state_sweep,
     floquet_basis,
     FloquetResult,
+    correlation_function,
+    spectrum,
 )
 from .sweep_interpolation import (
     interpolated_sweep_solve,

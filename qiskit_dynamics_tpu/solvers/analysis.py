@@ -13,6 +13,11 @@ periodically driven qubit control:
 - :func:`floquet_basis`: Floquet quasienergies/modes of a time-periodic
   generator from its one-period propagator (device solve through any
   ``solve_lmde`` method, host eigendecomposition).
+- :func:`correlation_function` / :func:`spectrum`: two-time correlations
+  :math:`\langle A(\tau) B(0)\rangle` via the quantum regression theorem,
+  and the emission/absorption spectrum as ONE batched frequency-domain
+  linear solve :math:`(i\omega - \mathcal{L})^{-1}` — no time integration,
+  every frequency a lane of one MXU-batched solve.
 
 Steady-state method: with the column-stacking convention
 (``models/model_utils.py``), :math:`\mathrm{vec}(\rho_{ss})` spans the
@@ -47,7 +52,20 @@ __all__ = [
     "lindblad_steady_state_sweep",
     "floquet_basis",
     "FloquetResult",
+    "correlation_function",
+    "spectrum",
 ]
+
+
+def _vec_col(mat):
+    """Column-stacking vec of the trailing two axes."""
+    return jnp.swapaxes(mat, -1, -2).reshape(mat.shape[:-2] + (-1,))
+
+
+def _trace_weights(a_op):
+    """Row vector ``w`` with ``Tr[a M] = w . vec_col(M)``: ``vec_col(a^T)``
+    = the row-major flatten of ``a``."""
+    return jnp.asarray(a_op).reshape(-1)
 
 
 def _steady_from_superop(L, check_residual: Optional[float]):
@@ -245,3 +263,110 @@ def floquet_basis(
         modes=modes[:, order],
         propagator=U,
     )
+
+
+def correlation_function(
+    model,
+    a_op,
+    b_op,
+    taus,
+    rho0=None,
+    method: str = "tpu_dopri5",
+    **kwargs,
+):
+    r"""Two-time correlation :math:`C(\tau) = \langle A(\tau) B(0) \rangle`.
+
+    Quantum regression theorem for a time-independent Lindbladian:
+    :math:`C(\tau) = \mathrm{Tr}\!\left[A\, e^{\mathcal{L}\tau}(B\rho)\right]`
+    — one device solve of the vectorized model with initial state
+    :math:`\mathrm{vec}(B\rho)` over the ``taus`` grid, then a trace
+    contraction per time.
+
+    Args:
+        model: ``LindbladModel`` with ``vectorized=True``, no rotating
+            frame, constant signals (the regression theorem needs a
+            time-independent generator).
+        a_op: ``(dim, dim)`` operator measured at :math:`\tau`.
+        b_op: ``(dim, dim)`` operator applied at time 0.
+        taus: increasing correlation times starting at 0 (or any
+            ``t_span``-compatible grid).
+        rho0: initial density matrix; defaults to the steady state.
+        method: any ``solve_lmde`` method.
+        kwargs: forwarded to ``solve_lmde``.
+
+    Returns:
+        ``(len(taus),)`` complex correlation values.
+    """
+    from .solver_functions import solve_lmde
+
+    _validate_steady_model(model)
+    if rho0 is None:
+        rho0 = lindblad_steady_state(model)
+    a_op = jnp.asarray(a_op)
+    b_op = jnp.asarray(b_op)
+    taus = np.asarray(taus)
+    y0 = _vec_col(b_op @ jnp.asarray(rho0))
+    result = solve_lmde(
+        model, t_span=[float(taus[0]), float(taus[-1])], y0=y0,
+        t_eval=taus, method=method, **kwargs
+    )
+    states = jnp.asarray(result.y)  # (T, dim^2) vec-col states
+    return states @ _trace_weights(a_op)
+
+
+def spectrum(model, a_op, b_op, frequencies, rho0=None):
+    r"""Emission/absorption spectrum — the one-sided Fourier transform of
+    :math:`C(\tau) = \langle A(\tau) B(0)\rangle` in closed form:
+
+    .. math:: S(\omega)
+        = 2\,\mathrm{Re}\,\int_0^\infty C(\tau) e^{i\omega\tau}\, d\tau
+        = -2\,\mathrm{Re}\,\mathrm{Tr}\!\left[
+            A\, (i\omega + \mathcal{L})^{-1} (B \rho_{ss})\right],
+
+    Convention: one-sided transform with kernel :math:`e^{i\omega\tau}`,
+    so a coherence decaying as :math:`e^{-i\omega_0\tau - \gamma\tau/2}`
+    produces a Lorentzian of HWHM :math:`\gamma/2` peaked at
+    :math:`\omega = \omega_0`. Every frequency is one right-hand
+    side of a batched linear solve — no time integration, no FFT leakage,
+    MXU throughout, differentiable w.r.t. model values upstream.
+
+    Args:
+        model: ``LindbladModel`` with ``vectorized=True``, no rotating
+            frame, constant signals.
+        a_op: ``(dim, dim)`` operator (e.g. :math:`\sigma_-`).
+        b_op: ``(dim, dim)`` operator (e.g. :math:`\sigma_+`).
+        frequencies: ``(W,)`` angular frequencies.
+        rho0: density matrix at time 0; defaults to the steady state.
+
+    Returns:
+        ``(W,)`` real spectrum values — the INCOHERENT part: the elastic
+        delta-peak at ``w = 0`` (weight ``Tr[A rho_ss] Tr[B rho0]``) is
+        omitted, as is standard.
+    """
+    _validate_steady_model(model)
+    if rho0 is None:
+        rho0 = lindblad_steady_state(model)
+    L = jnp.asarray(model.evaluate(0.0))
+    n2 = L.shape[-1]
+    n = int(round(np.sqrt(n2)))
+    freqs = jnp.asarray(frequencies, dtype=float)
+    y = _vec_col(jnp.asarray(b_op) @ jnp.asarray(rho0))
+    # L is singular (steady-state zero mode: right null vec(rho_ss), left
+    # null vec(I) by trace preservation). C(tau) -> Tr[A rho_ss] Tr[B rho0]
+    # as tau -> inf; that elastic part transforms to a delta at w = 0 and is
+    # OMITTED here (this is the incoherent spectrum). Subtract the
+    # stationary component of the RHS — a no-op for w != 0 since the
+    # dropped term's transform is purely imaginary — and shift the zero
+    # mode with its spectral projector vec(rho_ss) vec(I)^H, which acts
+    # only on the stationary block, so every system is nonsingular.
+    rho_ss_vec = _vec_col(jnp.asarray(lindblad_steady_state(model)))
+    w_tr = jnp.eye(n, dtype=L.dtype).reshape(-1)  # vec(I) trace functional
+    y_red = y - rho_ss_vec * (w_tr @ y)
+    L_shift = L + rho_ss_vec[:, None] * w_tr[None, :]
+    # (W, n2, n2) batched resolvent systems (i w + L_shift) x = y_red
+    A = 1j * freqs[:, None, None] * jnp.eye(n2, dtype=L.dtype)[None] + L_shift[None]
+    x = jnp.linalg.solve(
+        A, jnp.broadcast_to(y_red, (freqs.shape[0], n2))[..., None]
+    )[..., 0]
+    c_hat = x @ _trace_weights(jnp.asarray(a_op))
+    return -2.0 * jnp.real(c_hat)

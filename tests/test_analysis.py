@@ -137,6 +137,85 @@ class TestSteadyState:
             lindblad_steady_state_sweep(plain, hamiltonian_values=np.ones((3, 1)))
 
 
+class TestCorrelationSpectrum:
+    """Quantum regression theorem correlations + resolvent spectra."""
+
+    def _decay_model(self, w0=3.0, gamma=0.4):
+        return LindbladModel(
+            static_hamiltonian=0.5 * w0 * Z,
+            static_dissipators=[np.sqrt(gamma) * SM],
+            vectorized=True,
+        ), w0, gamma
+
+    def test_correlation_exponential(self):
+        from qiskit_dynamics_tpu.solvers import correlation_function
+
+        model, w0, gamma = self._decay_model()
+        # start from the excited state |e><e| (basis index 1):
+        # C(tau) = <s+(tau) s-(0)> = e^{-i w0 tau - gamma tau / 2}
+        rho_e = np.zeros((2, 2), dtype=complex)
+        rho_e[1, 1] = 1.0
+        taus = np.linspace(0.0, 6.0, 61)
+        C = np.asarray(
+            correlation_function(
+                model, SM.conj().T, SM, taus, rho0=rho_e,
+                atol=1e-12, rtol=1e-12,
+            )
+        )
+        expected = np.exp(-1j * w0 * taus - gamma * taus / 2)
+        assert np.max(np.abs(C - expected)) < 1e-8
+
+    def test_spectrum_lorentzian(self):
+        from qiskit_dynamics_tpu.solvers import spectrum
+
+        model, w0, gamma = self._decay_model()
+        rho_e = np.zeros((2, 2), dtype=complex)
+        rho_e[1, 1] = 1.0
+        freqs = np.linspace(w0 - 3.0, w0 + 3.0, 241)
+        S = np.asarray(spectrum(model, SM.conj().T, SM, freqs, rho0=rho_e))
+        lorentz = gamma / ((gamma / 2) ** 2 + (freqs - w0) ** 2)
+        assert np.max(np.abs(S - lorentz)) < 1e-8 * np.max(lorentz)
+        # peak at w0 with height 4/gamma
+        assert abs(freqs[np.argmax(S)] - w0) < 0.05
+        assert abs(S.max() - 4 / gamma) < 1e-6
+
+    def test_spectrum_matches_correlation_transform(self):
+        from qiskit_dynamics_tpu.solvers import correlation_function, spectrum
+
+        # driven damped qubit (nontrivial steady state): numerically
+        # transform C(tau) and compare to the resolvent spectrum
+        model = driven_damped_qubit(delta=0.2, omega=0.9, gamma=0.8)
+        taus = np.linspace(0.0, 80.0, 8001)
+        C = np.asarray(
+            correlation_function(
+                model, SM.conj().T, SM, taus, atol=1e-12, rtol=1e-12
+            )
+        )
+        # spectrum() returns the incoherent part: subtract the elastic
+        # asymptote C(inf) = Tr[A rho_ss] Tr[B rho_ss] before transforming
+        rho_ss = np.asarray(lindblad_steady_state(model))
+        c_inf = np.trace(SM.conj().T @ rho_ss) * np.trace(SM @ rho_ss)
+        freqs = np.array([-1.2, -0.3, 0.0, 0.4, 1.1])
+        S = np.asarray(spectrum(model, SM.conj().T, SM, freqs))
+        for w, s in zip(freqs, S):
+            ft = 2 * np.real(np.trapezoid((C - c_inf) * np.exp(1j * w * taus), taus))
+            assert abs(s - ft) < 2e-3 * max(1.0, abs(s))
+
+    def test_steady_state_default_rho0(self):
+        from qiskit_dynamics_tpu.solvers import correlation_function
+
+        # with rho0 defaulting to the steady state, C(0) = <A B>_ss
+        model = driven_damped_qubit()
+        rho_ss = np.asarray(lindblad_steady_state(model))
+        C0 = np.asarray(
+            correlation_function(
+                model, SM.conj().T, SM, np.array([0.0, 0.1]),
+                atol=1e-12, rtol=1e-12,
+            )
+        )[0]
+        assert abs(C0 - np.trace(SM.conj().T @ SM @ rho_ss)) < 1e-9
+
+
 class TestFloquet:
     def test_static_limit_recovers_eigenvalues(self):
         # constant H: quasienergies are the eigenvalues folded to (-pi/T, pi/T]
