@@ -36,7 +36,8 @@ PAGES = {
         ["solve_ode", "solve_lmde", "Solver", "tpu_dopri5", "tpu_dop853",
          "tpu_rk_solve", "fused_sweep_solve", "fused_adaptive_sweep_solve",
          "interpolated_sweep_solve", "DysonSolver", "MagnusSolver",
-         "ExpansionModel"],
+         "ExpansionModel", "optimize_controls", "OptimizeResult",
+         "state_infidelity", "unitary_infidelity"],
     ),
     "perturbation": (
         "Perturbation theory (`qiskit_dynamics_tpu.perturbation`)",

@@ -205,12 +205,21 @@ def _kernel(
         ``(bm, n, n)`` per operator instead of ``bm`` separate per-member
         chains (gen-2 layout — the tuning campaign measured the per-member
         VPU build/assembly op stream, not its flops, as the plateau)."""
+        def member_scalars(j):
+            # (bm,) coefficients as a (bm, n, 1) column: the sublane
+            # broadcast here + the implicit lane broadcast in the FMA below
+            # each touch ONE tiled axis — real Mosaic rejects the joint
+            # (bm, 1, 1) -> (bm, n, n) vector.broadcast the one-step form
+            # lowers to ("Broadcast in both sublanes and lanes").
+            c = coef_ref[:, step, gauss_idx * k + j].reshape(bm, 1, 1)
+            return jnp.broadcast_to(c, (bm, n, 1))
+
         if hoist:
             base = gauss_idx * (k + 1)
             acc_r = jnp.broadcast_to(rsr[base][None], (bm, n, n))
             acc_i = jnp.broadcast_to(rsi[base][None], (bm, n, n))
             for j in range(k):
-                c = coef_ref[:, step, gauss_idx * k + j].reshape(bm, 1, 1)
+                c = member_scalars(j)
                 acc_r = acc_r + c * rsr[base + 1 + j][None]
                 acc_i = acc_i + c * rsi[base + 1 + j][None]
             out_r[...] = acc_r
@@ -219,7 +228,7 @@ def _kernel(
         acc_r = jnp.broadcast_to(statr_ref[...][None], (bm, n, n))
         acc_i = jnp.broadcast_to(stati_ref[...][None], (bm, n, n))
         for j in range(k):
-            c = coef_ref[:, step, gauss_idx * k + j].reshape(bm, 1, 1)
+            c = member_scalars(j)
             acc_r = acc_r + c * opsr_ref[j][None]
             acc_i = acc_i + c * opsi_ref[j][None]
         out_r[...] = acc_r * cosb[...][None] - acc_i * sinb[...][None]

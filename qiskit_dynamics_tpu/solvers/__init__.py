@@ -25,6 +25,12 @@ from .analysis import (
     correlation_function,
     spectrum,
 )
+from .optimize import (
+    optimize_controls,
+    OptimizeResult,
+    state_infidelity,
+    unitary_infidelity,
+)
 from .sweep_interpolation import (
     interpolated_sweep_solve,
     interpolated_sweep_solve_2d,
