@@ -94,6 +94,11 @@ def _kernel(
                                        # tables (or (1,1,1) dummies): static
                                        # at gauss*(k+1), ops after
         y_s, v_s,                      # (bm, 2n) state scratch
+        cb_s,                          # (bm, 1, n) coefficient staging (or
+                                       # (1, 1, 1) dummy): materializes the
+                                       # lane-broadcast half of the member-
+                                       # scalar broadcast so Mosaic never
+                                       # sees a joint sublane+lane broadcast
     ) = refs
     f = statr_ref.dtype
     n2 = 2 * n
@@ -206,13 +211,16 @@ def _kernel(
         chains (gen-2 layout — the tuning campaign measured the per-member
         VPU build/assembly op stream, not its flops, as the plateau)."""
         def member_scalars(j):
-            # (bm,) coefficients as a (bm, n, 1) column: the sublane
-            # broadcast here + the implicit lane broadcast in the FMA below
-            # each touch ONE tiled axis — real Mosaic rejects the joint
-            # (bm, 1, 1) -> (bm, n, n) vector.broadcast the one-step form
-            # lowers to ("Broadcast in both sublanes and lanes").
+            # (bm,) coefficients staged to (bm, n, n) in TWO single-axis
+            # broadcasts with a VMEM store in between: Mosaic rejects the
+            # joint (bm, 1, 1) -> (bm, n, n) vector.broadcast ("Broadcast in
+            # both sublanes and lanes"), and the canonicalizer fuses two
+            # back-to-back vector.broadcasts into that joint form (measured
+            # on real Mosaic, round 4) — the store/load through ``cb_s``
+            # is a real memory op it cannot elide.
             c = coef_ref[:, step, gauss_idx * k + j].reshape(bm, 1, 1)
-            return jnp.broadcast_to(c, (bm, n, 1))
+            cb_s[...] = jnp.broadcast_to(c, (bm, 1, n))  # lane broadcast
+            return jnp.broadcast_to(cb_s[...], (bm, n, n))  # sublane broadcast
 
         if hoist:
             base = gauss_idx * (k + 1)
@@ -487,6 +495,11 @@ def _sweep_expm_magnus2_member_jit(
             ]
             * 2
             + [state_block] * 2
+            + [
+                pltpu.VMEM(
+                    (block_m, 1, n) if build == "batched" else (1, 1, 1), f32
+                )
+            ]
         ),
         interpret=interpret,
     )(statr, stati, opsr, opsi, omh, oml, coef, y0t)

@@ -20,6 +20,7 @@ safety/min/max factors.
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import numpy as np
@@ -115,8 +116,39 @@ def _select_initial_step(f, t0, y0, f0, err_exp, rtol, atol):
 
 
 def _in_trace() -> bool:
-    """Whether we are currently inside a JAX trace."""
-    return isinstance(jnp.zeros(()) + 0, jax.core.Tracer)
+    """Whether we are currently inside any JAX trace (jit/grad/vmap/...).
+
+    Uses the core trace-state check so that transforms whose tracers enter
+    only through *closures* (``grad`` of a function that builds the RHS from
+    the differentiated parameter) are detected too — constant-creation
+    probes miss those."""
+    try:
+        from jax._src.core import trace_state_clean
+
+        return not trace_state_clean()
+    except Exception:  # private API moved: fall back to a constant probe
+        return isinstance(jnp.zeros(()) + 0, jax.core.Tracer)
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_rk(rhs, method, rtol, atol, max_steps, first_step, stepper,
+                 with_t_eval):
+    """Compiled eager-entry solver, cached by (rhs, options).
+
+    Without this cache every eager ``tpu_rk_solve`` call built a fresh
+    closure, so ``jax.jit``'s function-identity cache never hit and each
+    call paid a full retrace+compile (~1 s for a dim-16 solve) — the cache
+    makes repeat eager solves with the same ``rhs`` object run at compiled
+    speed."""
+    from ..utils.jit_tools import cjit
+
+    kwargs = dict(
+        method=method, rtol=rtol, atol=atol, max_steps=max_steps,
+        first_step=first_step, auto_jit=False, stepper=stepper,
+    )
+    if with_t_eval:
+        return cjit(lambda ts, y, te: tpu_rk_solve(rhs, ts, y, t_eval=te, **kwargs))
+    return cjit(lambda ts, y: tpu_rk_solve(rhs, ts, y, **kwargs))
 
 
 def tpu_rk_solve(
@@ -130,6 +162,7 @@ def tpu_rk_solve(
     max_steps: int = 16384,
     first_step: Optional[float] = None,
     auto_jit: bool = True,
+    stepper: str = "auto",
 ):
     """Adaptive embedded-RK solve of ``dy/dt = rhs(t, y)`` under ``jit``.
 
@@ -141,24 +174,46 @@ def tpu_rk_solve(
     ops are unavailable, and dramatically faster everywhere. Each call
     compiles for its ``rhs`` closure; for parameter sweeps, wrap the whole
     computation in ``jit``/``vmap`` instead (the internal jit then inlines).
+
+    ``stepper`` selects the time-loop construct:
+
+    - ``"while"``: ``lax.while_loop`` with early exit — runtime proportional
+      to steps actually taken (a 100-step solve does 100 iterations, not
+      ``max_steps``). Not reverse-mode differentiable (XLA while has no
+      transpose); ``vmap`` is supported (per-lane ``active`` masking).
+    - ``"scan"``: bounded ``lax.scan`` over ``max_steps`` masked iterations —
+      reverse-mode differentiable, but always pays the full budget
+      (the reference analog, ``jax.experimental.ode.odeint``, uses a while
+      loop with a custom adjoint instead; here the fused sweep kernels own
+      the fast differentiable path).
+    - ``"auto"`` (default): ``"while"`` on eager (self-jitting) calls, where
+      this function controls the trace and no gradient can cross it;
+      ``"scan"`` inside any user trace, where a ``grad`` may be in flight.
     """
+    if stepper not in ("auto", "while", "scan"):
+        raise ValueError(f"stepper must be 'auto', 'while' or 'scan', got {stepper!r}")
     # skip self-jit inside any trace; `_in_trace` misses vmap (constants are
     # not BatchTracers), so also check the arguments themselves
     args_traced = any(
         isinstance(x, jax.core.Tracer)
         for x in jax.tree_util.tree_leaves((t_span, y0, t_eval))
     )
-    if auto_jit and not _in_trace() and not args_traced:
-        from ..utils.jit_tools import cjit
-
-        kwargs = dict(
-            method=method, rtol=rtol, atol=atol, max_steps=max_steps,
-            first_step=first_step, auto_jit=False,
-        )
+    in_user_trace = _in_trace() or args_traced
+    if stepper == "auto":
+        stepper = "scan" if in_user_trace else "while"
+    if auto_jit and not in_user_trace:
+        try:
+            fn = _compiled_rk(
+                rhs, method, rtol, atol, max_steps, first_step, stepper,
+                t_eval is not None,
+            )
+        except TypeError:  # unhashable rhs (rare): uncached compile
+            fn = _compiled_rk.__wrapped__(
+                rhs, method, rtol, atol, max_steps, first_step, stepper,
+                t_eval is not None,
+            )
         if t_eval is None:
-            fn = cjit(lambda ts, y: tpu_rk_solve(rhs, ts, y, **kwargs))
             return fn(np.asarray(t_span, dtype=float), y0)
-        fn = cjit(lambda ts, y, te: tpu_rk_solve(rhs, ts, y, t_eval=te, **kwargs))
         return fn(np.asarray(t_span, dtype=float), y0, np.asarray(t_eval, dtype=float))
     tableau = _DOPRI5 if method == "dopri5" else _DOP853
     error_norm_fn = _dopri5_error_norm if method == "dopri5" else _dop853_error_norm
@@ -190,7 +245,7 @@ def tpu_rk_solve(
 
     ys_out = jnp.zeros((n_targets - 1,) + y0.shape, dtype=y0.dtype)
 
-    def step_body(state, _):
+    def rk_step(state):
         s, y, fc, h, target_idx, ys_acc, nfev = state
         active = target_idx < n_targets
 
@@ -239,12 +294,29 @@ def tpu_rk_solve(
         target_idx = target_idx + jnp.where(reached, 1, 0)
 
         h_new = jnp.where(active, h_next, h)
-        return (s_new, y_next, fc_next, h_new, target_idx, ys_acc, nfev), None
+        return (s_new, y_next, fc_next, h_new, target_idx, ys_acc, nfev)
 
     init = (s0, y0, f0, h0, jnp.asarray(1), ys_out, jnp.asarray(2))
-    (s_f, y_f, _, _, target_idx_f, ys_acc, nfev), _ = lax.scan(
-        step_body, init, None, length=max_steps
-    )
+    if stepper == "while":
+        # early exit: runtime ~ steps taken. The step counter rides outside
+        # the shared state; per-lane `active` masking inside rk_step keeps
+        # finished lanes frozen under vmap (vmapped while runs until ALL
+        # lanes finish).
+        def w_cond(carry):
+            state, n_steps = carry
+            return jnp.any(state[4] < n_targets) & (n_steps < max_steps)
+
+        def w_body(carry):
+            state, n_steps = carry
+            return rk_step(state), n_steps + 1
+
+        (s_f, y_f, _, _, target_idx_f, ys_acc, nfev), _ = lax.while_loop(
+            w_cond, w_body, (init, jnp.asarray(0))
+        )
+    else:
+        (s_f, y_f, _, _, target_idx_f, ys_acc, nfev), _ = lax.scan(
+            lambda state, _: (rk_step(state), None), init, None, length=max_steps
+        )
 
     # NaN-poison if the step budget was exhausted before reaching t_span[1]
     completed = target_idx_f >= n_targets
