@@ -92,6 +92,45 @@ def tunnel_preflight(max_wait_s=1800, probe_timeout=300):
             time.sleep(min(120, max(1, remaining)))
 
 
+# chip-speed probe reference: v5e session measured 2026-08 (round 4). The
+# probe-normalized view divides a row's throughput by (probe_tflops /
+# PROBE_REF_TFLOPS), attributing cross-session deltas to chip/neighbor speed
+# vs code changes (VERDICT r3 item 3: the 555-2,147 schedules/s band).
+PROBE_REF_TFLOPS = 80.0
+
+
+def chip_speed_probe(n: int = 2048, iters: int = 4096, reps: int = 3):
+    """Fixed synthetic probe: a fori_loop chain of n^3 bf16 MXU matmuls.
+
+    Returns measured TFLOP/s (median of ``reps``) — recorded alongside every
+    bench run so a slow shared chip is distinguishable from a regression.
+    ~70 TFLOP of work per rep so the axon tunnel's ~40 ms dispatch/transfer
+    round-trip (which sank a small-matmul probe to "0.1 TFLOP/s") is <10%
+    noise. bf16 inputs: the package-default "highest" matmul precision only
+    multi-passes f32 inputs, so this measures single-pass MXU speed.
+    """
+    import jax.numpy as jnp
+
+    a = jax.device_put(np.full((n, n), 1e-3, np.float32).astype(jnp.bfloat16))
+
+    @jax.jit
+    def chain(x):
+        def body(_, x):
+            # c' = c^2 n 1e-6 + c stays ~1e-3 for a scaled ones matrix
+            return ((x @ x) * 1e-6 + x).astype(jnp.bfloat16)
+
+        return jnp.float32(jnp.sum(jax.lax.fori_loop(0, iters, body, x)))
+
+    np.asarray(chain(a))  # compile
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        np.asarray(chain(a))
+        times.append(time.time() - t0)
+    med = float(np.median(times))
+    return 2.0 * n**3 * iters / med / 1e12
+
+
 def main():
     ok, reason = tunnel_preflight(
         max_wait_s=int(os.environ.get("BENCH_PREFLIGHT_WAIT_S", "1800"))
@@ -113,10 +152,21 @@ def main():
 
     from qiskit_dynamics_tpu.benchmarks import cr_solver
     from qiskit_dynamics_tpu.solvers import fused_adaptive_sweep_solve
-    from qiskit_dynamics_tpu import Signal
+    from qiskit_dynamics_tpu import Signal, Solver
 
     sweep_size = int(os.environ.get("BENCH_SWEEP_SIZE", "10000"))
     n_baseline = int(os.environ.get("BENCH_BASELINE_POINTS", "3"))
+    probe_metrics = {}
+    try:
+        probe = chip_speed_probe()
+        probe_metrics = {
+            "probe_tflops": round(probe, 1),
+            "probe_norm": round(probe / PROBE_REF_TFLOPS, 3),
+        }
+        log(f"chip-speed probe: {probe:.1f} TFLOP/s "
+            f"(norm {probe / PROBE_REF_TFLOPS:.2f} vs round-4 reference)")
+    except Exception as exc:
+        log(f"chip-speed probe failed: {exc!r}")
     log(f"backend={jax.default_backend()} sweep={sweep_size}")
 
     solver, w1 = cr_solver()
@@ -440,7 +490,9 @@ def main():
             log(f"run row failed: {exc!r}")
 
     # --- large-dim row: dim-8 vectorized Lindblad sweep (solve dim 64)
-    # through the member-major MXU engine (ops/member_sweep.py) ---
+    # through the member-major MXU engine (ops/member_sweep.py), Magnus
+    # order-3 (6th order) at dt=0.05 — measured r4: 1,707 sims/s at 3.7e-6
+    # vs DOP853(1e-12), vs 1,378 at 2.3e-6 for the r3 magnus-2/dt=0.02 row ---
     lind_metrics = {}
     if os.environ.get("BENCH_LINDBLAD8", "1") == "1":
         try:
@@ -459,27 +511,141 @@ def main():
             )
             rho0 = np.zeros((dim8, dim8), dtype=complex)
             rho0[1, 1] = 1.0
-            l_amps = jnp.linspace(0.2, 1.0, 10240)
+            lB = 10240
+            l_amps = jnp.linspace(0.2, 1.0, lB)
             l_sig = lambda amp: ([Signal(lambda t: amp, carrier_freq=5.0)], None)
-            l_run = jax.jit(
-                lambda a: jnp.abs(
-                    fused_sweep_solve(
-                        lmodel, l_sig, a, t_span=(0.0, 20.0), max_dt=0.02,
-                        y0=rho0,
+            l_probe = [0, lB // 2, lB - 1]
+            l_solver = Solver(
+                static_hamiltonian=H0, hamiltonian_operators=[Hd],
+                static_dissipators=[np.sqrt(0.01) * a_op],
+                rotating_frame=np.diag(H0),
+            )
+            l_refs = [
+                np.asarray(
+                    l_solver.solve(
+                        t_span=[0.0, 20.0], y0=rho0,
+                        signals=[Signal(lambda t, a=float(np.asarray(l_amps)[i]): a, carrier_freq=5.0)],
+                        method="DOP853", atol=1e-12, rtol=1e-12,
+                    ).y[-1]
+                )
+                for i in l_probe
+            ]
+
+            def lind_row(magnus, dtv, key):
+                l_run = jax.jit(
+                    lambda a: fused_sweep_solve(
+                        lmodel, l_sig, a, t_span=(0.0, 20.0), max_dt=dtv,
+                        y0=rho0, magnus_order=magnus,
                     )
-                ) ** 2
-            )
-            t0 = time.time()
-            np.asarray(l_run(l_amps))
-            log(f"lindblad8 compile+first: {time.time() - t0:.1f}s")
-            l_time = median_time(lambda: np.asarray(l_run(l_amps)))
-            log(
-                f"lindblad8 steady (median of 3): {l_time:.2f}s "
-                f"-> {10240 / l_time:.0f} sims/s"
-            )
-            lind_metrics = {"lindblad_dim8_sims_per_sec": round(10240 / l_time, 1)}
+                )
+                t0 = time.time()
+                out = l_run(l_amps)
+                outs = [
+                    np.asarray(jnp.real(out[i])) + 1j * np.asarray(jnp.imag(out[i]))
+                    for i in l_probe
+                ]
+                log(f"{key} compile+first: {time.time() - t0:.1f}s")
+                l_time = median_time(
+                    lambda: np.asarray(jnp.real(l_run(l_amps))[0])
+                )
+                err = float(
+                    max(np.max(np.abs(outs[j] - l_refs[j])) for j in range(3))
+                )
+                log(
+                    f"{key} steady (median of 3): {l_time:.2f}s -> "
+                    f"{lB / l_time:.0f} sims/s, max err {err:.2e}"
+                )
+                return round(lB / l_time, 1), float(f"{err:.3g}")
+
+            tp3, err3 = lind_row(3, 0.05, "lindblad8[m3 dt=0.05]")
+            lind_metrics = {
+                "lindblad_dim8_sims_per_sec": tp3,
+                "lindblad_dim8_max_err": err3,
+            }
+            # legacy r3 config (magnus-2, dt=0.02) for round-over-round
+            # continuity of the key's old meaning
+            try:
+                tp2, err2 = lind_row(2, 0.02, "lindblad8[m2 dt=0.02]")
+                lind_metrics["lindblad_dim8_magnus2_sims_per_sec"] = tp2
+                lind_metrics["lindblad_dim8_magnus2_max_err"] = err2
+            except Exception as exc:
+                log(f"lindblad8 legacy row failed: {exc!r}")
         except Exception as exc:
             log(f"lindblad8 row failed: {exc!r}")
+
+    # --- dim-256 scaling row: dim-16 two-transmon vectorized Lindblad
+    # (solve_dim 256) through the batch-major XLA engine, Magnus order-3 ---
+    if os.environ.get("BENCH_LINDBLAD256", "1") == "1":
+        try:
+            from qiskit_dynamics_tpu.models import LindbladModel
+            from qiskit_dynamics_tpu.solvers import fused_sweep_solve
+
+            d4 = 4
+            a4 = np.diag(np.sqrt(np.arange(1, d4)), 1)
+            N4 = np.diag(np.arange(d4, dtype=float))
+            I4 = np.eye(d4)
+            H0b = (
+                2 * np.pi * 5.0 * np.kron(N4, I4)
+                + np.pi * (-0.33) * np.kron(N4 @ (N4 - I4), I4)
+                + 2 * np.pi * 5.1 * np.kron(I4, N4)
+                + np.pi * (-0.33) * np.kron(I4, N4 @ (N4 - I4))
+                + 2 * np.pi * 0.002 * (np.kron(a4.conj().T, a4) + np.kron(a4, a4.conj().T))
+            )
+            Hdb = 2 * np.pi * 0.02 * np.kron(a4 + a4.conj().T, I4)
+            l2model = LindbladModel(
+                static_hamiltonian=H0b, hamiltonian_operators=[Hdb],
+                static_dissipators=[
+                    np.sqrt(0.005) * np.kron(a4, I4),
+                    np.sqrt(0.005) * np.kron(I4, a4),
+                ],
+                rotating_frame=np.diag(H0b), vectorized=True,
+            )
+            rho2 = np.zeros((16, 16), dtype=complex)
+            rho2[1, 1] = 1.0
+            l2B = 2048
+            l2_amps = jnp.linspace(0.2, 1.0, l2B)
+            l2_sig = lambda amp: (
+                [Signal(lambda t: amp, carrier_freq=5.1)], None
+            )
+            l2_run = jax.jit(
+                lambda a: fused_sweep_solve(
+                    l2model, l2_sig, a, t_span=(0.0, 10.0), max_dt=0.0625,
+                    y0=rho2, magnus_order=3, sweep_engine="xla",
+                )
+            )
+            t0 = time.time()
+            out2 = l2_run(l2_amps)
+            probes2 = [0, l2B - 1]
+            outs2 = [
+                np.asarray(jnp.real(out2[i])) + 1j * np.asarray(jnp.imag(out2[i]))
+                for i in probes2
+            ]
+            log(f"lindblad256 compile+first: {time.time() - t0:.1f}s")
+            l2_time = median_time(lambda: np.asarray(jnp.real(l2_run(l2_amps))[0]))
+            l2_solver = Solver(
+                static_hamiltonian=H0b, hamiltonian_operators=[Hdb],
+                static_dissipators=[
+                    np.sqrt(0.005) * np.kron(a4, I4),
+                    np.sqrt(0.005) * np.kron(I4, a4),
+                ],
+                rotating_frame=np.diag(H0b),
+            )
+            l2_err = 0.0
+            for j, i in enumerate(probes2):
+                r = l2_solver.solve(
+                    t_span=[0.0, 10.0], y0=rho2,
+                    signals=[Signal(lambda t, a=float(np.asarray(l2_amps)[i]): a, carrier_freq=5.1)],
+                    method="DOP853", atol=1e-12, rtol=1e-12,
+                )
+                l2_err = max(l2_err, float(np.max(np.abs(outs2[j] - np.asarray(r.y[-1])))))
+            log(
+                f"lindblad256 steady (median of 3): {l2_time:.2f}s -> "
+                f"{l2B / l2_time:.0f} sims/s, max err {l2_err:.2e}"
+            )
+            lind_metrics["lindblad_dim256_sims_per_sec"] = round(l2B / l2_time, 1)
+            lind_metrics["lindblad_dim256_max_err"] = float(f"{l2_err:.3g}")
+        except Exception as exc:
+            log(f"lindblad256 row failed: {exc!r}")
 
     # --- dim-256 expm chain (north-star metric 2): XLA scan vs fused-VMEM ---
     expm_metrics = {}
@@ -523,6 +689,89 @@ def main():
         except Exception as exc:
             log(f"expm-chain row failed: {exc!r}")
 
+    # --- BASELINE config 4: Dyson (Dysolve) perturbative sweep + gradient ---
+    dyson_metrics = {}
+    if os.environ.get("BENCH_DYSON", "1") == "1":
+        try:
+            from qiskit_dynamics_tpu.benchmarks import dyson_transmon_solver
+            from qiskit_dynamics_tpu.solvers import solve_ode
+
+            ds, nu_d = dyson_transmon_solver()
+            dim_d = 10
+            n_steps_d, B_d = 1000, 2048
+            Tt = n_steps_d * 0.1
+            y0_d = np.zeros(dim_d, dtype=complex)
+            y0_d[0] = 1.0
+            d_amps = jnp.linspace(0.2, 1.0, B_d)
+            sigma_d = Tt / 6.0
+
+            def d_sigs(amp):
+                return [
+                    Signal(
+                        lambda t: amp
+                        * jnp.exp(-((t - Tt / 2) ** 2) / (2 * sigma_d**2)),
+                        carrier_freq=nu_d,
+                    )
+                ]
+
+            d_run = jax.jit(
+                lambda a: jnp.abs(ds.solve_sweep(0.0, n_steps_d, y0_d, d_sigs, a)) ** 2
+            )
+            t0 = time.time()
+            np.asarray(d_run(d_amps))
+            log(f"dyson sweep compile+first: {time.time() - t0:.1f}s")
+            d_time = median_time(lambda: np.asarray(d_run(d_amps)))
+            log(
+                f"dyson sweep steady (median of 3): {d_time:.3f}s for {B_d} sims "
+                f"-> {B_d / d_time:.0f} sims/s"
+            )
+            dyson_metrics["dyson_sweep_sims_per_sec"] = round(B_d / d_time, 1)
+
+            # accuracy: 3 probes vs host DOP853(1e-12) in the same rotating
+            # frame (Dysolve solves the toggling-frame LMDE)
+            from scipy.linalg import expm as scipy_expm
+
+            G0 = np.asarray(-1j * (2 * np.pi * nu_d * np.diag(np.arange(dim_d))
+                                   + np.pi * (-0.33) * np.diag(np.arange(dim_d) * (np.arange(dim_d) - 1))))
+            a_d = np.diag(np.sqrt(np.arange(1, dim_d)), 1)
+            G1 = -1j * 2 * np.pi * 0.02 * (a_d + a_d.conj().T)
+            d_probe = np.linspace(0, B_d - 1, 3).astype(int)
+            d_out = np.abs(np.asarray(d_run(d_amps))) ** 0.5  # |amplitudes|
+            d_err = 0.0
+            for i in d_probe:
+                amp = float(np.asarray(d_amps)[i])
+                env = lambda t, amp=amp: amp * np.exp(-((t - Tt / 2) ** 2) / (2 * sigma_d**2))
+                rhs = lambda t, y: (G0 + np.real(env(t) * np.exp(1j * 2 * np.pi * nu_d * t)) * G1) @ y
+                r = solve_ode(rhs, [0.0, Tt], y0_d, method="DOP853", atol=1e-12, rtol=1e-12)
+                ref = scipy_expm(-Tt * G0) @ np.asarray(r.y[-1])
+                d_err = max(d_err, float(np.max(np.abs(d_out[i] - np.abs(ref)))))
+            log(f"dyson max ||amp| - DOP853(1e-12)| over 3 probes: {d_err:.2e}")
+            dyson_metrics["dyson_max_err"] = float(f"{d_err:.3g}")
+
+            # gradient through the whole perturbative sweep (chain custom
+            # vjp). The loss chunks the batch 4x: reverse-mode through the
+            # monomial recursion otherwise materializes a (209, 6, 1000, B)
+            # f32 temp — 9.9 GB at B=2048, past the 16 GB HBM (measured OOM)
+            def d_loss(a):
+                tot = 0.0
+                for c in jnp.split(a, 4):
+                    yf = ds.solve_sweep(0.0, n_steps_d, y0_d, d_sigs, c)
+                    tot = tot + jnp.sum(jnp.abs(yf[:, 1]) ** 2)
+                return tot / B_d
+
+            d_gradfn = jax.jit(jax.grad(d_loss))
+            t0 = time.time()
+            np.asarray(d_gradfn(d_amps))
+            log(f"dyson grad compile+first: {time.time() - t0:.1f}s")
+            dg_time = median_time(lambda: np.asarray(d_gradfn(d_amps)))
+            log(
+                f"dyson grad steady (median of 3): {dg_time:.3f}s "
+                f"-> {B_d / dg_time:.0f} grad-sims/s"
+            )
+            dyson_metrics["dyson_grad_sims_per_sec"] = round(B_d / dg_time, 1)
+        except Exception as exc:
+            log(f"dyson row failed: {exc!r}")
+
     print(
         json.dumps(
             {
@@ -530,12 +779,14 @@ def main():
                 "value": round(device_throughput, 2),
                 "unit": "sims/sec",
                 "vs_baseline": round(device_throughput / numpy_throughput, 2),
+                **probe_metrics,
                 **df_metrics,
                 **cheb_metrics,
                 **grad_metrics,
                 **sched_metrics,
                 **lind_metrics,
                 **expm_metrics,
+                **dyson_metrics,
             }
         )
     )

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from .solvers import Solver
 from .signals import Signal
 
-__all__ = ["cr_solver", "rabi_solver", "fused_cr_sweep"]
+__all__ = ["cr_solver", "rabi_solver", "fused_cr_sweep", "dyson_transmon_solver"]
 
 
 def _transmon_ops(dim: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -239,3 +239,41 @@ def gaussian_amp_schedules(amps, duration: int = 64, sigma: float = 16.0):
             sched.insert(duration, Acquire(1, AcquireChannel(q), mem_slot=MemorySlot(q)))
         schedules.append(sched)
     return schedules
+
+
+def dyson_transmon_solver(
+    dim: int = 10,
+    nu: float = 5.0,
+    alpha: float = -0.33,
+    r: float = 0.02,
+    dt: float = 0.1,
+    chebyshev_order: int = 1,
+    expansion_order: int = 6,
+):
+    """BASELINE config 4: single-transmon ``DysonSolver`` (Dysolve stepping).
+
+    dim-10 transmon in its own rotating frame, one drive at the transmon
+    frequency, coarse dt = 0.1 (the perturbative solvers' whole point is
+    stepping far beyond the carrier period at fixed precompute; reference
+    perf claim: ``/root/reference/docs/userguide/perturbative_solvers.rst:70-74``).
+
+    Returns:
+        (dyson_solver, nu): the solver and the drive carrier frequency.
+    """
+    from .solvers import DysonSolver
+
+    a, adag, N = _transmon_ops(dim)
+    H0 = 2 * np.pi * nu * N + np.pi * alpha * N @ (N - np.eye(dim))
+    G0 = -1j * H0
+    G1 = -1j * 2 * np.pi * r * (a + adag)
+    solver = DysonSolver(
+        operators=[G1],
+        rotating_frame=G0,
+        dt=dt,
+        carrier_freqs=[nu],
+        chebyshev_orders=[chebyshev_order],
+        expansion_order=expansion_order,
+        atol=1e-12,
+        rtol=1e-12,
+    )
+    return solver, nu

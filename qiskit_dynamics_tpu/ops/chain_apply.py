@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["chain_apply_bol"]
+__all__ = ["chain_apply_bol", "chain_apply_bol_ad"]
 
 
 def _kernel(n: int, ur_ref, ui_ref, y0r_ref, y0i_ref, outr_ref, outi_ref):
@@ -95,3 +95,37 @@ def chain_apply_bol(props, y0, tile_b: int = 512, interpret: bool = False):
         interpret=interpret,
     )(ur, ui, y0r, y0i)
     return outr + 1j * outi
+
+
+def _chain_apply_xla(props, y0):
+    """The identical chain polynomial as ordinary XLA ops (adjoint path).
+
+    Checkpointed scan: reverse-mode AD stores only the per-step state and
+    recomputes the batched matvec in the backward pass instead of saving
+    ``(T, n, B)`` intermediates."""
+
+    def step(y, u):
+        return jnp.einsum("ijb,jb->ib", u, y), None
+
+    yf, _ = jax.lax.scan(jax.checkpoint(step), y0, props)
+    return yf
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def chain_apply_bol_ad(props, y0, tile_b: int = 512, interpret: bool = False):
+    """:func:`chain_apply_bol` with gradients — streamed Pallas primal,
+    XLA-scan adjoint (the repo's standard custom-vjp pairing; see
+    ``ops/sweep_ad.py``). Differentiable in ``props`` and ``y0``."""
+    return chain_apply_bol(props, y0, tile_b=tile_b, interpret=interpret)
+
+
+def _chain_fwd(props, y0, tile_b, interpret):
+    return chain_apply_bol_ad(props, y0, tile_b, interpret), (props, y0)
+
+
+def _chain_bwd(tile_b, interpret, residuals, cotangent):
+    _, vjp = jax.vjp(_chain_apply_xla, *residuals)
+    return vjp(cotangent)
+
+
+chain_apply_bol_ad.defvjp(_chain_fwd, _chain_bwd)

@@ -46,7 +46,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .sweep_solver import _GAUSS_C1, _GAUSS_C2, _P2, split_omega_host
+from .sweep_solver import (
+    _GAUSS3_D1,
+    _GAUSS3_D2,
+    _GAUSS3_D3,
+    _GAUSS_C1,
+    _GAUSS_C2,
+    _M3_C0,
+    _M3_C1,
+    _P2,
+    split_omega_host,
+)
 from .trig_reduce import reduced_phase, split_const, step_time_df
 
 __all__ = ["sweep_expm_magnus2_member"]
@@ -66,6 +76,7 @@ def _kernel(
     resident: bool,
     hoist: bool,
     build: str,
+    magnus: int,
     *refs,
 ):
     (
@@ -99,6 +110,9 @@ def _kernel(
                                        # lane-broadcast half of the member-
                                        # scalar broadcast so Mosaic never
                                        # sees a joint sublane+lane broadcast
+        g3r, g3i, t1r, t1i, t2r, t2i,  # magnus=3 scratch: third Gauss-point
+        car, cai,                      # generator + a2/a3/C1 staging
+                                       # ((1,1,1) dummies for magnus=2)
     ) = refs
     f = statr_ref.dtype
     n2 = 2 * n
@@ -270,7 +284,84 @@ def _kernel(
         mrr[:, n:n2, 0:n] = -mrr[:, 0:n, n:n2]
         mrr[:, n:n2, n:n2] = mrr[:, 0:n, 0:n]
 
+    def comm_t_vals(Ar, Ai, Br, Bi, m):
+        """[A, B] for member ``m`` of two transposed-space scratch blocks."""
+        pr, pi = wide_product(Ar, Ai, Br, Bi, m)
+        if hermitian:
+            # anti-Hermitian operands: A B = (B A)^dagger
+            return pr - pr.T, pi + pi.T
+        qr, qi = wide_product(Br, Bi, Ar, Ai, m)
+        return pr - qr, pi - qi
+
+    c0dt = _M3_C0 * dt
+    c1dt = _M3_C1 * dt
+
+    def assemble_m3():
+        """Magnus order-3 (6th order) assembly, transposed space.
+
+        True-space rule (Blanes et al.; matches
+        ``fixed_step_solvers.get_exponential_take_step`` magnus_order=3):
+        ``a1 = h g2; a2 = (sqrt(15)/3) h (g3-g1); a3 = (10/3) h (g3-2g2+g1);
+        C1 = [a1,a2]; C2 = [2a3+C1, a1]/60;
+        Omega = a1 + a3/12 + [-20a1-a3+C1, a2+C2]/240``.
+        Every commutator transposes as ``[X, Y]^T = [Y^T, X^T]``, so with
+        tilde = transposed-space values each bracket below is computed
+        operand-swapped. Register plan (g1/g3 die after a2/a3 form):
+        g2 <- a1, t1 <- a2, t2 <- a3, ca <- C1, g1 <- Y, g3 <- X,
+        t2 <- C2, t1 <- Z. Linear combos run whole-block on the VPU;
+        the commutator wide products loop members (MXU)."""
+        t1r[...] = c0dt * (g3r[...] - g1r[...])
+        t1i[...] = c0dt * (g3i[...] - g1i[...])
+        t2r[...] = c1dt * (g3r[...] - 2.0 * g2r[...] + g1r[...])
+        t2i[...] = c1dt * (g3i[...] - 2.0 * g2i[...] + g1i[...])
+        g2r[...] = dt * g2r[...]
+        g2i[...] = dt * g2i[...]
+        for m in range(bm):  # C1~ = [a2~, a1~]
+            cr, ci = comm_t_vals(t1r, t1i, g2r, g2i, m)
+            car[m] = cr
+            cai[m] = ci
+        mrr[:, 0:n, 0:n] = g2r[...] + (1.0 / 12.0) * t2r[...]
+        mrr[:, 0:n, n:n2] = g2i[...] + (1.0 / 12.0) * t2i[...]
+        g1r[...] = -20.0 * g2r[...] - t2r[...] + car[...]  # Y~
+        g1i[...] = -20.0 * g2i[...] - t2i[...] + cai[...]
+        g3r[...] = 2.0 * t2r[...] + car[...]  # X~
+        g3i[...] = 2.0 * t2i[...] + cai[...]
+        for m in range(bm):  # C2~ = [a1~, X~]/60
+            cr, ci = comm_t_vals(g2r, g2i, g3r, g3i, m)
+            t2r[m] = (1.0 / 60.0) * cr
+            t2i[m] = (1.0 / 60.0) * ci
+        t1r[...] = t1r[...] + t2r[...]  # Z~ = a2~ + C2~
+        t1i[...] = t1i[...] + t2i[...]
+        for m in range(bm):  # Omega~ += [Z~, Y~]/240
+            fr, fi = comm_t_vals(t1r, t1i, g1r, g1i, m)
+            mrr[m, 0:n, 0:n] = mrr[m, 0:n, 0:n] + (1.0 / 240.0) * fr
+            mrr[m, 0:n, n:n2] = mrr[m, 0:n, n:n2] + (1.0 / 240.0) * fi
+        mrr[:, n:n2, 0:n] = -mrr[:, 0:n, n:n2]
+        mrr[:, n:n2, n:n2] = mrr[:, 0:n, 0:n]
+
     def body(step, _):
+        if magnus == 3:
+            targets = ((g1r, g1i), (g2r, g2i), (g3r, g3i))
+            for g_idx, gc in enumerate((_GAUSS3_D1, _GAUSS3_D2, _GAUSS3_D3)):
+                # one cos/sin pair reused per Gauss point: builds for point
+                # g happen right after its rotation/phase
+                phase_tables(step, gc, cos1, sin1)
+                if hoist:
+                    rotate_tables(g_idx, cos1, sin1)
+                tr, ti = targets[g_idx]
+                if build == "batched":
+                    build_all(step, g_idx, tr, ti, cos1, sin1)
+                else:
+                    for m in range(bm):
+                        build_one(step, g_idx, m, m, tr, ti, cos1, sin1)
+            assemble_m3()
+            v_s[...] = y_s[...]
+            for kk in range(order, 0, -1):
+                inv = 1.0 / kk
+                for m in range(bm):
+                    horner_iter(m, m, inv, horner == "mxu")
+            y_s[...] = v_s[...]
+            return 0
         phase_tables(step, _GAUSS_C1, cos1, sin1)
         phase_tables(step, _GAUSS_C2, cos2, sin2)
         if hoist:
@@ -339,7 +430,7 @@ def sweep_expm_magnus2_member(
     static_op, operators, frame_omega, coefficients, y0,
     dt, t0=0.0, order=8, block_m=8, interpret=False, hermitian=False,
     frame_omega_lo=None, horner="mxu", resident=None, hoist_rotation=None,
-    build="member",
+    build="member", magnus=2,
 ):
     """Public shim (host-side frequency split, see
     :func:`.sweep_solver.split_omega_host`) over the jitted member-major
@@ -361,6 +452,8 @@ def sweep_expm_magnus2_member(
         )
     if build not in ("member", "batched"):
         raise ValueError(f"build must be 'member' or 'batched', got {build!r}")
+    if magnus not in (2, 3):
+        raise ValueError(f"magnus must be 2 or 3, got {magnus!r}")
     if resident is None:
         resident = jnp.shape(y0)[0] <= 64
     if horner == "bvpu" and not resident:
@@ -373,6 +466,13 @@ def sweep_expm_magnus2_member(
             "build='batched' builds the whole resident member block at once; "
             "use build='member' in non-resident mode."
         )
+    if magnus == 3 and not resident:
+        raise ValueError(
+            "magnus=3 is implemented for the resident member block only "
+            "(n <= 64); use the XLA engine for larger dimensions."
+        )
+    if magnus == 3 and horner not in ("mxu", "vpu"):
+        raise ValueError("magnus=3 supports horner 'mxu' or 'vpu' only.")
     # run the whole solve in transposed space: M^T blocks come out of
     # the same kernel math fed with transposed statics, EXCEPT the
     # commutator flips sign ([G2,G1]^T = -[G2^T, G1^T])
@@ -393,7 +493,7 @@ def sweep_expm_magnus2_member(
         static_op, operators, frame_omega, frame_omega_lo, coefficients, y0,
         dt=dt, t0=t0, order=order, block_m=block_m, interpret=interpret,
         hermitian=hermitian, horner=horner, resident=bool(resident),
-        hoist_rotation=hoist_rotation, build=str(build),
+        hoist_rotation=hoist_rotation, build=str(build), magnus=int(magnus),
     )
 
 
@@ -401,7 +501,7 @@ def sweep_expm_magnus2_member(
     jax.jit,
     static_argnames=(
         "dt", "t0", "order", "block_m", "interpret", "hermitian", "horner",
-        "resident", "hoist_rotation", "build",
+        "resident", "hoist_rotation", "build", "magnus",
     ),
 )
 def _sweep_expm_magnus2_member_jit(
@@ -409,8 +509,14 @@ def _sweep_expm_magnus2_member_jit(
     dt: float, t0: float = 0.0, order: int = 8, block_m: int = 8,
     interpret: bool = False, hermitian: bool = False, horner: str = "mxu",
     resident: bool = True, hoist_rotation=None, build: str = "member",
+    magnus: int = 2,
 ):
-    T, _, k, B = coefficients.shape
+    T, n_gauss, k, B = coefficients.shape
+    if n_gauss != magnus:
+        raise ValueError(
+            f"coefficients carry {n_gauss} Gauss-point samples per step but "
+            f"magnus={magnus} needs exactly {magnus}."
+        )
     n = y0.shape[0]
     f32 = jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64
     statr = jnp.real(static_op).astype(f32)
@@ -426,7 +532,7 @@ def _sweep_expm_magnus2_member_jit(
     # 128 (~4 MB/block at T=1000, bm=8) — a trailing (2, k) pair would pad
     # to (8, 128) EACH: measured 16 MB scoped-VMEM OOM at T=1000.
     coef = jnp.asarray(coefficients).astype(f32)
-    coef = jnp.moveaxis(coef.reshape(T, 2 * k, B), -1, 0)  # (B, T, 2k)
+    coef = jnp.moveaxis(coef.reshape(T, n_gauss * k, B), -1, 0)  # (B, T, gk)
     # real row states (B, 2n): [yr | yi] — the member block rides the
     # leading dim (same Mosaic blocking rule as the coefficients)
     y0r = jnp.real(y0).astype(f32).T
@@ -444,24 +550,24 @@ def _sweep_expm_magnus2_member_jit(
         )
     n_blocks = (B + pad) // block_m
 
-    # hoisted shared-table rotation: a VMEM-budget call — the two Gauss
-    # points' rotated (k+1)-table sets cost 2(k+1) n^2 * 2 arrays; skip the
+    # hoisted shared-table rotation: a VMEM-budget call — the Gauss points'
+    # rotated (k+1)-table sets cost magnus*(k+1) n^2 * 2 arrays; skip the
     # hoist when that exceeds ~4 MB f32 (very large n or many operators)
     hoist = (
         hoist_rotation
         if hoist_rotation is not None
-        else 2 * (k + 1) * n * n * 2 * 4 <= 4 * 1024 * 1024
+        else magnus * (k + 1) * n * n * 2 * 4 <= 4 * 1024 * 1024
     )
     kernel = functools.partial(
         _kernel, n, k, T, float(dt), float(t0), int(order), int(block_m),
         bool(hermitian), str(horner), -1.0, bool(resident), bool(hoist),
-        str(build),
+        str(build), int(magnus),
     )
     full = lambda arr: pl.BlockSpec(
         arr.shape, lambda b: (0,) * arr.ndim, memory_space=pltpu.VMEM
     )
     coef_spec = pl.BlockSpec(
-        (block_m, T, 2 * k), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        (block_m, T, n_gauss * k), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
     )
     state_spec = pl.BlockSpec(
         (block_m, 2 * n), lambda b: (b, 0), memory_space=pltpu.VMEM
@@ -490,7 +596,7 @@ def _sweep_expm_magnus2_member_jit(
             + [mat] * 4
             + [
                 pltpu.VMEM(
-                    (2 * (k + 1), n, n) if hoist else (1, 1, 1), f32
+                    (magnus * (k + 1), n, n) if hoist else (1, 1, 1), f32
                 )
             ]
             * 2
@@ -500,6 +606,10 @@ def _sweep_expm_magnus2_member_jit(
                     (block_m, 1, n) if build == "batched" else (1, 1, 1), f32
                 )
             ]
+            + [
+                pltpu.VMEM((n_slots, n, n) if magnus == 3 else (1, 1, 1), f32)
+            ]
+            * 8
         ),
         interpret=interpret,
     )(statr, stati, opsr, opsi, omh, oml, coef, y0t)

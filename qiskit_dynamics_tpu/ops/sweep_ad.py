@@ -80,33 +80,34 @@ sweep_expm_magnus2_ad.defvjp(_fwd, _bwd)
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13)
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14)
 )
 def sweep_expm_magnus2_member_ad(
     static_op, operators, frame_omega, frame_omega_lo, coefficients, y0,
     dt, t0, order, hermitian, block_m, interpret, horner="mxu",
-    build="member",
+    build="member", magnus=2,
 ):
     """:func:`~qiskit_dynamics_tpu.ops.member_sweep.sweep_expm_magnus2_member`
     with gradients — member-major Pallas primal, XLA-engine adjoint (the
-    identical Magnus-2 + Horner polynomial). ``frame_omega_lo`` must be
-    pre-split by the caller (custom_vjp traces its array arguments)."""
+    identical Magnus + Horner polynomial at the same ``magnus`` order).
+    ``frame_omega_lo`` must be pre-split by the caller (custom_vjp traces
+    its array arguments)."""
     from .member_sweep import sweep_expm_magnus2_member
 
     return sweep_expm_magnus2_member(
         static_op, operators, frame_omega, coefficients, y0,
         dt=dt, t0=t0, order=order, block_m=block_m, interpret=interpret,
         hermitian=hermitian, frame_omega_lo=frame_omega_lo, horner=horner,
-        build=build,
+        build=build, magnus=magnus,
     )
 
 
 def _member_fwd(static_op, operators, frame_omega, frame_omega_lo,
                 coefficients, y0, dt, t0, order, hermitian, block_m,
-                interpret, horner, build):
+                interpret, horner, build, magnus):
     out = sweep_expm_magnus2_member_ad(
         static_op, operators, frame_omega, frame_omega_lo, coefficients, y0,
-        dt, t0, order, hermitian, block_m, interpret, horner, build,
+        dt, t0, order, hermitian, block_m, interpret, horner, build, magnus,
     )
     return out, (
         static_op, operators, frame_omega, frame_omega_lo, coefficients, y0
@@ -114,12 +115,12 @@ def _member_fwd(static_op, operators, frame_omega, frame_omega_lo,
 
 
 def _member_bwd(dt, t0, order, hermitian, block_m, interpret, horner, build,
-                residuals, cotangent):
+                magnus, residuals, cotangent):
     def f(static_op, operators, frame_omega, frame_omega_lo, coefficients, y0):
         return sweep_expm_magnus2_xla(
             static_op, operators, frame_omega, coefficients, y0,
             dt=dt, t0=t0, order=order, hermitian=hermitian,
-            frame_omega_lo=frame_omega_lo,
+            frame_omega_lo=frame_omega_lo, magnus_order=magnus,
         )
 
     _, vjp = jax.vjp(f, *residuals)

@@ -39,6 +39,15 @@ _GAUSS_C1 = 0.5 - np.sqrt(3) / 6
 _GAUSS_C2 = 0.5 + np.sqrt(3) / 6
 _P2 = np.sqrt(3) / 12
 
+# 3-point Gauss-Legendre nodes + Magnus order-3 (6th-order) combination
+# coefficients (Blanes et al. 2009; same rule as
+# solvers/fixed_step_solvers.get_exponential_take_step magnus_order=3)
+_GAUSS3_D1 = 0.5 - np.sqrt(15) / 10
+_GAUSS3_D2 = 0.5
+_GAUSS3_D3 = 0.5 + np.sqrt(15) / 10
+_M3_C0 = np.sqrt(15) / 3
+_M3_C1 = 10.0 / 3
+
 # row loops are Python-unrolled up to this n, fori_loop'd beyond (compile size)
 _UNROLL_N = 16
 

@@ -21,7 +21,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .sweep_solver import _GAUSS_C1, _GAUSS_C2, _P2
+from .sweep_solver import (
+    _GAUSS3_D1,
+    _GAUSS3_D2,
+    _GAUSS3_D3,
+    _GAUSS_C1,
+    _GAUSS_C2,
+    _M3_C0,
+    _M3_C1,
+    _P2,
+)
 from .trig_reduce import reduced_phase, split_const, step_time_df
 
 __all__ = ["sweep_expm_magnus2_xla"]
@@ -30,7 +39,7 @@ __all__ = ["sweep_expm_magnus2_xla"]
 def sweep_expm_magnus2_xla(
     static_op, operators, frame_omega, coefficients, y0,
     dt, t0=0.0, order=8, hermitian=False, eval_slots=None,
-    frame_omega_lo=None,
+    frame_omega_lo=None, magnus_order=2,
 ):
     """Public shim over :func:`_sweep_expm_magnus2_xla_jit`: splits the frame
     frequency matrix into an f32 (hi, lo) pair host-side (see
@@ -42,11 +51,13 @@ def sweep_expm_magnus2_xla(
     return _sweep_expm_magnus2_xla_jit(
         static_op, operators, frame_omega, frame_omega_lo, coefficients, y0,
         dt=dt, t0=t0, order=order, hermitian=hermitian, eval_slots=eval_slots,
+        magnus_order=magnus_order,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dt", "t0", "order", "hermitian", "eval_slots")
+    jax.jit,
+    static_argnames=("dt", "t0", "order", "hermitian", "eval_slots", "magnus_order"),
 )
 def _sweep_expm_magnus2_xla_jit(
     static_op,
@@ -60,14 +71,17 @@ def _sweep_expm_magnus2_xla_jit(
     order: int = 8,
     hermitian: bool = False,
     eval_slots=None,
+    magnus_order: int = 2,
 ):
     r"""Fixed-step Magnus-2 sweep solve, batch-major XLA implementation.
 
     Args/returns match :func:`~qiskit_dynamics_tpu.ops.sweep_solver.sweep_expm_magnus2`
-    (``coefficients`` ``(T, 2, k, B)``, ``y0``/result ``(n, B)`` complex in the
+    (``coefficients`` ``(T, n_gauss, k, B)`` with ``n_gauss = magnus_order``
+    Gauss-point samples per step, ``y0``/result ``(n, B)`` complex in the
     frame basis, optional static ``eval_slots`` tuple producing an
     ``(n_eval, n, B)`` trajectory second output); no ``tile_b`` — XLA picks
-    the tiling.
+    the tiling. ``magnus_order`` 2 (4th order, 2-point Gauss) or 3 (6th
+    order, 3-point Gauss).
 
     ``y0`` may alternatively be 3d ``(B, n, m)`` batch-major — ``m`` state
     columns per sweep member sharing one generator (unitary/propagator
@@ -75,6 +89,8 @@ def _sweep_expm_magnus2_xla_jit(
     member instead of per column, and outputs are ``(B, n, m)``
     (+ ``(n_eval, B, n, m)`` trajectory).
     """
+    if magnus_order not in (2, 3):
+        raise ValueError(f"magnus_order must be 2 or 3, got {magnus_order!r}")
     cplx = jnp.complex64 if not jax.config.jax_enable_x64 else jnp.complex128
     real = jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64
     static = jnp.asarray(static_op).astype(cplx)
@@ -124,18 +140,35 @@ def _sweep_expm_magnus2_xla_jit(
         n_eval = _validate_eval_slots(eval_slots, T)
         slots = jnp.asarray(np.asarray(eval_slots, dtype=np.int32))
 
+    def comm(A, B):
+        """[A, B]; with anti-Hermitian operands AB = (BA)^dagger, so one
+        batched matmul + a conj-transpose replaces two matmuls."""
+        P = A @ B
+        if hermitian:
+            return P - jnp.conj(jnp.swapaxes(P, -1, -2))
+        return P - B @ A
+
+    def magnus_matrix(idx, coef_step):
+        if magnus_order == 2:
+            G1 = generator(coef_step[0], frame_phase(idx, _GAUSS_C1))
+            G2 = generator(coef_step[1], frame_phase(idx, _GAUSS_C2))
+            return c1 * (G1 + G2) + c2 * comm(G2, G1)
+        # order 3 (6th order; Blanes et al., same rule as
+        # fixed_step_solvers.get_exponential_take_step magnus_order=3)
+        G1 = generator(coef_step[0], frame_phase(idx, _GAUSS3_D1))
+        G2 = generator(coef_step[1], frame_phase(idx, _GAUSS3_D2))
+        G3 = generator(coef_step[2], frame_phase(idx, _GAUSS3_D3))
+        a1 = dt * G2
+        a2 = (_M3_C0 * dt) * (G3 - G1)
+        a3 = (_M3_C1 * dt) * (G3 - 2.0 * G2 + G1)
+        C1 = comm(a1, a2)
+        C2 = comm(2.0 * a3 + C1, a1) / 60.0
+        return a1 + a3 / 12.0 + comm(-20.0 * a1 - a3 + C1, a2 + C2) / 240.0
+
     def step(carry, xs):
         y, evals = carry
         idx, coef_step = xs
-        G1 = generator(coef_step[0], frame_phase(idx, _GAUSS_C1))
-        G2 = generator(coef_step[1], frame_phase(idx, _GAUSS_C2))
-        P = G2 @ G1
-        if hermitian:
-            # anti-Hermitian generators: G1 G2 = (G2 G1)^dagger
-            comm = P - jnp.conj(jnp.swapaxes(P, -1, -2))
-        else:
-            comm = P - G1 @ G2
-        M = c1 * (G1 + G2) + c2 * comm
+        M = magnus_matrix(idx, coef_step)
         # y <- expm(M) y, Horner mat-vec Taylor (same polynomial as the
         # Pallas kernel)
         v = y

@@ -196,7 +196,7 @@ class _PerturbativeSolver(ABC):
             (B, dim) final states (in the rotating frame of the model, like
             ``solve``).
         """
-        from ...ops.chain_apply import chain_apply_bol
+        from ...ops.chain_apply import chain_apply_bol_ad
 
         if mesh is not None:
             from ...parallel.sweep import pshard_batch
@@ -260,7 +260,9 @@ class _PerturbativeSolver(ABC):
             (jnp.asarray(U0) @ jnp.asarray(y0, dtype=complex))[:, None],
             (dim, B + pad),
         )
-        yf = chain_apply_bol(props, y0_cols, tile_b=tile_b, interpret=interpret)[:, :B]
+        # custom-vjp chain application: Dyson solve_sweep is differentiable
+        # end-to-end (Magnus is not — its per-step Pallas expm has no AD rule)
+        yf = chain_apply_bol_ad(props, y0_cols, tile_b, interpret)[:, :B]
         return (jnp.asarray(Uf) @ yf).T
 
 
