@@ -96,7 +96,7 @@ def tunnel_preflight(max_wait_s=1800, probe_timeout=300):
 # probe-normalized view divides a row's throughput by (probe_tflops /
 # PROBE_REF_TFLOPS), attributing cross-session deltas to chip/neighbor speed
 # vs code changes (VERDICT r3 item 3: the 555-2,147 schedules/s band).
-PROBE_REF_TFLOPS = 80.0
+PROBE_REF_TFLOPS = 171.6
 
 
 def chip_speed_probe(n: int = 2048, iters: int = 4096, reps: int = 3):
@@ -609,7 +609,7 @@ def main():
             )
             l2_run = jax.jit(
                 lambda a: fused_sweep_solve(
-                    l2model, l2_sig, a, t_span=(0.0, 10.0), max_dt=0.0625,
+                    l2model, l2_sig, a, t_span=(0.0, 10.0), max_dt=0.08,
                     y0=rho2, magnus_order=3, sweep_engine="xla",
                 )
             )
@@ -749,15 +749,19 @@ def main():
             dyson_metrics["dyson_max_err"] = float(f"{d_err:.3g}")
 
             # gradient through the whole perturbative sweep (chain custom
-            # vjp). The loss chunks the batch 4x: reverse-mode through the
-            # monomial recursion otherwise materializes a (209, 6, 1000, B)
-            # f32 temp — 9.9 GB at B=2048, past the 16 GB HBM (measured OOM)
+            # vjp). The loss runs the batch in SEQUENTIAL checkpointed
+            # chunks (lax.map + jax.checkpoint): reverse-mode through the
+            # monomial recursion materializes a (209, 6, 1000, B) f32 temp
+            # — 9.9 GB at B=2048 (measured OOM), and a host-level Python
+            # chunk loop doesn't help because XLA schedules the chunks
+            # concurrently (measured 17.8 GB with 4 chunks)
+            @jax.checkpoint
+            def d_chunk_loss(c):
+                yf = ds.solve_sweep(0.0, n_steps_d, y0_d, d_sigs, c)
+                return jnp.sum(jnp.abs(yf[:, 1]) ** 2)
+
             def d_loss(a):
-                tot = 0.0
-                for c in jnp.split(a, 4):
-                    yf = ds.solve_sweep(0.0, n_steps_d, y0_d, d_sigs, c)
-                    tot = tot + jnp.sum(jnp.abs(yf[:, 1]) ** 2)
-                return tot / B_d
+                return jnp.sum(jax.lax.map(d_chunk_loss, a.reshape(8, -1))) / B_d
 
             d_gradfn = jax.jit(jax.grad(d_loss))
             t0 = time.time()

@@ -239,7 +239,16 @@ def _get_acquire_instruction_timings(
 
 
 class DynamicsBackend:
-    """Pulse-level simulator backend around a pulse-configured :class:`Solver`."""
+    """Pulse-level simulator backend around a pulse-configured :class:`Solver`.
+
+    ``solver_options`` are forwarded to :meth:`Solver.solve` for every
+    batch. With ``solver_options={"method": "fused_dopri5"}`` (the fused
+    serving fast path) the effective tolerance defaults to
+    ``atol = rtol = 5e-8`` — measured state error on the 3-transmon dim-27
+    serving config vs host DOP853(1e-12): 2.5e-4 at tol 1e-6, 2.0e-5 at
+    2e-7, 2.4e-6 at 5e-8 (BENCHMARKS.md). Pass ``atol``/``rtol`` inside
+    ``solver_options`` to trade accuracy for throughput.
+    """
 
     def __init__(self, solver: Solver, target=None, **options):
         self.name = "DynamicsBackend"

@@ -9,6 +9,11 @@ pinned surface, with each surface cited to upstream API docs in the fake
 modules. If package code starts consuming more of qiskit/diffrax than the
 fakes model, these tests fail instead of silently passing against a drifted
 double.
+
+The complementary half is ``tests/test_real_deps.py``: the same interop
+branches run against the REAL packages whenever they are importable (skip
+cleanly otherwise), so the fake-vs-real evidence gap closes automatically
+in any environment that has them.
 """
 import numpy as np
 import jax.numpy as jnp

@@ -284,12 +284,37 @@ class TestFusedScheduleSolve:
         )
         assert len(fused) == 3
         for a, b in zip(ref, fused):
-            # f32 kernel at its 1e-6 tolerance floor on a piecewise-constant
-            # envelope: ~2.5e-4 here (the plain tpu_dopri5 at matched 1e-6
-            # tolerance is 4e-4 on the same problem)
+            # serving default tolerance is 5e-8 (r4; the kernel's own default
+            # is 1e-6, which measured 2.5e-4 on the dim-27 serving config)
             np.testing.assert_allclose(
-                np.asarray(a.y[-1]), np.asarray(b.y[-1]), atol=1e-4
+                np.asarray(a.y[-1]), np.asarray(b.y[-1]), atol=1e-5
             )
+
+    def test_serving_default_tolerance_pinned(self):
+        """The fused serving path defaults to atol=rtol=5e-8: solving with
+        defaults must match an EXPLICIT 5e-8 solve exactly and be much more
+        accurate than the kernel's bare 1e-6 default (VERDICT r3 item 7)."""
+        solver = self._pulse_solver()
+        y0 = np.array([1.0, 0.0], dtype=complex)
+        scheds = self._schedules([0.7])
+        kw = dict(
+            t_span=[0.0, 4.0], y0=y0, signals=scheds, method="fused_dopri5",
+            interpret=True, convert_results=False,
+        )
+        default = solver.solve(**kw)
+        explicit = solver.solve(atol=5e-8, rtol=5e-8, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(default[0].y[-1]), np.asarray(explicit[0].y[-1])
+        )
+        loose = solver.solve(atol=1e-6, rtol=1e-6, **kw)
+        ref = solver.solve(
+            t_span=[0.0, 4.0], y0=y0, signals=scheds, method="tpu_dopri5",
+            atol=1e-12, rtol=1e-12, convert_results=False,
+        )
+        err_default = np.max(np.abs(np.asarray(default[0].y[-1]) - np.asarray(ref[0].y[-1])))
+        err_loose = np.max(np.abs(np.asarray(loose[0].y[-1]) - np.asarray(ref[0].y[-1])))
+        assert err_default < 1e-5
+        assert err_default < err_loose / 5, (err_default, err_loose)
 
     def test_grouped_t_spans(self):
         """Mixed t_spans are grouped; each group one kernel call."""
