@@ -19,6 +19,7 @@ from .perturbative_solvers import ExpansionModel, DysonSolver, MagnusSolver
 from .fused_sweep import fused_sweep_solve, fused_adaptive_sweep_solve
 from .analysis import (
     lindblad_steady_state,
+    lindblad_steady_state_iterative,
     lindblad_steady_state_sweep,
     floquet_basis,
     FloquetResult,

@@ -37,6 +37,18 @@ For a degenerate steady-state manifold this returns the trace-normalized
 element selected by the border (the maximally-mixed-direction projection);
 pass ``check_residual`` tolerance to NaN-poison non-converged members
 instead of returning them silently.
+
+**Scaling limits.** :func:`lindblad_steady_state`,
+:func:`lindblad_steady_state_sweep`, and :func:`spectrum` materialize the
+dense :math:`(n^2, n^2)` superoperator and solve it directly —
+:math:`O(n^4)` memory and :math:`O(n^6)` flops. That is the right trade at
+``dim <= ~32`` (a dim-32 superoperator is 1024x1024 — 8 MB, one fast MXU
+solve); at dim 64 it is 134 MB per member and at dim 128 ~2 GB, so dense
+breaks down between dim 32 and 128 depending on batch size. For larger
+systems use :func:`lindblad_steady_state_iterative` — matrix-free GMRES on
+the trace-bordered system with :math:`O(k\, n^3)`-per-apply superoperator
+ACTIONS through the (sparse-capable) non-vectorized Lindblad collection,
+never materializing :math:`L`.
 """
 from __future__ import annotations
 
@@ -49,6 +61,7 @@ from ..exceptions import DynamicsError
 
 __all__ = [
     "lindblad_steady_state",
+    "lindblad_steady_state_iterative",
     "lindblad_steady_state_sweep",
     "floquet_basis",
     "FloquetResult",
@@ -133,6 +146,84 @@ def lindblad_steady_state(model, time: float = 0.0, check_residual: Optional[flo
     _validate_steady_model(model)
     L = model.evaluate(time)
     return _steady_from_superop(jnp.asarray(L), check_residual)
+
+
+def lindblad_steady_state_iterative(
+    model,
+    time: float = 0.0,
+    tol: float = 1e-8,
+    maxiter: Optional[int] = 2000,
+    restart: int = 200,
+    check_residual: Optional[float] = 1e-6,
+):
+    r"""Matrix-free steady state for large dimensions (dim :math:`\gtrsim` 32).
+
+    Solves the trace-bordered system
+
+    .. math:: \left(\mathcal{L} + v\, \langle v, \cdot\rangle\right) x = v,
+              \qquad v = I/\sqrt{n}
+
+    with GMRES, where every :math:`\mathcal{L}` ACTION is the model's
+    matrix-form RHS evaluation (``model(t, rho)`` — :math:`O(k\, n^3)` per
+    apply through the dense or BCOO collection) and the Hilbert-Schmidt
+    inner product supplies the border. For an irreducible Lindbladian the
+    bordered operator is nonsingular (``v`` spans the left kernel — trace
+    preservation — and the border restores it to the range), and the unique
+    solution is the trace-normalized steady state. The
+    :math:`(n^2, n^2)` superoperator is NEVER materialized — a dim-32
+    chain solves without forming the 1024x1024 matrix, and memory stays
+    :math:`O(\text{restart}\; n^2)` (the Krylov basis).
+
+    Args:
+        model: ``LindbladModel`` with ``vectorized=False`` (the matrix-apply
+            form; dense or sparse array library — not ``scipy_sparse``,
+            which cannot run under the solver's jit) and no rotating frame.
+        time: evaluation time for the (constant) generator.
+        tol: GMRES relative tolerance.
+        maxiter: GMRES outer-iteration cap.
+        restart: GMRES restart length (Krylov memory,
+            ``O(restart * n^2)``). Driven Lindbladians are highly
+            non-normal and RESTARTED GMRES stagnates on them (measured: a
+            dim-32 driven chain stalls at 3.6e-2 residual with restart=40
+            but converges to 1e-11 with restart=200) — raise ``restart``
+            before ``maxiter`` if the residual check poisons the result.
+        check_residual: relative residual above which the result is
+            NaN-poisoned (package convention: no raises under trace).
+
+    Returns:
+        ``(dim, dim)`` density matrix, Hermitized and trace-normalized.
+    """
+    from jax.scipy.sparse.linalg import gmres
+
+    from ..models import LindbladModel
+
+    if not isinstance(model, LindbladModel) or model.vectorized:
+        raise DynamicsError(
+            "lindblad_steady_state_iterative requires a LindbladModel with "
+            "vectorized=False (the matrix-apply form); use "
+            "lindblad_steady_state for vectorized models at small dim."
+        )
+    if model._rotating_frame.frame_diag is not None:
+        raise DynamicsError(
+            "lindblad_steady_state_iterative requires rotating_frame=None "
+            "(a static steady state is frame-dependent otherwise)."
+        )
+    n = model.dim
+    v = jnp.eye(n, dtype=complex) / np.sqrt(n)
+
+    def bordered(rho):
+        inner = jnp.sum(jnp.conj(v) * rho)  # Hilbert-Schmidt <v, rho>
+        return model(time, rho) + v * inner
+
+    x, _ = gmres(
+        bordered, v, x0=v, tol=tol, atol=0.0, maxiter=maxiter,
+        restart=restart, solve_method="batched",
+    )
+    if check_residual is not None:
+        res = jnp.linalg.norm(model(time, x)) / jnp.linalg.norm(x)
+        x = jnp.where(res <= check_residual, x, jnp.full_like(x, jnp.nan))
+    rho = 0.5 * (x + jnp.conj(x.T))
+    return rho / jnp.trace(rho)
 
 
 def lindblad_steady_state_sweep(
