@@ -38,6 +38,7 @@ import jax.numpy as jnp
 
 from ..exceptions import DynamicsError
 from ..utils.jit_tools import cjit
+from .adaptive import _cabs
 
 try:  # pragma: no cover - optax is present in the target environment
     import optax
@@ -63,8 +64,11 @@ def state_infidelity(y, target, normalize: bool = True):
     target = jnp.asarray(target)
     overlap = jnp.abs(jnp.sum(jnp.conj(target) * y, axis=-1)) ** 2
     if normalize:
+        # _cabs, not jnp.abs: `target` is typically a closed-over constant
+        # like [0, 1], and abs of a complex iota-shaped constant crashes
+        # XLA:CPU's algebraic simplifier (see adaptive._cabs).
         overlap = overlap / (
-            jnp.sum(jnp.abs(target) ** 2, axis=-1) * jnp.sum(jnp.abs(y) ** 2, axis=-1)
+            jnp.sum(_cabs(target) ** 2, axis=-1) * jnp.sum(_cabs(y) ** 2, axis=-1)
         )
     return 1.0 - overlap
 

@@ -414,22 +414,39 @@ class Solver:
 
             return cjit(sim_function)
 
-        # prepare per-simulation inputs
+        # prepare per-simulation inputs. Schedules built from traced pulse
+        # parameters (e.g. a Gaussian amp under jax.jit/grad — the native
+        # pulse library is JAX-transformable) produce tracer samples; pad
+        # those with jnp so the whole conversion stays in the trace. The
+        # reference has no traceable schedule path at all (its converter is
+        # host-only; docs route traced parameters through signals manually).
+        def _as_complex(x):
+            return x if isinstance(x, jax.core.Tracer) else np.asarray(x, dtype=complex)
+
         prepared = []
+        any_traced = False
         for t_span, y0, sched in zip(t_span_list, y0_list, schedule_list):
             y0, y0_input, y0_cls, state_type_wrapper = validate_and_format_initial_state(
                 y0, self.model
             )
             all_signals = self._schedule_converter.get_signals(sched)
-            all_samples = np.zeros(all_samples_shape, dtype=complex)
-            for idx, sig in enumerate(all_signals):
-                all_samples[idx, 0 : len(sig.samples)] = np.asarray(sig.samples)
+            if any(isinstance(sig.samples, jax.core.Tracer) for sig in all_signals):
+                any_traced = True
+                all_samples = jnp.zeros(all_samples_shape, dtype=complex)
+                for idx, sig in enumerate(all_signals):
+                    all_samples = all_samples.at[idx, 0 : len(sig.samples)].set(
+                        jnp.asarray(sig.samples)
+                    )
+            else:
+                all_samples = np.zeros(all_samples_shape, dtype=complex)
+                for idx, sig in enumerate(all_signals):
+                    all_samples[idx, 0 : len(sig.samples)] = np.asarray(sig.samples)
             prepared.append(
                 (
                     np.asarray(t_span),
-                    np.asarray(y0, dtype=complex),
+                    _as_complex(y0),
                     all_samples,
-                    np.asarray(y0_input, dtype=complex),
+                    _as_complex(y0_input),
                     y0_cls,
                     state_type_wrapper,
                 )
@@ -448,6 +465,7 @@ class Solver:
         y0_classes = {p[4] for p in prepared}
         same_shapes = (
             len(prepared) > 1
+            and not any_traced
             and len(y0_classes) == 1
             and len({p[1].shape for p in prepared}) == 1
             and len({tuple(np.asarray(p[0]).ravel()) for p in prepared}) == 1

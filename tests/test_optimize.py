@@ -29,6 +29,25 @@ class TestObjectives:
         orth = np.array([0.0, 1.0], dtype=complex)
         assert float(state_infidelity(y, orth)) == pytest.approx(1.0, abs=1e-12)
 
+    def test_state_infidelity_jit_iota_target(self):
+        """Regression: jitting with a closed-over complex [0, 1] target used
+        to abort the process — XLA:CPU's algebraic simplifier canonicalizes
+        the constant to a complex iota and miscompiles abs(iota)
+        (RET_CHECK in algebraic_simplifier.cc). state_infidelity now
+        computes magnitudes via real/imag split (adaptive._cabs)."""
+        target = np.array([0.0, 1.0], dtype=complex)  # iota-shaped constant
+
+        @jax.jit
+        def infid(y):
+            return state_infidelity(y, target)
+
+        assert float(infid(jnp.array([0.0, 1.0], dtype=complex))) == pytest.approx(
+            0.0, abs=1e-12
+        )
+        assert float(infid(jnp.array([1.0, 0.0], dtype=complex))) == pytest.approx(
+            1.0, abs=1e-12
+        )
+
     def test_state_infidelity_normalization_and_batch(self):
         y = np.array([[2.0, 0.0], [0.0, 3.0]], dtype=complex)  # unnormalized batch
         t = np.array([1.0, 0.0], dtype=complex)

@@ -507,6 +507,30 @@ class TestSolverJaxTransforms:
         g = jax.grad(pop1)(1.0)
         np.testing.assert_allclose(float(g), np.pi / 4, atol=1e-3)
 
+    def test_jit_grad_through_traced_schedule(self):
+        """Schedules built from traced pulse parameters run through
+        Solver.solve under jit/grad (the converter + padding stay in the
+        trace; beyond-reference — the reference's schedule path is
+        host-only)."""
+        solver = pulse_solver()
+        y0 = np.array([1.0, 0.0], dtype=complex)
+
+        def pop1(amp):
+            sched = Schedule(Play(Constant(duration=100, amp=amp), "d0"))
+            res = solver.solve(
+                [0, 100 * 0.1], y0, sched, method="jax_odeint",
+                atol=1e-10, rtol=1e-10,
+            )
+            return jnp.abs(res.y[-1][1]) ** 2
+
+        # constant amp R for T = 1/R: full inversion
+        np.testing.assert_allclose(float(jax.jit(pop1)(R)), 1.0, atol=1e-4)
+        # p1(amp) = sin^2(pi amp / (2R)) at T = 1/R: zero slope at inversion
+        np.testing.assert_allclose(float(jax.grad(pop1)(R)), 0.0, atol=1e-3)
+        # and maximal slope pi/(2R) at half inversion
+        g = jax.grad(pop1)(R / 2)
+        np.testing.assert_allclose(float(g), np.pi / (2 * R), rtol=1e-3)
+
     def test_vmap_solve(self):
         solver = make_solver()
         y0 = np.array([1.0, 0.0], dtype=complex)
