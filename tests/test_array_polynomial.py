@@ -307,3 +307,301 @@ class TestArrayMethodEdges:
         np.testing.assert_allclose(
             np.asarray(ap.conj()(jnp.asarray(c))), np.conj(_direct_eval(ap, c)), atol=1e-12
         )
+
+
+class TestMonomialFilterCases:
+    """Filter semantics on add (reference: test_array_polynomial.py:197-291).
+
+    Labels here are canonical sorted tuples (multiset_utils.Multiset); the
+    result's labels are in canonical (size, lex) order.
+    """
+
+    def _pair(self, rng):
+        ap1 = ArrayPolynomial(
+            array_coefficients=rng.standard_normal((3, 4, 5)),
+            monomial_labels=[[0], [1], [2]],
+            constant_term=rng.standard_normal((4, 5)),
+        )
+        ap2 = ArrayPolynomial(
+            array_coefficients=rng.standard_normal((3, 4, 5)),
+            monomial_labels=[[0], [3], [2, 2]],
+            constant_term=rng.standard_normal((4, 5)),
+        )
+        return ap1, ap2
+
+    def test_first_order_filter(self):
+        rng = np.random.default_rng(10)
+        ap1, ap2 = self._pair(rng)
+        result = ap1.add(ap2, monomial_filter=lambda x: len(x) <= 1)
+        assert result.monomial_labels == [(0,), (1,), (2,), (3,)]
+        c1, c2 = np.asarray(ap1.array_coefficients), np.asarray(ap2.array_coefficients)
+        np.testing.assert_allclose(
+            np.asarray(result.array_coefficients),
+            [c1[0] + c2[0], c1[1], c1[2], c2[1]],
+            atol=1e-14,
+        )
+        np.testing.assert_allclose(
+            np.asarray(result.constant_term),
+            np.asarray(ap1.constant_term) + np.asarray(ap2.constant_term),
+            atol=1e-14,
+        )
+
+    def test_submultiset_filter(self):
+        from qiskit_dynamics_tpu.perturbation.multiset_utils import is_submultiset
+
+        rng = np.random.default_rng(11)
+        ap1 = ArrayPolynomial(
+            array_coefficients=rng.standard_normal((3, 4, 5)),
+            monomial_labels=[[0], [0, 0, 0], [0, 0, 0, 0]],
+            constant_term=rng.standard_normal((4, 5)),
+        )
+        _, ap2 = self._pair(rng)
+        keep = lambda x: len(x) <= 2 or is_submultiset(x, (0, 0, 0))
+        result = ap1.add(ap2, monomial_filter=keep)
+        # canonical order: size 1 first, then size 2, then size 3
+        assert result.monomial_labels == [(0,), (3,), (2, 2), (0, 0, 0)]
+        c1, c2 = np.asarray(ap1.array_coefficients), np.asarray(ap2.array_coefficients)
+        np.testing.assert_allclose(
+            np.asarray(result.array_coefficients),
+            [c1[0] + c2[0], c2[1], c2[2], c1[1]],
+            atol=1e-14,
+        )
+
+    def test_membership_filter_drops_constant(self):
+        rng = np.random.default_rng(12)
+        ap1 = ArrayPolynomial(
+            array_coefficients=rng.standard_normal((3, 4, 5)),
+            monomial_labels=[[0], [0, 0, 0], [0, 0, 0, 0]],
+            constant_term=rng.standard_normal((4, 5)),
+        )
+        _, ap2 = self._pair(rng)
+        result = ap1.add(ap2, monomial_filter=lambda x: x in [(0, 0, 0)])
+        assert result.monomial_labels == [(0, 0, 0)]
+        assert result.constant_term is None
+        np.testing.assert_allclose(
+            np.asarray(result.array_coefficients),
+            [np.asarray(ap1.array_coefficients)[1]],
+            atol=1e-14,
+        )
+
+    @pytest.mark.parametrize("op", ["matmul", "mul"])
+    def test_distributive_filter_evaluates_truncated(self, op):
+        """A degree filter on matmul/mul equals evaluating the full product
+        and dropping higher-degree monomials."""
+        rng = np.random.default_rng(13)
+        ap1 = _random_poly(rng, shape=(3, 3), labels=((0,), (1,)))
+        ap2 = _random_poly(rng, shape=(3, 3), labels=((0,), (0, 1)))
+        full = getattr(ap1, op)(ap2)
+        trunc = getattr(ap1, op)(ap2, monomial_filter=lambda x: len(x) <= 2)
+        assert all(len(m) <= 2 for m in trunc.monomial_labels)
+        # matching labels carry identical coefficients
+        for m in trunc.monomial_labels:
+            i_t = trunc.monomial_labels.index(m)
+            i_f = full.monomial_labels.index(m)
+            np.testing.assert_allclose(
+                np.asarray(trunc.array_coefficients)[i_t],
+                np.asarray(full.array_coefficients)[i_f],
+                atol=1e-13,
+            )
+
+
+class TestAlgebraConstantEdges:
+    """Only-constant / only-coefficient operand combinations
+    (reference: test_array_polynomial.py:83-112, 325-341)."""
+
+    def test_add_only_constants(self):
+        a = np.array([[1.0, 2.0], [3.0, 4.0]])
+        b = np.array([[5.0, 6.0], [7.0, 8.0]])
+        out = ArrayPolynomial(constant_term=a) + ArrayPolynomial(constant_term=b)
+        assert out.array_coefficients is None
+        np.testing.assert_allclose(np.asarray(out.constant_term), a + b)
+
+    def test_add_constant_to_coefficients_only(self):
+        rng = np.random.default_rng(14)
+        ap = _random_poly(rng, const=False)
+        const = rng.standard_normal((3, 3))
+        out = ap + const  # array coerces to constant polynomial
+        np.testing.assert_allclose(np.asarray(out.constant_term), const)
+        c = rng.standard_normal(2)
+        np.testing.assert_allclose(
+            np.asarray(out(jnp.asarray(c))), _direct_eval(ap, c) + const, atol=1e-12
+        )
+
+    def test_radd_rsub_scalar_like(self):
+        rng = np.random.default_rng(15)
+        ap = _random_poly(rng)
+        c = rng.standard_normal(2)
+        arr = rng.standard_normal((3, 3))
+        np.testing.assert_allclose(
+            np.asarray((arr + ap)(jnp.asarray(c))), arr + _direct_eval(ap, c), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray((arr - ap)(jnp.asarray(c))), arr - _direct_eval(ap, c), atol=1e-12
+        )
+
+    @pytest.mark.parametrize("op", ["matmul", "mul"])
+    def test_distributive_only_constants(self, op):
+        rng = np.random.default_rng(16)
+        a = rng.standard_normal((3, 3))
+        b = rng.standard_normal((3, 3))
+        out = getattr(ArrayPolynomial(constant_term=a), op)(
+            ArrayPolynomial(constant_term=b)
+        )
+        expected = a @ b if op == "matmul" else a * b
+        assert out.array_coefficients is None
+        np.testing.assert_allclose(np.asarray(out.constant_term), expected, atol=1e-13)
+
+    def test_add_type_error(self):
+        with pytest.raises(DynamicsError, match="castable|supported"):
+            ArrayPolynomial(constant_term=np.eye(2)).add("not a polynomial")
+
+    def test_add_shape_error(self):
+        with pytest.raises(DynamicsError, match="[Bb]roadcast"):
+            ArrayPolynomial(constant_term=np.ones((2, 3))).add(
+                ArrayPolynomial(constant_term=np.ones((4, 5)))
+            )
+
+
+class TestDistributiveProductIdentity:
+    """(ap1 op ap2)(c) == op(ap1(c), ap2(c)) on multi-variable labels —
+    the defining property of the distributive product
+    (reference: test_array_polynomial.py:292-407)."""
+
+    @pytest.mark.parametrize("op", ["matmul", "mul"])
+    def test_product_identity_second_order(self, op):
+        rng = np.random.default_rng(17)
+        ap1 = _random_poly(rng, labels=((0,), (1,), (0, 0)))
+        ap2 = _random_poly(rng, labels=((1,), (0, 1)))
+        prod = getattr(ap1, op)(ap2)
+        for _ in range(3):
+            c = rng.standard_normal(2)
+            v1, v2 = _direct_eval(ap1, c), _direct_eval(ap2, c)
+            expected = v1 @ v2 if op == "matmul" else v1 * v2
+            np.testing.assert_allclose(
+                np.asarray(prod(jnp.asarray(c))), expected, atol=1e-11
+            )
+
+    @pytest.mark.parametrize("op", ["matmul", "mul"])
+    def test_product_with_array_both_sides(self, op):
+        rng = np.random.default_rng(18)
+        ap = _random_poly(rng)
+        arr = rng.standard_normal((3, 3))
+        c = rng.standard_normal(2)
+        v = _direct_eval(ap, c)
+        if op == "matmul":
+            np.testing.assert_allclose(
+                np.asarray((ap @ arr)(jnp.asarray(c))), v @ arr, atol=1e-12
+            )
+            np.testing.assert_allclose(
+                np.asarray((arr @ ap)(jnp.asarray(c))), arr @ v, atol=1e-12
+            )
+        else:
+            np.testing.assert_allclose(
+                np.asarray((ap * arr)(jnp.asarray(c))), v * arr, atol=1e-12
+            )
+            np.testing.assert_allclose(
+                np.asarray((arr * ap)(jnp.asarray(c))), arr * v, atol=1e-12
+            )
+
+    def test_scalar_multiplication(self):
+        rng = np.random.default_rng(19)
+        ap = _random_poly(rng)
+        c = rng.standard_normal(2)
+        np.testing.assert_allclose(
+            np.asarray((2.5 * ap)(jnp.asarray(c))), 2.5 * _direct_eval(ap, c), atol=1e-12
+        )
+
+
+class TestComputeMonomialsCases:
+    """compute_monomials case matrix
+    (reference: test_array_polynomial.py:822-1024)."""
+
+    def test_medium_case(self):
+        ap = ArrayPolynomial(
+            array_coefficients=np.ones((6, 1)),
+            monomial_labels=[[0], [1], [0, 1], [0, 0, 1], [1, 1, 1], [0, 0, 1, 1]],
+        )
+        c = np.array([3.0, 2.0])
+        np.testing.assert_allclose(
+            np.asarray(ap.compute_monomials(c)),
+            [3.0, 2.0, 6.0, 18.0, 8.0, 36.0],
+        )
+
+    def test_vectorized_over_batch(self):
+        ap = ArrayPolynomial(
+            array_coefficients=np.ones((3, 1)),
+            monomial_labels=[[0], [1], [0, 1]],
+        )
+        c = np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]).T  # (vars, batch)
+        out = np.asarray(ap.compute_monomials(jnp.asarray(c)))
+        np.testing.assert_allclose(out, [[1.0, 3.0, 5.0], [2.0, 4.0, 6.0], [2.0, 12.0, 30.0]])
+
+    def test_only_first_order(self):
+        ap = ArrayPolynomial(
+            array_coefficients=np.ones((2, 1)), monomial_labels=[[0], [1]]
+        )
+        c = np.array([7.0, 11.0])
+        np.testing.assert_allclose(np.asarray(ap.compute_monomials(c)), [7.0, 11.0])
+
+    def test_incomplete_label_list(self):
+        """High-order labels without their lower-order factors present."""
+        ap = ArrayPolynomial(
+            array_coefficients=np.ones((2, 1)),
+            monomial_labels=[[0, 0, 1], [1, 1]],
+        )
+        c = np.array([2.0, 3.0])
+        np.testing.assert_allclose(np.asarray(ap.compute_monomials(c)), [12.0, 9.0])
+
+    def test_extra_variables_ignored(self):
+        ap = ArrayPolynomial(
+            array_coefficients=np.ones((1, 1)), monomial_labels=[[2]]
+        )
+        c = np.array([99.0, 98.0, 4.0, 97.0])
+        np.testing.assert_allclose(np.asarray(ap.compute_monomials(c)), [4.0])
+
+
+class TestValidationCases:
+    """Constructor validation (reference: test_array_polynomial.py:634-650)."""
+
+    def test_no_args_raises(self):
+        with pytest.raises(DynamicsError, match="constant_term"):
+            ArrayPolynomial()
+
+    def test_negative_label_raises(self):
+        with pytest.raises(DynamicsError, match="non-negative"):
+            ArrayPolynomial(
+                array_coefficients=np.ones((1, 2)), monomial_labels=[[-1]]
+            )
+
+    def test_label_length_mismatch_raises(self):
+        with pytest.raises(DynamicsError, match="matching lengths"):
+            ArrayPolynomial(
+                array_coefficients=np.ones((2, 2)), monomial_labels=[[0]]
+            )
+
+    def test_trace_on_scalar_raises(self):
+        with pytest.raises((DynamicsError, ValueError)):
+            ArrayPolynomial(constant_term=np.array(1.0)).trace()
+
+
+class TestAlgebraJaxTransforms:
+    """jit/grad through polynomial algebra then evaluation
+    (reference: test_array_polynomial.py:573-605)."""
+
+    @pytest.mark.parametrize("op", ["add", "matmul", "mul"])
+    def test_jit_grad_through_algebra(self, op):
+        rng = np.random.default_rng(20)
+        ap1 = _random_poly(rng, labels=((0,), (1,)))
+        ap2 = _random_poly(rng, labels=((1,), (0, 1)))
+        combined = getattr(ap1, op)(ap2)
+
+        def f(c):
+            return jnp.sum(jnp.real(combined(c)) ** 2)
+
+        c0 = jnp.array([0.3, -0.7])
+        v = float(jax.jit(f)(c0))
+        assert np.isfinite(v)
+        g = np.asarray(jax.grad(f)(c0))
+        eps = 1e-6
+        fd = (f(c0 + jnp.array([eps, 0.0])) - f(c0 - jnp.array([eps, 0.0]))) / (2 * eps)
+        np.testing.assert_allclose(g[0], float(fd), rtol=1e-4)

@@ -206,3 +206,117 @@ class TestLindbladCollectionEdges:
             np.asarray(dense.evaluate_rhs(hc, dc, rho)),
             atol=1e-10,
         )
+
+
+class TestCollectionJaxTransforms:
+    """jit/grad through collection evaluation (reference:
+    test_operator_collections.py:119-147, 516-550)."""
+
+    def test_operator_collection_jit_grad(self):
+        ops = np.array([_rand(3), _rand(3)])
+        coll = OperatorCollection(static_operator=_rand(3), operators=ops)
+        y = _rand(3)
+
+        def f(sig):
+            return jnp.sum(jnp.real(coll(sig, jnp.asarray(y))) ** 2)
+
+        sig0 = jnp.array([0.3, -0.2])
+        v = float(jax.jit(f)(sig0))
+        assert np.isfinite(v)
+        g = np.asarray(jax.grad(f)(sig0))
+        eps = 1e-6
+        fd = (f(sig0 + jnp.array([eps, 0.0])) - f(sig0 - jnp.array([eps, 0.0]))) / (2 * eps)
+        np.testing.assert_allclose(g[0], float(fd), rtol=1e-5)
+
+    def test_lindblad_collection_jit_grad(self):
+        H = _rand(3)
+        H = H + H.conj().T
+        L = _rand(3)
+        coll = LindbladCollection(
+            static_hamiltonian=H,
+            hamiltonian_operators=np.array([_rand(3) + _rand(3).conj().T]),
+            dissipator_operators=np.array([L]),
+        )
+        rho = np.eye(3, dtype=complex) / 3
+
+        def f(params):
+            ham_sig, dis_sig = params[:1], params[1:] ** 2  # positive rates
+            return jnp.sum(jnp.real(coll(ham_sig, dis_sig, jnp.asarray(rho))) ** 2)
+
+        p0 = jnp.array([0.4, 0.8])
+        assert np.isfinite(float(jax.jit(f)(p0)))
+        g = np.asarray(jax.grad(f)(p0))
+        eps = 1e-6
+        fd = (f(p0 + jnp.array([0.0, eps])) - f(p0 - jnp.array([0.0, eps]))) / (2 * eps)
+        np.testing.assert_allclose(g[1], float(fd), rtol=1e-5)
+
+    def test_vectorized_lindblad_jit(self):
+        H = _rand(3)
+        coll = VectorizedLindbladCollection(
+            static_hamiltonian=H + H.conj().T,
+            dissipator_operators=np.array([_rand(3)]),
+        )
+        rho_vec = np.eye(3, dtype=complex).flatten(order="F")
+
+        @jax.jit
+        def f(dis_sig):
+            return coll(None, dis_sig, jnp.asarray(rho_vec))
+
+        out = np.asarray(f(jnp.array([0.5])))
+        assert out.shape == (9,)
+        assert np.isfinite(out).all()
+
+
+class TestConstructionTypes:
+    """Input type coercion (reference: test_operator_collections.py:477-515,
+    201-230): quantum_info Operator objects and plain lists construct."""
+
+    def test_operator_objects(self):
+        from qiskit_dynamics_tpu.quantum_info import Operator
+
+        X = Operator(np.array([[0.0, 1.0], [1.0, 0.0]]))
+        Z = Operator(np.array([[1.0, 0.0], [0.0, -1.0]]))
+        coll = OperatorCollection(static_operator=Z, operators=[X, Z])
+        y = np.eye(2, dtype=complex)
+        out = np.asarray(coll(np.array([1.0, 2.0]), y))
+        expected = np.asarray(Z.data) + 1.0 * np.asarray(X.data) + 2.0 * np.asarray(Z.data)
+        np.testing.assert_allclose(out, expected @ y, atol=1e-14)
+
+    def test_nested_list_operators(self):
+        coll = OperatorCollection(operators=[[[0.0, 1.0], [1.0, 0.0]]])
+        out = np.asarray(coll(np.array([2.0]), np.eye(2, dtype=complex)))
+        np.testing.assert_allclose(out, 2.0 * np.array([[0.0, 1.0], [1.0, 0.0]]), atol=1e-14)
+
+    def test_scipy_sparse_list_construction(self):
+        from scipy.sparse import csr_matrix
+
+        ops = [csr_matrix(np.array([[0.0, 1.0], [1.0, 0.0]]))]
+        coll = ScipySparseOperatorCollection(operators=ops)
+        out = coll(np.array([3.0]), np.array([1.0, 0.0], dtype=complex))
+        np.testing.assert_allclose(np.asarray(out), [0.0, 3.0], atol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "cls",
+    [
+        OperatorCollection,
+        ScipySparseOperatorCollection,
+    ],
+)
+def test_empty_collection_raises(cls):
+    """Evaluating a fully-empty collection raises (reference:
+    test_operator_collections.py:53-59, 151-160, 273-281)."""
+    coll = cls()
+    with pytest.raises(Exception):
+        np.asarray(coll(np.array([]), np.eye(2, dtype=complex))) * 1.0
+
+
+@pytest.mark.parametrize(
+    "cls", [LindbladCollection, ScipySparseLindbladCollection]
+)
+def test_empty_lindblad_collection_raises(cls):
+    with pytest.raises(Exception):
+        coll = cls()
+        np.asarray(
+            coll(np.array([]), np.array([]), np.eye(2, dtype=complex))
+        ) * 1.0
