@@ -25,6 +25,7 @@ from .analysis import (
     FloquetResult,
     correlation_function,
     spectrum,
+    spectrum_iterative,
 )
 from .optimize import (
     optimize_controls,

@@ -45,16 +45,19 @@ dense :math:`(n^2, n^2)` superoperator and solve it directly —
 ``dim <= ~32`` (a dim-32 superoperator is 1024x1024 — 8 MB, one fast MXU
 solve); at dim 64 it is 134 MB per member and at dim 128 ~2 GB, so dense
 breaks down between dim 32 and 128 depending on batch size. For larger
-systems use :func:`lindblad_steady_state_iterative` — matrix-free GMRES on
-the trace-bordered system with :math:`O(k\, n^3)`-per-apply superoperator
+systems use :func:`lindblad_steady_state_iterative` and
+:func:`spectrum_iterative` — matrix-free GMRES on the trace-bordered /
+zero-mode-shifted systems with :math:`O(k\, n^3)`-per-apply superoperator
 ACTIONS through the (sparse-capable) non-vectorized Lindblad collection,
-never materializing :math:`L`.
+never materializing :math:`L`; :func:`correlation_function` accepts
+``vectorized=False`` models directly (matrix-apply evolution).
 """
 from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..exceptions import DynamicsError
@@ -67,6 +70,7 @@ __all__ = [
     "FloquetResult",
     "correlation_function",
     "spectrum",
+    "spectrum_iterative",
 ]
 
 
@@ -108,10 +112,12 @@ def _steady_from_superop(L, check_residual: Optional[float]):
     return rho / tr
 
 
-def _validate_steady_model(model):
+def _validate_steady_model(model, allow_non_vectorized: bool = False):
     from ..models import LindbladModel
 
-    if not isinstance(model, LindbladModel) or not model.vectorized:
+    if not isinstance(model, LindbladModel) or not (
+        model.vectorized or allow_non_vectorized
+    ):
         raise DynamicsError(
             "lindblad_steady_state requires a LindbladModel with vectorized=True."
         )
@@ -390,19 +396,31 @@ def correlation_function(
     """
     from .solver_functions import solve_lmde
 
-    _validate_steady_model(model)
+    _validate_steady_model(model, allow_non_vectorized=True)
     if rho0 is None:
-        rho0 = lindblad_steady_state(model)
+        rho0 = (
+            lindblad_steady_state(model)
+            if model.vectorized
+            else lindblad_steady_state_iterative(model)
+        )
     a_op = jnp.asarray(a_op)
     b_op = jnp.asarray(b_op)
     taus = np.asarray(taus)
-    y0 = _vec_col(b_op @ jnp.asarray(rho0))
+    if model.vectorized:
+        y0 = _vec_col(b_op @ jnp.asarray(rho0))
+    else:
+        # matrix-apply evolution: same semigroup, O(k n^3) per RHS instead
+        # of O(n^4) — the large-dim path (dim >~ 32)
+        y0 = b_op @ jnp.asarray(rho0)
     result = solve_lmde(
         model, t_span=[float(taus[0]), float(taus[-1])], y0=y0,
         t_eval=taus, method=method, **kwargs
     )
-    states = jnp.asarray(result.y)  # (T, dim^2) vec-col states
-    return states @ _trace_weights(a_op)
+    if model.vectorized:
+        states = jnp.asarray(result.y)  # (T, dim^2) vec-col states
+        return states @ _trace_weights(a_op)
+    # Tr[A M_t] per time
+    return jnp.einsum("ij,tji->t", a_op, jnp.asarray(result.y))
 
 
 def spectrum(model, a_op, b_op, frequencies, rho0=None):
@@ -460,4 +478,84 @@ def spectrum(model, a_op, b_op, frequencies, rho0=None):
         A, jnp.broadcast_to(y_red, (freqs.shape[0], n2))[..., None]
     )[..., 0]
     c_hat = x @ _trace_weights(jnp.asarray(a_op))
+    return -2.0 * jnp.real(c_hat)
+
+
+def spectrum_iterative(
+    model,
+    a_op,
+    b_op,
+    frequencies,
+    rho0=None,
+    tol: float = 1e-8,
+    maxiter: Optional[int] = 2000,
+    restart: int = 200,
+):
+    r"""Matrix-free :func:`spectrum` for large dimensions (dim
+    :math:`\gtrsim` 32).
+
+    Same quantity and conventions as :func:`spectrum` (incoherent one-sided
+    transform, elastic delta omitted), but each frequency's resolvent system
+    :math:`(i\omega + \mathcal{L} + P)\,x = y_\mathrm{red}` is solved with
+    GMRES where every :math:`\mathcal{L}` ACTION is the model's matrix-form
+    RHS (``model(0, X)`` — :math:`O(k\,n^3)` per apply) and the zero-mode
+    shift :math:`P = \mathrm{vec}(\rho_{ss})\mathrm{vec}(I)^H` acts as
+    ``rho_ss * Tr[X]``. The :math:`(n^2, n^2)` superoperator is never
+    materialized; frequencies run sequentially through ``lax.map`` so memory
+    stays :math:`O(\text{restart}\,n^2)`.
+
+    Args:
+        model: ``LindbladModel`` with ``vectorized=False``, no rotating
+            frame, constant signals.
+        a_op: ``(dim, dim)`` operator measured at :math:`\tau`.
+        b_op: ``(dim, dim)`` operator applied at time 0.
+        frequencies: ``(W,)`` angular frequencies.
+        rho0: density matrix at time 0; defaults to the steady state
+            (computed via :func:`lindblad_steady_state_iterative`).
+        tol: GMRES relative tolerance per frequency.
+        maxiter: GMRES outer-iteration cap.
+        restart: GMRES restart length (see
+            :func:`lindblad_steady_state_iterative` — driven Lindbladians
+            need generous restarts).
+
+    Returns:
+        ``(W,)`` real spectrum values.
+    """
+    from jax.scipy.sparse.linalg import gmres
+
+    from ..models import LindbladModel
+
+    if not isinstance(model, LindbladModel) or model.vectorized:
+        raise DynamicsError(
+            "spectrum_iterative requires a LindbladModel with "
+            "vectorized=False (the matrix-apply form); use spectrum for "
+            "vectorized models at small dim."
+        )
+    if model._rotating_frame.frame_diag is not None:
+        raise DynamicsError("spectrum_iterative requires rotating_frame=None.")
+
+    rho_ss = lindblad_steady_state_iterative(
+        model, tol=tol, maxiter=maxiter, restart=restart
+    )
+    if rho0 is None:
+        rho0 = rho_ss
+    a_op = jnp.asarray(a_op)
+    b_op = jnp.asarray(b_op)
+    freqs = jnp.asarray(frequencies, dtype=float)
+
+    Y = b_op @ jnp.asarray(rho0)
+    # remove the stationary component (elastic part; delta at w = 0 omitted)
+    Y_red = Y - rho_ss * jnp.trace(Y)
+
+    def solve_one(w):
+        def shifted(X):
+            return 1j * w * X + model(0.0, X) + rho_ss * jnp.trace(X)
+
+        X, _ = gmres(
+            shifted, Y_red, x0=Y_red, tol=tol, atol=0.0, maxiter=maxiter,
+            restart=restart, solve_method="batched",
+        )
+        return jnp.einsum("ij,ji->", a_op, X)
+
+    c_hat = jax.lax.map(solve_one, freqs)
     return -2.0 * jnp.real(c_hat)

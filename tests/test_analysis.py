@@ -249,6 +249,82 @@ class TestCorrelationSpectrum:
             ft = 2 * np.real(np.trapezoid((C - c_inf) * np.exp(1j * w * taus), taus))
             assert abs(s - ft) < 2e-3 * max(1.0, abs(s))
 
+    def test_spectrum_iterative_matches_dense(self):
+        from qiskit_dynamics_tpu.solvers import spectrum, spectrum_iterative
+
+        model, w0, gamma = self._decay_model()
+        model_mf = LindbladModel(
+            static_hamiltonian=0.5 * w0 * Z,
+            static_dissipators=[np.sqrt(gamma) * SM],
+            vectorized=False,
+        )
+        rho_e = np.zeros((2, 2), dtype=complex)
+        rho_e[1, 1] = 1.0
+        freqs = np.linspace(w0 - 2.0, w0 + 2.0, 9)
+        S_dense = np.asarray(spectrum(model, SM.conj().T, SM, freqs, rho0=rho_e))
+        S_iter = np.asarray(
+            spectrum_iterative(model_mf, SM.conj().T, SM, freqs, rho0=rho_e, tol=1e-10)
+        )
+        np.testing.assert_allclose(S_iter, S_dense, atol=1e-7, rtol=0)
+
+    def test_spectrum_iterative_dim16_without_superoperator(self):
+        """A dim-16 damped oscillator absorption line computed matrix-free:
+        C(tau) = <a(tau) a^dag(0)> from vacuum — a^dag rho0 = |1><0|
+        evolves as e^{-i w0 tau - gamma tau / 2}, a Lorentzian at +w0 with
+        HWHM gamma/2 under the package's e^{i w tau} transform convention."""
+        from qiskit_dynamics_tpu.solvers import spectrum_iterative
+
+        dim, w0, gamma = 16, 4.0, 0.3
+        a = np.diag(np.sqrt(np.arange(1, dim)), 1)
+        N = np.diag(np.arange(dim, dtype=float))
+        model = LindbladModel(
+            static_hamiltonian=w0 * N,
+            static_dissipators=[np.sqrt(gamma) * a],
+            vectorized=False,
+        )
+        vac = np.zeros((dim, dim), dtype=complex)
+        vac[0, 0] = 1.0
+        freqs = np.array([w0 - 0.6, w0 - 0.15, w0, w0 + 0.15, w0 + 0.6])
+        S = np.asarray(
+            spectrum_iterative(model, a, a.conj().T, freqs, rho0=vac, tol=1e-10)
+        )
+        lorentz = gamma / ((gamma / 2) ** 2 + (freqs - w0) ** 2)
+        np.testing.assert_allclose(S, lorentz, rtol=1e-6)
+
+    def test_spectrum_iterative_validation(self):
+        from qiskit_dynamics_tpu.solvers import spectrum_iterative
+
+        with pytest.raises(DynamicsError, match="vectorized=False"):
+            spectrum_iterative(
+                driven_damped_qubit(vectorized=True), SM.conj().T, SM, [0.0]
+            )
+
+    def test_correlation_non_vectorized_matches(self):
+        """correlation_function on the matrix-apply (vectorized=False) model
+        — the large-dim path — matches the vectorized evolution."""
+        from qiskit_dynamics_tpu.solvers import correlation_function
+
+        model, w0, gamma = self._decay_model()
+        model_mf = LindbladModel(
+            static_hamiltonian=0.5 * w0 * Z,
+            static_dissipators=[np.sqrt(gamma) * SM],
+            vectorized=False,
+        )
+        rho_e = np.zeros((2, 2), dtype=complex)
+        rho_e[1, 1] = 1.0
+        taus = np.linspace(0.0, 4.0, 17)
+        C_vec = np.asarray(
+            correlation_function(
+                model, SM.conj().T, SM, taus, rho0=rho_e, atol=1e-12, rtol=1e-12
+            )
+        )
+        C_mat = np.asarray(
+            correlation_function(
+                model_mf, SM.conj().T, SM, taus, rho0=rho_e, atol=1e-12, rtol=1e-12
+            )
+        )
+        np.testing.assert_allclose(C_mat, C_vec, atol=1e-9, rtol=0)
+
     def test_steady_state_default_rho0(self):
         from qiskit_dynamics_tpu.solvers import correlation_function
 
