@@ -776,6 +776,97 @@ def main():
         except Exception as exc:
             log(f"dyson row failed: {exc!r}")
 
+    # --- Magnus variant of config 4: per-step Pallas expm, now with AD ---
+    if os.environ.get("BENCH_MAGNUS", "1") == "1":
+        try:
+            from qiskit_dynamics_tpu.benchmarks import magnus_transmon_solver
+            from qiskit_dynamics_tpu.solvers import solve_ode
+            from scipy.linalg import expm as scipy_expm
+
+            ms, nu_m = magnus_transmon_solver()
+            dim_m = 10
+            n_steps_m, B_m = 1000, 2048
+            Tt_m = n_steps_m * 0.1
+            y0_m = np.zeros(dim_m, dtype=complex)
+            y0_m[0] = 1.0
+            m_amps = jnp.linspace(0.2, 1.0, B_m)
+            sigma_m = Tt_m / 6.0
+
+            def m_sigs(amp):
+                return [
+                    Signal(
+                        lambda t: amp
+                        * jnp.exp(-((t - Tt_m / 2) ** 2) / (2 * sigma_m**2)),
+                        carrier_freq=nu_m,
+                    )
+                ]
+
+            m_run = jax.jit(
+                lambda a: jnp.abs(ms.solve_sweep(0.0, n_steps_m, y0_m, m_sigs, a)) ** 2
+            )
+            t0 = time.time()
+            np.asarray(m_run(m_amps))
+            log(f"magnus sweep compile+first: {time.time() - t0:.1f}s")
+            m_time = median_time(lambda: np.asarray(m_run(m_amps)))
+            log(
+                f"magnus sweep steady (median of 3): {m_time:.3f}s for {B_m} sims "
+                f"-> {B_m / m_time:.0f} sims/s"
+            )
+            dyson_metrics["magnus_sweep_sims_per_sec"] = round(B_m / m_time, 1)
+
+            G0m = np.asarray(
+                -1j
+                * (
+                    2 * np.pi * nu_m * np.diag(np.arange(dim_m))
+                    + np.pi * (-0.33) * np.diag(np.arange(dim_m) * (np.arange(dim_m) - 1))
+                )
+            )
+            a_m = np.diag(np.sqrt(np.arange(1, dim_m)), 1)
+            G1m = -1j * 2 * np.pi * 0.02 * (a_m + a_m.conj().T)
+            m_probe = np.linspace(0, B_m - 1, 3).astype(int)
+            m_out = np.abs(np.asarray(m_run(m_amps))) ** 0.5
+            m_err = 0.0
+            for i in m_probe:
+                amp = float(np.asarray(m_amps)[i])
+                env = lambda t, amp=amp: amp * np.exp(
+                    -((t - Tt_m / 2) ** 2) / (2 * sigma_m**2)
+                )
+                rhs = lambda t, y: (
+                    G0m
+                    + np.real(env(t) * np.exp(1j * 2 * np.pi * nu_m * t)) * G1m
+                ) @ y
+                r = solve_ode(
+                    rhs, [0.0, Tt_m], y0_m, method="DOP853", atol=1e-12, rtol=1e-12
+                )
+                ref = scipy_expm(-Tt_m * G0m) @ np.asarray(r.y[-1])
+                m_err = max(m_err, float(np.max(np.abs(m_out[i] - np.abs(ref)))))
+            log(f"magnus max ||amp| - DOP853(1e-12)| over 3 probes: {m_err:.2e}")
+            dyson_metrics["magnus_max_err"] = float(f"{m_err:.3g}")
+
+            # gradient: same checkpointed-chunk pattern as the Dyson row;
+            # the per-step Pallas expm adjoint (expm_taylor_bol_ad) is a
+            # lane-chunked XLA twin of the identical polynomial
+            @jax.checkpoint
+            def m_chunk_loss(c):
+                yf = ms.solve_sweep(0.0, n_steps_m, y0_m, m_sigs, c)
+                return jnp.sum(jnp.abs(yf[:, 1]) ** 2)
+
+            def m_loss(a):
+                return jnp.sum(jax.lax.map(m_chunk_loss, a.reshape(8, -1))) / B_m
+
+            m_gradfn = jax.jit(jax.grad(m_loss))
+            t0 = time.time()
+            np.asarray(m_gradfn(m_amps))
+            log(f"magnus grad compile+first: {time.time() - t0:.1f}s")
+            mg_time = median_time(lambda: np.asarray(m_gradfn(m_amps)))
+            log(
+                f"magnus grad steady (median of 3): {mg_time:.3f}s "
+                f"-> {B_m / mg_time:.0f} grad-sims/s"
+            )
+            dyson_metrics["magnus_grad_sims_per_sec"] = round(B_m / mg_time, 1)
+        except Exception as exc:
+            log(f"magnus row failed: {exc!r}")
+
     print(
         json.dumps(
             {

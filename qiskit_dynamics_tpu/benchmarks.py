@@ -260,13 +260,44 @@ def dyson_transmon_solver(
     Returns:
         (dyson_solver, nu): the solver and the drive carrier frequency.
     """
-    from .solvers import DysonSolver
+    return _perturbative_transmon_solver(
+        "dyson", dim, nu, alpha, r, dt, chebyshev_order, expansion_order
+    )
+
+
+def magnus_transmon_solver(
+    dim: int = 10,
+    nu: float = 5.0,
+    alpha: float = -0.33,
+    r: float = 0.02,
+    dt: float = 0.1,
+    chebyshev_order: int = 1,
+    expansion_order: int = 3,
+):
+    """BASELINE config 4, Magnus variant: same transmon as
+    :func:`dyson_transmon_solver` stepped with ``MagnusSolver`` (per-step
+    ``expm`` of the Magnus polynomial via the batch-on-lanes Pallas Taylor
+    kernel; unitary per step, so coarser expansion orders hold).
+
+    Returns:
+        (magnus_solver, nu): the solver and the drive carrier frequency.
+    """
+    return _perturbative_transmon_solver(
+        "magnus", dim, nu, alpha, r, dt, chebyshev_order, expansion_order
+    )
+
+
+def _perturbative_transmon_solver(
+    kind, dim, nu, alpha, r, dt, chebyshev_order, expansion_order
+):
+    from .solvers import DysonSolver, MagnusSolver
 
     a, adag, N = _transmon_ops(dim)
     H0 = 2 * np.pi * nu * N + np.pi * alpha * N @ (N - np.eye(dim))
     G0 = -1j * H0
     G1 = -1j * 2 * np.pi * r * (a + adag)
-    solver = DysonSolver(
+    cls = DysonSolver if kind == "dyson" else MagnusSolver
+    solver = cls(
         operators=[G1],
         rotating_frame=G0,
         dt=dt,

@@ -235,17 +235,20 @@ class _PerturbativeSolver(ABC):
         if model.expansion_method == "magnus":
             # per-step propagator = Udt @ expm(polynomial), exponentiated with
             # the batch-on-lanes Taylor kernel over the flattened (T*B) lanes
-            from ...ops.batched_linalg import expm_taylor_bol
+            # (the _ad variant: Pallas primal, chunked XLA-twin adjoint)
+            from ...ops.batched_linalg import expm_taylor_bol_ad
 
             T_steps = props.shape[2]
             lanes = props.reshape(dim, dim, T_steps * props.shape[3])
-            exp_r, exp_i = expm_taylor_bol(
-                jnp.real(lanes).astype(jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64),
-                jnp.imag(lanes).astype(jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64),
-                order=12,
-                squarings=2,
-                tile_b=tile_b,
-                interpret=interpret,
+            real_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+            # positional args: custom_vjp nondiff_argnums are positional-only
+            exp_r, exp_i = expm_taylor_bol_ad(
+                jnp.real(lanes).astype(real_dtype),
+                jnp.imag(lanes).astype(real_dtype),
+                12,       # order
+                2,        # squarings
+                interpret,
+                tile_b,
             )
             expd = (exp_r + 1j * exp_i).reshape(dim, dim, T_steps, props.shape[3])
             props = jnp.einsum("im,mntb->intb", jnp.asarray(model.Udt), expd)
@@ -260,8 +263,9 @@ class _PerturbativeSolver(ABC):
             (jnp.asarray(U0) @ jnp.asarray(y0, dtype=complex))[:, None],
             (dim, B + pad),
         )
-        # custom-vjp chain application: Dyson solve_sweep is differentiable
-        # end-to-end (Magnus is not — its per-step Pallas expm has no AD rule)
+        # custom-vjp chain application: both Dyson and Magnus solve_sweep are
+        # differentiable end-to-end (Magnus's per-step Pallas expm carries a
+        # chunked XLA-twin adjoint — ops.batched_linalg.expm_taylor_bol_ad)
         yf = chain_apply_bol_ad(props, y0_cols, tile_b, interpret)[:, :B]
         return (jnp.asarray(Uf) @ yf).T
 
