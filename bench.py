@@ -867,6 +867,51 @@ def main():
         except Exception as exc:
             log(f"magnus row failed: {exc!r}")
 
+    # --- Monte Carlo trajectory unraveling (beyond-reference) ---
+    if os.environ.get("BENCH_MC", "1") == "1":
+        try:
+            from qiskit_dynamics_tpu.models import LindbladModel
+            from qiskit_dynamics_tpu.solvers import (
+                solve_mc_trajectories,
+                mc_expectation,
+            )
+
+            Zq = np.diag([1.0, -1.0]).astype(complex)
+            SMq = np.array([[0.0, 1.0], [0.0, 0.0]], dtype=complex)
+            gamma_mc = 0.5
+            mc_model = LindbladModel(
+                static_hamiltonian=0.0 * Zq,
+                static_dissipators=[np.sqrt(gamma_mc) * SMq],
+            )
+            N_OP = np.diag([0.0, 1.0]).astype(complex)
+            mc_traj, mc_steps = 8192, 800
+
+            def mc_run(key):
+                res = solve_mc_trajectories(
+                    mc_model, (0.0, 2.0), np.array([0.0, 1.0], dtype=complex),
+                    n_traj=mc_traj, key=key, n_steps=mc_steps, n_save=8,
+                )
+                return mc_expectation(res.states, N_OP)
+
+            mc_f = jax.jit(mc_run)
+            t0 = time.time()
+            np.asarray(mc_f(jax.random.PRNGKey(7)))
+            log(f"mc compile+first: {time.time() - t0:.1f}s")
+            mc_time = median_time(lambda: np.asarray(mc_f(jax.random.PRNGKey(8))))
+            mc_p = np.asarray(mc_f(jax.random.PRNGKey(8)))
+            mc_err = float(
+                np.max(np.abs(mc_p - np.exp(-gamma_mc * np.linspace(0, 2, 9))))
+            )
+            log(
+                f"mc steady (median of 3): {mc_time:.3f}s for {mc_traj} trajectories "
+                f"x {mc_steps} steps -> {mc_traj / mc_time:.0f} traj/s; "
+                f"stat err {mc_err:.3f}"
+            )
+            dyson_metrics["mc_traj_per_sec"] = round(mc_traj / mc_time, 1)
+            dyson_metrics["mc_stat_err"] = float(f"{mc_err:.3g}")
+        except Exception as exc:
+            log(f"mc row failed: {exc!r}")
+
     print(
         json.dumps(
             {

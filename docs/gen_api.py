@@ -37,7 +37,11 @@ PAGES = {
          "tpu_rk_solve", "fused_sweep_solve", "fused_adaptive_sweep_solve",
          "interpolated_sweep_solve", "DysonSolver", "MagnusSolver",
          "ExpansionModel", "optimize_controls", "OptimizeResult",
-         "state_infidelity", "unitary_infidelity"],
+         "state_infidelity", "unitary_infidelity",
+         "lindblad_steady_state", "lindblad_steady_state_iterative",
+         "lindblad_steady_state_sweep", "floquet_basis",
+         "correlation_function", "spectrum", "spectrum_iterative",
+         "solve_mc_trajectories", "mc_expectation"],
     ),
     "perturbation": (
         "Perturbation theory (`qiskit_dynamics_tpu.perturbation`)",

@@ -189,11 +189,14 @@ def expm_taylor_bol_ad(
     """Differentiable :func:`expm_taylor_bol`.
 
     The repo's standard Pallas/XLA pairing: the primal is the batch-on-lanes
-    Pallas kernel; the backward recomputes the IDENTICAL Taylor+squarings
-    polynomial with the XLA :func:`.expm.expm_taylor` and pulls the
-    cotangent through its VJP — exact (the two evaluations differ only in
-    blocking), with lane-chunked recomputation so the linearization
-    intermediates never exceed ~1/16th of the batch.
+    Pallas kernel; the backward recomputes the IDENTICAL Horner+squarings
+    recursion as an XLA twin in the same (n, n, L) layout — per-lane
+    matmuls written as broadcast-multiply-reduce so lanes stay on the minor
+    axis (see the layout note inside ``_expm_bol_ad_bwd``) — and pulls the
+    cotangent through its VJP. The recomputation is lane-chunked to a fixed
+    element budget so linearization intermediates stay bounded while chunks
+    stay as large (hence as few and as sequential-``lax.map``-cheap) as
+    memory allows.
 
     This is what makes ``MagnusSolver.solve_sweep`` differentiable
     end-to-end (the per-step propagator is ``Udt @ expm(polynomial)``).
@@ -206,25 +209,51 @@ def _expm_bol_ad_fwd(Xr, Xi, order, squarings, interpret, tile_b):
 
 
 def _expm_bol_ad_bwd(order, squarings, interpret, tile_b, res, cotangents):
-    from .expm import expm_taylor
-
     Xr, Xi = res
     ct_r, ct_i = cotangents
     n, _, L = Xr.shape
-    n_chunks = _largest_divisor_leq(L, 16)
+    # lane budget: ~16M matrix elements per chunk (~256 MB of f32 planes of
+    # linearization residue); cap the sequential chunk count at 64 for
+    # pathological divisors
+    budget = max(1, (1 << 24) // (n * n))
+    chunk = _largest_divisor_leq(L, budget)
+    if L // chunk > 64:
+        chunk = L // _largest_divisor_leq(L, 64)
+    n_chunks = L // chunk
+
+    # The twin evaluates the kernel's EXACT Horner+squarings recursion in the
+    # same (n, n, L) batch-on-lanes layout, with per-lane "matmuls" written
+    # as broadcast-multiply-reduce. Crucial on TPU: einsum/dot_general here
+    # makes XLA transpose lanes to a leading batch axis and pad the (n, n)
+    # minors onto (8, 128) tiles (measured 1.6x memory expansion and a 100x
+    # slowdown + OOM at full width); the reduce form keeps lanes on the
+    # minor axis and compiles to fused VPU multiply-adds (measured 771
+    # ns/lane for the full VJP at n=10 — HBM-bound).
+    def _rmm(a, b):
+        return jnp.sum(a[:, :, None, :] * b[None, :, :, :], axis=1)
+
+    def _cmul(ar, ai, br, bi):
+        return _rmm(ar, br) - _rmm(ai, bi), _rmm(ar, bi) + _rmm(ai, br)
 
     def xla_twin(xr, xi):
-        # (n, n, l) planes -> (l, n, n) complex, same polynomial, back
-        P = expm_taylor(
-            jnp.moveaxis(xr + 1j * xi, -1, 0), order=order, squarings=squarings
-        )
-        P = jnp.moveaxis(P, 0, -1)
-        return jnp.real(P), jnp.imag(P)
+        scale = 1.0 / (2.0**squarings)
+        sr, si = xr * scale, xi * scale
+        eye = jnp.eye(n, dtype=xr.dtype)[:, :, None]
+        tr, ti = sr / order + eye, si / order
+        for k in range(order - 1, 0, -1):
+            pr, pi = _cmul(sr, si, tr, ti)
+            tr, ti = pr / k + eye, pi / k
+        for _ in range(squarings):
+            tr, ti = _cmul(tr, ti, tr, ti)
+        return tr, ti
 
     def one_chunk(args):
         xr, xi, cr, ci = args
         _, vjp = jax.vjp(xla_twin, xr, xi)
         return vjp((cr, ci))
+
+    if n_chunks == 1:
+        return one_chunk((Xr, Xi, ct_r, ct_i))
 
     split = lambda a: jnp.moveaxis(a.reshape(n, n, n_chunks, L // n_chunks), 2, 0)
     gr, gi = jax.lax.map(

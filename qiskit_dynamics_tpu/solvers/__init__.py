@@ -27,6 +27,7 @@ from .analysis import (
     spectrum,
     spectrum_iterative,
 )
+from .monte_carlo import solve_mc_trajectories, MCResult, mc_expectation
 from .optimize import (
     optimize_controls,
     OptimizeResult,

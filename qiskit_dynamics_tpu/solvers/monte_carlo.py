@@ -1,0 +1,289 @@
+r"""Monte Carlo wavefunction (quantum-trajectory) unraveling of the Lindblad
+equation.
+
+Capability beyond the reference (qiskit-dynamics has no trajectory
+unraveling; its open-system path is the density-matrix/vectorized Lindblad
+solve). The standard MCWF method (Dalibard-Castin-Molmer) evolves pure
+states under the non-Hermitian effective generator
+
+.. math::
+
+    G_{\mathrm{eff}}(t) = -iH(t)
+        - \tfrac12 \sum_k \gamma_k(t)\, L_k^\dagger L_k,
+
+letting the norm decay, and applies a jump :math:`\psi \to L_k\psi/\|L_k\psi\|`
+(channel :math:`k` drawn with probability :math:`\propto \gamma_k\|L_k\psi\|^2`)
+whenever the squared norm crosses a uniform threshold. Averaging
+:math:`|\psi\rangle\langle\psi|` over trajectories reproduces the Lindblad
+density matrix with :math:`O(1/\sqrt{N})` statistical error — at
+:math:`O(N\, n)` state memory instead of :math:`O(n^2)`, and embarrassingly
+parallel.
+
+TPU-first design (nothing like the host-loop trajectory solvers in CPU
+libraries):
+
+- **Trajectories ride the lanes.** The state is one ``(dim, n_traj)``
+  array. All trajectories share the same signals, hence the same effective
+  propagator: each step is ONE small ``expm`` (:func:`.ops.expm.expm_taylor`,
+  Paterson-Stockmeyer) plus ONE ``(n, n) @ (n, B)`` MXU matmul — per-step
+  cost is independent of the trajectory count until the matmul saturates.
+- **No data-dependent control flow.** Jumps are per-lane ``where`` selects:
+  every step computes all ``K`` jump candidates with one
+  ``(K, n, n) x (n, B)`` einsum and masks them in. XLA sees one static
+  ``lax.scan``.
+- **Frames are elementwise phase masks.** The model stores operators in the
+  frame eigenbasis (the repo-wide contract), so the rotating-frame
+  transform of both :math:`H` and :math:`L_k^\dagger L_k` is one
+  ``exp((d_j - d_i) t)`` mask on a combined matrix, and jump candidates
+  need only two diagonal phase multiplies around the frame-basis
+  :math:`L_k`. The coarse-``dt`` advantage of the frame survives
+  unraveling.
+
+Integrator: midpoint (Magnus-1) exponential stepping — first-order weak
+error in the jump placement (jumps resolve at step boundaries, the standard
+MCWF discretization), second-order in the deterministic flow. Use
+``n_steps`` large enough that :math:`\gamma\, dt \ll 1`.
+
+Randomness is explicit (a ``jax.random`` key), so runs are reproducible
+and trajectory batches can be sharded by splitting keys. Forward-only by
+design: gradients through jump discontinuities are not meaningful; for
+differentiable open-system solves use the vectorized Lindblad path or
+:func:`.analysis.lindblad_steady_state`.
+
+Reference baseline for the Lindblad semantics being unraveled:
+``/root/reference/qiskit_dynamics/models/lindblad_model.py`` (the
+density-matrix form this estimator converges to).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..exceptions import DynamicsError
+
+__all__ = ["solve_mc_trajectories", "MCResult", "mc_expectation"]
+
+
+class MCResult(NamedTuple):
+    """Monte Carlo unraveling result.
+
+    Attributes:
+        t: ``(n_save + 1,)`` save times (including ``t0``).
+        states: ``(n_save + 1, n_traj, dim)`` normalized trajectory states
+            in the lab frame.
+        density: ``(n_save + 1, dim, dim)`` trajectory-averaged density
+            matrices ``E[|psi><psi|]``.
+        jump_counts: ``(n_traj,)`` number of jumps per trajectory over the
+            full interval.
+    """
+
+    t: jnp.ndarray
+    states: jnp.ndarray
+    density: jnp.ndarray
+    jump_counts: jnp.ndarray
+
+
+def mc_expectation(states, operator):
+    """``(..., n_traj, dim)`` normalized states -> ``(...,)`` mean ``<A>``.
+
+    Real part of the trajectory-averaged expectation value (for a Hermitian
+    ``operator`` the imaginary part is statistical zero).
+    """
+    states = jnp.asarray(states)
+    operator = jnp.asarray(operator)
+    vals = jnp.einsum("...bi,ij,...bj->...b", jnp.conj(states), operator, states)
+    return jnp.real(jnp.mean(vals, axis=-1))
+
+
+def _densify(x):
+    if x is None:
+        return None
+    if hasattr(x, "todense"):
+        x = x.todense()
+    elif hasattr(x, "toarray"):
+        x = x.toarray()
+    return jnp.asarray(x)
+
+
+def solve_mc_trajectories(
+    model,
+    t_span,
+    y0,
+    n_traj: int,
+    key=None,
+    n_steps: int = 1000,
+    n_save: int = 10,
+    expm_order: int = 12,
+    expm_squarings: int = 4,
+) -> MCResult:
+    r"""Unravel a :class:`.LindbladModel` into ``n_traj`` quantum trajectories.
+
+    Args:
+        model: a non-vectorized :class:`.LindbladModel`. Hamiltonian /
+            dissipator signals must be set for the corresponding operator
+            groups (the model's own evaluation contract); dissipator rates
+            must be nonnegative over the interval for the unraveling to be
+            a probability process.
+        t_span: ``(t0, tf)``.
+        y0: ``(dim,)`` initial pure state (normalized internally).
+        n_traj: number of trajectories (the lane batch).
+        key: ``jax.random`` key (or int seed; default seed 0).
+        n_steps: fixed midpoint-exponential steps over ``[t0, tf]``; must be
+            divisible by ``n_save``.
+        n_save: number of equally spaced save points after ``t0``.
+        expm_order: Taylor order of the per-step propagator.
+        expm_squarings: scaling-and-squaring count of the per-step
+            propagator (raise for large ``||G_eff|| * dt``).
+
+    Returns:
+        :class:`MCResult`.
+    """
+    from .solver_utils import is_lindblad_model_not_vectorized
+
+    if not is_lindblad_model_not_vectorized(model):
+        raise DynamicsError(
+            "solve_mc_trajectories requires a non-vectorized LindbladModel."
+        )
+    if n_steps % n_save != 0:
+        raise DynamicsError("n_steps must be divisible by n_save.")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    elif isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+
+    coll = model._operator_collection
+    frame = model.rotating_frame
+    d = frame.frame_diag  # purely imaginary (dim,) or None
+
+    # dissipators in the frame eigenbasis, static first (rate 1)
+    L_list = []
+    n_static = 0
+    if coll.static_dissipators is not None:
+        Ls = _densify(coll.static_dissipators)
+        n_static = Ls.shape[0]
+        L_list.append(Ls)
+    if coll.dissipator_operators is not None:
+        L_list.append(_densify(coll.dissipator_operators))
+    L_all = jnp.concatenate(L_list, axis=0) if L_list else None
+    M_all = (
+        jnp.einsum("kji,kjl->kil", jnp.conj(L_all), L_all) if L_all is not None else None
+    )
+    n_chan = 0 if L_all is None else L_all.shape[0]
+
+    t0, tf = float(t_span[0]), float(t_span[1])
+    dt = (tf - t0) / n_steps
+    dim = model.dim
+
+    y0 = jnp.asarray(y0, dtype=complex)
+    y0 = y0 / jnp.linalg.norm(y0)
+    # lab -> rotating frame, frame basis: phi(t0) = e^{-t0 F} y0
+    phi0 = frame.state_into_frame(t0, y0, return_in_frame_basis=True)
+    phi0 = jnp.broadcast_to(phi0[:, None], (dim, n_traj)).astype(complex)
+
+    # signal evaluation through the model's own contract (raises the
+    # documented errors when a present operator group has no signals)
+    def signal_values(t):
+        return model._signal_values(t)
+
+    # validate signal presence once, host-side, at t0
+    signal_values(t0)
+
+    has_ham = (
+        coll.static_hamiltonian is not None or coll.hamiltonian_operators is not None
+    )
+
+    from ..ops.expm import expm_taylor
+
+    def rates_at(t):
+        _, dis_vals = signal_values(t)
+        parts = []
+        if n_static:
+            parts.append(jnp.ones(n_static))
+        if dis_vals is not None:
+            parts.append(jnp.asarray(dis_vals, dtype=float))
+        return jnp.concatenate(parts) if parts else None
+
+    def effective_generator(t):
+        A = jnp.zeros((dim, dim), dtype=complex)
+        if has_ham:
+            # the collection's static Hamiltonian is stored frame-SUBTRACTED
+            # (H_fb - 1j d, the model-layer contract), so -1j * (.) is the
+            # rotating-frame drift -iH_fb - d already
+            ham_vals, _ = signal_values(t)
+            A = -1j * jnp.asarray(coll.evaluate_hamiltonian(ham_vals))
+        if n_chan:
+            gam = rates_at(t)
+            A = A - 0.5 * jnp.tensordot(gam, M_all, axes=1)
+        if d is not None:
+            # rotating-frame conjugation is an elementwise phase mask in the
+            # frame eigenbasis; the diagonal (including the -d subtraction)
+            # is mask-invariant
+            P = jnp.exp((d[None, :] - d[:, None]) * t)
+            A = A * P
+        return A
+
+    def step(carry, i):
+        phi, r, k, jumps = carry
+        t_mid = t0 + (i + 0.5) * dt
+        t_end = t0 + (i + 1.0) * dt
+
+        U = expm_taylor(
+            effective_generator(t_mid) * dt, order=expm_order, squarings=expm_squarings
+        )
+        phi = U @ phi
+        if n_chan:
+            nrm2 = jnp.sum(jnp.abs(phi) ** 2, axis=0)
+            do_jump = nrm2 < r
+            # candidates in the rotating frame: e^{-dt} L_k e^{dt} phi
+            chi = phi if d is None else jnp.exp(d * t_end)[:, None] * phi
+            cand = jnp.einsum("kij,jb->kib", L_all, chi)  # (K, n, B)
+            w = jnp.sum(jnp.abs(cand) ** 2, axis=1)  # (K, B)
+            gam = rates_at(t_end)
+            w = w * gam[:, None]
+            wsum = jnp.sum(w, axis=0)
+            cdf = jnp.cumsum(w, axis=0) / jnp.where(wsum > 0, wsum, 1.0)
+            k, k_sel, k_new = jax.random.split(k, 3)
+            u = jax.random.uniform(k_sel, (n_traj,))
+            chan = jnp.argmax(cdf >= u[None, :], axis=0)  # (B,)
+            c_sel = jnp.take_along_axis(cand, chan[None, None, :], axis=0)[0]
+            c_nrm = jnp.sqrt(jnp.sum(jnp.abs(c_sel) ** 2, axis=0))
+            c_sel = c_sel / jnp.where(c_nrm > 0, c_nrm, 1.0)
+            if d is not None:
+                c_sel = jnp.exp(-d * t_end)[:, None] * c_sel
+            # never jump on a zero-weight lane (fully decayed channel set)
+            do_jump = do_jump & (wsum > 0)
+            phi = jnp.where(do_jump[None, :], c_sel, phi)
+            r = jnp.where(do_jump, jax.random.uniform(k_new, (n_traj,)), r)
+            jumps = jumps + do_jump.astype(jnp.int32)
+        return (phi, r, k, jumps), None
+
+    steps_per_save = n_steps // n_save
+
+    def segment(carry, s):
+        idx = s * steps_per_save + jnp.arange(steps_per_save)
+        carry, _ = jax.lax.scan(step, carry, idx)
+        phi = carry[0]
+        nrm = jnp.linalg.norm(phi, axis=0)
+        return carry, phi / jnp.where(nrm > 0, nrm, 1.0)
+
+    key, k_r = jax.random.split(key)
+    r0 = jax.random.uniform(k_r, (n_traj,))
+    carry0 = (phi0, r0, key, jnp.zeros(n_traj, dtype=jnp.int32))
+    carry, saved = jax.lax.scan(segment, carry0, jnp.arange(n_save))
+
+    times = t0 + (tf - t0) * jnp.arange(n_save + 1) / n_save
+    saved = jnp.concatenate([phi0[None] / jnp.linalg.norm(y0), saved], axis=0)
+
+    # rotating frame, frame basis -> lab frame at each save time
+    def out_of_frame(t, phi):
+        return frame.state_out_of_frame(t, phi, y_in_frame_basis=True)
+
+    states_lab = jax.vmap(out_of_frame)(times, saved)  # (S+1, dim, B)
+    states = jnp.swapaxes(states_lab, -1, -2)  # (S+1, B, dim)
+    density = jnp.einsum("sbi,sbj->sij", states, jnp.conj(states)) / n_traj
+    return MCResult(
+        t=times, states=states, density=density, jump_counts=carry[3]
+    )

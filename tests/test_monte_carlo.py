@@ -1,0 +1,188 @@
+"""Monte Carlo wavefunction (quantum-trajectory) unraveling tests.
+
+Statistical assertions use fixed seeds with tolerances several sigma wide
+(n_traj chosen so 1/sqrt(N) noise sits well inside the bound); exact
+assertions cover the jump-free limit and the frame contract.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.linalg import expm
+
+from qiskit_dynamics_tpu.models import LindbladModel
+from qiskit_dynamics_tpu.signals import Signal
+from qiskit_dynamics_tpu.solvers import (
+    Solver,
+    solve_mc_trajectories,
+    mc_expectation,
+)
+from qiskit_dynamics_tpu.exceptions import DynamicsError
+
+X = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=complex)
+Z = np.array([[1.0, 0.0], [0.0, -1.0]], dtype=complex)
+SM = np.array([[0.0, 1.0], [0.0, 0.0]], dtype=complex)  # sigma_minus
+E1 = np.array([0.0, 1.0], dtype=complex)  # excited state (|1> = index 1)
+N_OP = np.diag([0.0, 1.0]).astype(complex)
+
+
+def test_no_dissipators_matches_schrodinger():
+    """Jump-free limit: every trajectory follows the deterministic flow and
+    no jumps occur (norm stays 1 >= the uniform threshold)."""
+    H = 0.5 * X
+    model = LindbladModel(static_hamiltonian=H, static_dissipators=[0.0 * SM])
+    t = 2.0
+    res = solve_mc_trajectories(model, (0.0, t), np.array([1.0, 0.0]), n_traj=7,
+                                key=3, n_steps=400, n_save=4)
+    expected = expm(-1j * t * H) @ np.array([1.0, 0.0])
+    assert int(np.asarray(res.jump_counts).sum()) == 0
+    for b in range(7):
+        np.testing.assert_allclose(np.asarray(res.states[-1, b]), expected, atol=5e-6)
+
+
+def test_amplitude_damping_analytic():
+    """gamma sigma_- decay from |1>: P_excited(t) = exp(-gamma t), checked
+    at every save point within statistical error (N=4096 -> sigma ~ 0.008)."""
+    gamma = 0.5
+    model = LindbladModel(
+        static_hamiltonian=0.0 * Z, static_dissipators=[np.sqrt(gamma) * SM]
+    )
+    res = solve_mc_trajectories(model, (0.0, 2.0), E1, n_traj=4096, key=7,
+                                n_steps=800, n_save=8)
+    p_exc = np.asarray(mc_expectation(res.states, N_OP))
+    expected = np.exp(-gamma * np.asarray(res.t))
+    np.testing.assert_allclose(p_exc, expected, atol=0.04)
+    # trajectories jump at most once (nothing re-excites)
+    assert int(np.asarray(res.jump_counts).max()) <= 1
+    # mean jump fraction ~ 1 - exp(-gamma T)
+    frac = float(np.asarray(res.jump_counts).mean())
+    assert abs(frac - (1 - np.exp(-gamma * 2.0))) < 0.04
+
+
+def test_density_matches_lindblad_solve():
+    """Driven damped qubit: the trajectory-averaged density matrix matches
+    the dense Lindblad solve within statistical error."""
+    gamma = 0.3
+    model = LindbladModel(
+        static_hamiltonian=2 * np.pi * 0.1 * Z,
+        hamiltonian_operators=[2 * np.pi * 0.2 * X],
+        hamiltonian_signals=[Signal(1.0)],
+        static_dissipators=[np.sqrt(gamma) * SM],
+    )
+    T = 3.0
+    res = solve_mc_trajectories(model, (0.0, T), E1, n_traj=4096, key=11,
+                                n_steps=600, n_save=3)
+
+    solver = Solver(
+        static_hamiltonian=2 * np.pi * 0.1 * Z,
+        hamiltonian_operators=[2 * np.pi * 0.2 * X],
+        static_dissipators=[np.sqrt(gamma) * SM],
+    )
+    rho0 = np.outer(E1, E1.conj())
+    t_eval = np.asarray(res.t)
+    sol = solver.solve(
+        t_span=[0.0, T], y0=rho0, signals=[Signal(1.0)], t_eval=t_eval,
+        method="DOP853", atol=1e-10, rtol=1e-10,
+    )
+    for i in range(len(t_eval)):
+        np.testing.assert_allclose(
+            np.asarray(res.density[i]), np.asarray(sol.y[i]), atol=0.05
+        )
+
+
+def test_rotating_frame_consistency():
+    """The same physics with and without a rotating frame gives the same
+    averaged density (the frame is an exact change of variables; only the
+    O(dt) jump placement differs)."""
+    nu = 1.0
+    gamma = 0.4
+    kwargs = dict(
+        static_hamiltonian=np.pi * nu * Z,
+        hamiltonian_operators=[2 * np.pi * 0.05 * X],
+        hamiltonian_signals=[Signal(1.0, carrier_freq=nu)],
+        static_dissipators=[np.sqrt(gamma) * SM],
+    )
+    m_lab = LindbladModel(**kwargs)
+    m_frame = LindbladModel(**kwargs, rotating_frame=np.pi * nu * Z)
+    common = dict(n_traj=2048, key=5, n_steps=1200, n_save=2)
+    r_lab = solve_mc_trajectories(m_lab, (0.0, 2.0), E1, **common)
+    r_frame = solve_mc_trajectories(m_frame, (0.0, 2.0), E1, **common)
+    np.testing.assert_allclose(
+        np.asarray(r_lab.density[-1]), np.asarray(r_frame.density[-1]), atol=0.05
+    )
+
+
+def test_time_dependent_dissipator_rate():
+    """A ramped decay rate gamma(t) = g0 * t reproduces the analytic
+    excited-state population exp(-g0 t^2 / 2)."""
+    g0 = 0.4
+    model = LindbladModel(
+        static_hamiltonian=0.0 * Z,
+        dissipator_operators=[SM],
+        dissipator_signals=[Signal(lambda t: g0 * t)],
+    )
+    res = solve_mc_trajectories(model, (0.0, 2.0), E1, n_traj=4096, key=13,
+                                n_steps=800, n_save=4)
+    p_exc = np.asarray(mc_expectation(res.states, N_OP))
+    expected = np.exp(-g0 * np.asarray(res.t) ** 2 / 2)
+    np.testing.assert_allclose(p_exc, expected, atol=0.04)
+
+
+def test_reproducible_and_jittable():
+    """Same key -> identical result; the whole solve jits."""
+    gamma = 0.5
+    model = LindbladModel(
+        static_hamiltonian=0.1 * Z, static_dissipators=[np.sqrt(gamma) * SM]
+    )
+    a = solve_mc_trajectories(model, (0.0, 1.0), E1, n_traj=64, key=42,
+                              n_steps=100, n_save=2)
+    b = solve_mc_trajectories(model, (0.0, 1.0), E1, n_traj=64, key=42,
+                              n_steps=100, n_save=2)
+    np.testing.assert_array_equal(np.asarray(a.states), np.asarray(b.states))
+    np.testing.assert_array_equal(np.asarray(a.jump_counts), np.asarray(b.jump_counts))
+
+    jitted = jax.jit(
+        lambda key: solve_mc_trajectories(
+            model, (0.0, 1.0), E1, n_traj=64, key=key, n_steps=100, n_save=2
+        ).density[-1]
+    )
+    np.testing.assert_allclose(
+        np.asarray(jitted(jax.random.PRNGKey(42))), np.asarray(a.density[-1]),
+        atol=1e-12,
+    )
+
+
+def test_validation_errors():
+    model = LindbladModel(
+        static_hamiltonian=Z, static_dissipators=[SM], vectorized=True
+    )
+    with pytest.raises(DynamicsError, match="non-vectorized"):
+        solve_mc_trajectories(model, (0.0, 1.0), E1, n_traj=4)
+    ok = LindbladModel(static_hamiltonian=Z, static_dissipators=[SM])
+    with pytest.raises(DynamicsError, match="divisible"):
+        solve_mc_trajectories(ok, (0.0, 1.0), E1, n_traj=4, n_steps=7, n_save=3)
+    missing_sigs = LindbladModel(static_hamiltonian=Z, dissipator_operators=[SM])
+    with pytest.raises(DynamicsError, match="dissipator signals"):
+        solve_mc_trajectories(missing_sigs, (0.0, 1.0), E1, n_traj=4)
+
+
+def test_multiple_channels_jump_statistics():
+    """Two competing decay channels from |1>: branch weights follow the
+    rate ratio (here the second channel is dephasing-free decay into |0>
+    via sigma_- vs a sigma_z dephasing channel that never de-excites)."""
+    gamma_decay, gamma_phi = 0.6, 0.3
+    model = LindbladModel(
+        static_hamiltonian=0.0 * Z,
+        static_dissipators=[np.sqrt(gamma_decay) * SM, np.sqrt(gamma_phi) * Z],
+    )
+    res = solve_mc_trajectories(model, (0.0, 1.5), E1, n_traj=4096, key=23,
+                                n_steps=600, n_save=3)
+    # dephasing jumps leave |1> invariant, so the excited population decays
+    # at gamma_decay only
+    p_exc = np.asarray(mc_expectation(res.states, N_OP))
+    expected = np.exp(-gamma_decay * np.asarray(res.t))
+    np.testing.assert_allclose(p_exc, expected, atol=0.04)
+    # dephasing jumps DO fire (total jump rate > decay-only prediction)
+    mean_jumps = float(np.asarray(res.jump_counts).mean())
+    decay_only = 1 - np.exp(-gamma_decay * 1.5)
+    assert mean_jumps > decay_only + 0.2
