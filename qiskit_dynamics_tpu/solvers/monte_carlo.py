@@ -118,6 +118,7 @@ def solve_mc_trajectories(
     n_save: int = 10,
     expm_order: int = 12,
     expm_squarings: int = 4,
+    mesh=None,
 ) -> MCResult:
     r"""Unravel a :class:`.LindbladModel` into ``n_traj`` quantum trajectories.
 
@@ -137,6 +138,12 @@ def solve_mc_trajectories(
         expm_order: Taylor order of the per-step propagator.
         expm_squarings: scaling-and-squaring count of the per-step
             propagator (raise for large ``||G_eff|| * dt``).
+        mesh: optional ``jax.sharding.Mesh`` with a ``"data"`` axis — the
+            trajectory lanes are sharded across it (a GSPMD sharding
+            constraint on the lane axis; the shared per-step propagator
+            replicates, jump selects stay lane-local, and the
+            trajectory-average density reduces across chips). ``n_traj``
+            must divide evenly across the axis.
 
     Returns:
         :class:`MCResult`.
@@ -271,7 +278,17 @@ def solve_mc_trajectories(
 
     key, k_r = jax.random.split(key)
     r0 = jax.random.uniform(k_r, (n_traj,))
-    carry0 = (phi0, r0, key, jnp.zeros(n_traj, dtype=jnp.int32))
+    jumps0 = jnp.zeros(n_traj, dtype=jnp.int32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        from ..parallel import DATA_AXIS
+
+        lane = NamedSharding(mesh, _P(None, DATA_AXIS))
+        vec = NamedSharding(mesh, _P(DATA_AXIS))
+        phi0 = jax.lax.with_sharding_constraint(phi0, lane)
+        r0 = jax.lax.with_sharding_constraint(r0, vec)
+        jumps0 = jax.lax.with_sharding_constraint(jumps0, vec)
+    carry0 = (phi0, r0, key, jumps0)
     carry, saved = jax.lax.scan(segment, carry0, jnp.arange(n_save))
 
     times = t0 + (tf - t0) * jnp.arange(n_save + 1) / n_save

@@ -166,6 +166,30 @@ def test_validation_errors():
         solve_mc_trajectories(missing_sigs, (0.0, 1.0), E1, n_traj=4)
 
 
+def test_mesh_sharded_matches_unsharded():
+    """mesh= shards trajectory lanes over the 8-device data axis (GSPMD
+    constraint); results are identical to the unsharded run (same key,
+    same lane semantics — sharding is a layout annotation, not a split
+    of the random stream)."""
+    from qiskit_dynamics_tpu.parallel import data_mesh
+
+    gamma = 0.5
+    model = LindbladModel(
+        static_hamiltonian=0.1 * Z, static_dissipators=[np.sqrt(gamma) * SM]
+    )
+    kwargs = dict(n_traj=64, key=9, n_steps=50, n_save=2)
+    plain = solve_mc_trajectories(model, (0.0, 1.0), E1, **kwargs)
+    sharded = solve_mc_trajectories(
+        model, (0.0, 1.0), E1, mesh=data_mesh(8), **kwargs
+    )
+    np.testing.assert_allclose(
+        np.asarray(plain.states), np.asarray(sharded.states), atol=1e-12
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain.jump_counts), np.asarray(sharded.jump_counts)
+    )
+
+
 def test_multiple_channels_jump_statistics():
     """Two competing decay channels from |1>: branch weights follow the
     rate ratio (here the second channel is dephasing-free decay into |0>
