@@ -27,7 +27,12 @@ from .analysis import (
     spectrum,
     spectrum_iterative,
 )
-from .monte_carlo import solve_mc_trajectories, MCResult, mc_expectation
+from .monte_carlo import (
+    solve_mc_trajectories,
+    solve_mc_trajectories_sweep,
+    MCResult,
+    mc_expectation,
+)
 from .optimize import (
     optimize_controls,
     OptimizeResult,

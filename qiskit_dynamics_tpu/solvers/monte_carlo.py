@@ -64,7 +64,12 @@ import jax.numpy as jnp
 
 from ..exceptions import DynamicsError
 
-__all__ = ["solve_mc_trajectories", "MCResult", "mc_expectation"]
+__all__ = [
+    "solve_mc_trajectories",
+    "solve_mc_trajectories_sweep",
+    "MCResult",
+    "mc_expectation",
+]
 
 
 class MCResult(NamedTuple):
@@ -73,7 +78,10 @@ class MCResult(NamedTuple):
     Attributes:
         t: ``(n_save + 1,)`` save times (including ``t0``).
         states: ``(n_save + 1, n_traj, dim)`` normalized trajectory states
-            in the lab frame.
+            in the model's ROTATING FRAME, original basis — the same
+            convention as ``Solver.solve`` and the reference; apply
+            ``model.rotating_frame.state_out_of_frame(t, y)`` for
+            lab-frame states.
         density: ``(n_save + 1, dim, dim)`` trajectory-averaged density
             matrices ``E[|psi><psi|]``.
         jump_counts: ``(n_traj,)`` number of jumps per trajectory over the
@@ -294,13 +302,296 @@ def solve_mc_trajectories(
     times = t0 + (tf - t0) * jnp.arange(n_save + 1) / n_save
     saved = jnp.concatenate([phi0[None] / jnp.linalg.norm(y0), saved], axis=0)
 
-    # rotating frame, frame basis -> lab frame at each save time
-    def out_of_frame(t, phi):
-        return frame.state_out_of_frame(t, phi, y_in_frame_basis=True)
-
-    states_lab = jax.vmap(out_of_frame)(times, saved)  # (S+1, dim, B)
-    states = jnp.swapaxes(states_lab, -1, -2)  # (S+1, B, dim)
+    # frame basis -> original basis; states stay IN the rotating frame
+    # (the package-wide Solver.solve convention — apply
+    # rotating_frame.state_out_of_frame(t, y) for lab-frame states)
+    states_rf = jax.vmap(frame.state_out_of_frame_basis)(saved)  # (S+1, dim, B)
+    states = jnp.swapaxes(states_rf, -1, -2)  # (S+1, B, dim)
     density = jnp.einsum("sbi,sbj->sij", states, jnp.conj(states)) / n_traj
     return MCResult(
         t=times, states=states, density=density, jump_counts=carry[3]
     )
+
+
+def _normalize_sweep_signals(sigs):
+    """signals_fn output -> (ham SignalList | None, dis SignalList | None)."""
+    from ..signals import SignalList
+
+    if isinstance(sigs, tuple) and len(sigs) == 2:
+        ham, dis = sigs
+    else:
+        ham, dis = sigs, None
+
+    def to_list(x):
+        if x is None:
+            return None
+        if isinstance(x, SignalList):
+            return x
+        return SignalList(list(x))
+
+    return to_list(ham), to_list(dis)
+
+
+def solve_mc_trajectories_sweep(
+    model,
+    t_span,
+    y0,
+    signals_fn,
+    params,
+    n_traj: int,
+    key=None,
+    n_steps: int = 1000,
+    n_save: int = 10,
+    expm_order: int = 12,
+    expm_squarings: int = 4,
+    tile_b: int = 512,
+    interpret: bool = False,
+    mesh=None,
+) -> MCResult:
+    r"""Trajectory unraveling over a parameter sweep — the MC member of the
+    repo's sweep-solver family (``fused_sweep_solve``, perturbative
+    ``solve_sweep``, ...).
+
+    TPU-first structure: rather than vmapping the single-member solver
+    (which would re-exponentiate small per-member matrices every step in a
+    padded batched layout), ALL ``n_steps x n_members`` effective-generator
+    exponentials are computed up front in ONE batch-on-lanes Pallas call
+    (:func:`.ops.batched_linalg.expm_taylor_bol`), and the stochastic
+    evolution is one lockstep ``lax.scan`` over steps with member-batched
+    ``(M, n, n) @ (M, n, B)`` propagator applies and per-(member, lane)
+    jump selects.
+
+    Args:
+        model: non-vectorized :class:`.LindbladModel`. The model's OWN
+            signals are ignored; per-member signals come from
+            ``signals_fn``.
+        t_span: ``(t0, tf)``.
+        y0: ``(dim,)`` initial pure state, shared across members.
+        signals_fn: maps one parameter pytree to either a Hamiltonian
+            signal list, or a ``(hamiltonian_signals, dissipator_signals)``
+            tuple (matching the model's operator groups).
+        params: batched parameters (leading axis = sweep axis, length M).
+        n_traj: trajectories PER member.
+        key, n_steps, n_save, expm_order, expm_squarings: as in
+            :func:`solve_mc_trajectories`.
+        tile_b: lane tile of the propagator-precompute Pallas kernel.
+        interpret: run the Pallas kernel in interpreter mode (CPU tests).
+        mesh: optional mesh with a ``"data"`` axis — members are sharded
+            across it (embarrassingly parallel).
+
+    Returns:
+        :class:`MCResult` with a member axis:
+        ``states (n_save+1, M, n_traj, dim)``,
+        ``density (n_save+1, M, dim, dim)``, ``jump_counts (M, n_traj)``.
+    """
+    from .solver_utils import is_lindblad_model_not_vectorized
+    from ..ops.batched_linalg import expm_taylor_bol
+
+    if not is_lindblad_model_not_vectorized(model):
+        raise DynamicsError(
+            "solve_mc_trajectories_sweep requires a non-vectorized LindbladModel."
+        )
+    if n_steps % n_save != 0:
+        raise DynamicsError("n_steps must be divisible by n_save.")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    elif isinstance(key, int):
+        key = jax.random.PRNGKey(key)
+
+    coll = model._operator_collection
+    frame = model.rotating_frame
+    d = frame.frame_diag
+
+    L_list = []
+    n_static = 0
+    if coll.static_dissipators is not None:
+        Ls = _densify(coll.static_dissipators)
+        n_static = Ls.shape[0]
+        L_list.append(Ls)
+    if coll.dissipator_operators is not None:
+        L_list.append(_densify(coll.dissipator_operators))
+    L_all = jnp.concatenate(L_list, axis=0) if L_list else None
+    M_ops = (
+        jnp.einsum("kji,kjl->kil", jnp.conj(L_all), L_all) if L_all is not None else None
+    )
+    n_chan = 0 if L_all is None else L_all.shape[0]
+
+    t0, tf = float(t_span[0]), float(t_span[1])
+    dt = (tf - t0) / n_steps
+    dim = model.dim
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    n_members = jax.tree_util.tree_leaves(params)[0].shape[0]
+
+    has_ham_ops = coll.hamiltonian_operators is not None
+    has_dis_ops = coll.dissipator_operators is not None
+    has_ham = coll.static_hamiltonian is not None or has_ham_ops
+
+    # validate the signals_fn contract once, host-side
+    ham0, dis0 = _normalize_sweep_signals(
+        signals_fn(jax.tree_util.tree_map(lambda x: x[0], params))
+    )
+    if has_ham_ops and ham0 is None:
+        raise DynamicsError(
+            "signals_fn must supply Hamiltonian signals (model has "
+            "hamiltonian_operators)."
+        )
+    if has_dis_ops and dis0 is None:
+        raise DynamicsError(
+            "signals_fn must supply dissipator signals (model has "
+            "dissipator_operators)."
+        )
+
+    t_mid = t0 + (jnp.arange(n_steps) + 0.5) * dt
+    t_end = t0 + (jnp.arange(n_steps) + 1.0) * dt
+
+    def member_vals(p, which):
+        ham, dis = _normalize_sweep_signals(signals_fn(p))
+        sigs = ham if which == "ham" else dis
+
+        def at(t):
+            return jnp.asarray(sigs(t))
+
+        return jax.vmap(at)(t_mid if which == "ham" else t_end)
+
+    ham_vals = (
+        jax.vmap(lambda p: member_vals(p, "ham"))(params) if has_ham_ops else None
+    )  # (M, T, k_h)
+
+    def rates_of(p):
+        parts = []
+        if n_static:
+            parts.append(jnp.ones((n_steps, n_static)))
+        if has_dis_ops:
+            parts.append(member_vals(p, "dis"))
+        return jnp.concatenate(parts, axis=-1) if parts else None
+
+    gammas = jax.vmap(rates_of)(params) if n_chan else None  # (M, T, K)
+    # dissipator decay uses midpoint rates; jump weights use endpoint rates
+    if n_chan:
+        def rates_mid(p):
+            parts = []
+            if n_static:
+                parts.append(jnp.ones((n_steps, n_static)))
+            if has_dis_ops:
+                ham_, dis_ = _normalize_sweep_signals(signals_fn(p))
+                parts.append(jax.vmap(lambda t: jnp.asarray(dis_(t)))(t_mid))
+            return jnp.concatenate(parts, axis=-1)
+
+        gammas_mid = jax.vmap(rates_mid)(params)  # (M, T, K)
+
+    # ---- precompute ALL (T, M) step propagators in one bol expm call ------
+    def drift_at(m_vals_t):
+        if has_ham:
+            return -1j * jnp.asarray(coll.evaluate_hamiltonian(m_vals_t))
+        return jnp.zeros((dim, dim), dtype=complex)
+
+    if has_ham_ops:
+        A = jax.vmap(jax.vmap(drift_at))(ham_vals)  # (M, T, n, n)
+    else:
+        A = jnp.broadcast_to(drift_at(None), (n_members, n_steps, dim, dim))
+    if n_chan:
+        A = A - 0.5 * jnp.einsum("mtk,kij->mtij", gammas_mid, M_ops)
+    if d is not None:
+        P = jnp.exp((d[None, :] - d[:, None])[None, :, :] * t_mid[:, None, None])
+        A = A * P[None]  # (M, T, n, n)
+
+    A = jnp.swapaxes(A, 0, 1).reshape(n_steps * n_members, dim, dim) * dt
+    L_lanes = n_steps * n_members
+    pad = (-L_lanes) % tile_b
+    if pad:
+        A = jnp.concatenate([A, jnp.zeros((pad, dim, dim), dtype=A.dtype)])
+    real_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    Ur, Ui = expm_taylor_bol(
+        jnp.moveaxis(jnp.real(A), 0, -1).astype(real_dtype),
+        jnp.moveaxis(jnp.imag(A), 0, -1).astype(real_dtype),
+        expm_order,
+        expm_squarings,
+        interpret,
+        tile_b,
+    )
+    U = jnp.moveaxis(Ur + 1j * Ui, -1, 0)[:L_lanes].reshape(
+        n_steps, n_members, dim, dim
+    )
+
+    phase_end = None if d is None else jnp.exp(d[None, :] * t_end[:, None])  # (T, n)
+
+    y0 = jnp.asarray(y0, dtype=complex)
+    y0 = y0 / jnp.linalg.norm(y0)
+    phi0 = frame.state_into_frame(t0, y0, return_in_frame_basis=True)
+    phi0 = jnp.broadcast_to(
+        phi0[None, :, None], (n_members, dim, n_traj)
+    ).astype(complex)
+
+    def step(carry, inputs):
+        phi, r, k, jumps = carry
+        if n_chan:
+            U_t, pe, gam_t = inputs  # (M,n,n), (n,), (M,K)
+        else:
+            U_t = inputs[0] if isinstance(inputs, tuple) else inputs
+        phi = jnp.einsum("mij,mjb->mib", U_t, phi)
+        if n_chan:
+            nrm2 = jnp.sum(jnp.abs(phi) ** 2, axis=1)  # (M, B)
+            do_jump = nrm2 < r
+            chi = phi if d is None else pe[None, :, None] * phi
+            cand = jnp.einsum("kij,mjb->kmib", L_all, chi)  # (K, M, n, B)
+            w = jnp.sum(jnp.abs(cand) ** 2, axis=2)  # (K, M, B)
+            w = w * jnp.swapaxes(gam_t, 0, 1)[:, :, None]  # (K, M, B)
+            wsum = jnp.sum(w, axis=0)
+            cdf = jnp.cumsum(w, axis=0) / jnp.where(wsum > 0, wsum, 1.0)
+            k, k_sel, k_new = jax.random.split(k, 3)
+            u = jax.random.uniform(k_sel, (n_members, n_traj))
+            chan = jnp.argmax(cdf >= u[None], axis=0)  # (M, B)
+            c_sel = jnp.take_along_axis(cand, chan[None, :, None, :], axis=0)[0]
+            c_nrm = jnp.sqrt(jnp.sum(jnp.abs(c_sel) ** 2, axis=1))  # (M, B)
+            c_sel = c_sel / jnp.where(c_nrm > 0, c_nrm, 1.0)[:, None, :]
+            if d is not None:
+                c_sel = jnp.conj(pe)[None, :, None] * c_sel
+            do_jump = do_jump & (wsum > 0)
+            phi = jnp.where(do_jump[:, None, :], c_sel, phi)
+            r = jnp.where(do_jump, jax.random.uniform(k_new, (n_members, n_traj)), r)
+            jumps = jumps + do_jump.astype(jnp.int32)
+        return (phi, r, k, jumps), None
+
+    steps_per_save = n_steps // n_save
+    Useg = U.reshape(n_save, steps_per_save, n_members, dim, dim)
+    if n_chan:
+        pe_seg = phase_end if phase_end is not None else jnp.ones((n_steps, dim))
+        pe_seg = pe_seg.reshape(n_save, steps_per_save, dim)
+        gam_seg = jnp.swapaxes(gammas, 0, 1).reshape(
+            n_save, steps_per_save, n_members, n_chan
+        )
+        seg_inputs = (Useg, pe_seg, gam_seg)
+    else:
+        seg_inputs = (Useg,)
+
+    def segment(carry, inputs):
+        carry, _ = jax.lax.scan(step, carry, inputs)
+        phi = carry[0]
+        nrm = jnp.linalg.norm(phi, axis=1, keepdims=True)
+        return carry, phi / jnp.where(nrm > 0, nrm, 1.0)
+
+    key, k_r = jax.random.split(key)
+    r0 = jax.random.uniform(k_r, (n_members, n_traj))
+    jumps0 = jnp.zeros((n_members, n_traj), dtype=jnp.int32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        from ..parallel import DATA_AXIS
+
+        mem3 = NamedSharding(mesh, _P(DATA_AXIS, None, None))
+        mem2 = NamedSharding(mesh, _P(DATA_AXIS, None))
+        phi0 = jax.lax.with_sharding_constraint(phi0, mem3)
+        r0 = jax.lax.with_sharding_constraint(r0, mem2)
+        jumps0 = jax.lax.with_sharding_constraint(jumps0, mem2)
+    carry0 = (phi0, r0, key, jumps0)
+    carry, saved = jax.lax.scan(segment, carry0, seg_inputs)
+    # saved: (S, M, n, B)
+
+    times = t0 + (tf - t0) * jnp.arange(n_save + 1) / n_save
+    saved = jnp.concatenate([phi0[None], saved], axis=0)
+
+    # frame basis -> original basis; rotating-frame convention as in the
+    # single-member solver
+    states_rf = jax.vmap(jax.vmap(frame.state_out_of_frame_basis))(saved)
+    states = jnp.swapaxes(states_rf, -1, -2)  # (S+1, M, B, n)
+    density = jnp.einsum("smbi,smbj->smij", states, jnp.conj(states)) / n_traj
+    return MCResult(t=times, states=states, density=density, jump_counts=carry[3])

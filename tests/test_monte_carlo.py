@@ -15,6 +15,7 @@ from qiskit_dynamics_tpu.signals import Signal
 from qiskit_dynamics_tpu.solvers import (
     Solver,
     solve_mc_trajectories,
+    solve_mc_trajectories_sweep,
     mc_expectation,
 )
 from qiskit_dynamics_tpu.exceptions import DynamicsError
@@ -92,8 +93,10 @@ def test_density_matches_lindblad_solve():
 
 def test_rotating_frame_consistency():
     """The same physics with and without a rotating frame gives the same
-    averaged density (the frame is an exact change of variables; only the
-    O(dt) jump placement differs)."""
+    lab-frame density (the frame is an exact change of variables; only the
+    O(dt) jump placement differs). Frame-model states come back in the
+    ROTATING frame (the Solver.solve convention) and are mapped out
+    explicitly at every save time."""
     nu = 1.0
     gamma = 0.4
     kwargs = dict(
@@ -107,9 +110,17 @@ def test_rotating_frame_consistency():
     common = dict(n_traj=2048, key=5, n_steps=1200, n_save=2)
     r_lab = solve_mc_trajectories(m_lab, (0.0, 2.0), E1, **common)
     r_frame = solve_mc_trajectories(m_frame, (0.0, 2.0), E1, **common)
-    np.testing.assert_allclose(
-        np.asarray(r_lab.density[-1]), np.asarray(r_frame.density[-1]), atol=0.05
-    )
+    for i, t in enumerate(np.asarray(r_frame.t)):
+        # states (B, dim) -> lab frame (transform acts on the dim axis)
+        psi_lab = np.asarray(
+            m_frame.rotating_frame.state_out_of_frame(
+                float(t), np.asarray(r_frame.states[i]).T
+            )
+        ).T
+        rho_lab = psi_lab.T @ psi_lab.conj() / psi_lab.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(r_lab.density[i]), rho_lab, atol=0.05
+        )
 
 
 def test_time_dependent_dissipator_rate():
@@ -210,3 +221,119 @@ def test_multiple_channels_jump_statistics():
     mean_jumps = float(np.asarray(res.jump_counts).mean())
     decay_only = 1 - np.exp(-gamma_decay * 1.5)
     assert mean_jumps > decay_only + 0.2
+
+
+class TestMCSweep:
+    """solve_mc_trajectories_sweep: member-batched unraveling with the
+    propagator precompute in one batch-on-lanes Pallas call."""
+
+    def test_rate_sweep_analytic(self):
+        """Amplitude-damping rate sweep: per-member P_exc(t) = exp(-g_m t)."""
+        model = LindbladModel(
+            static_hamiltonian=0.0 * Z, dissipator_operators=[SM]
+        )
+        g_sweep = np.array([0.2, 0.5, 0.9])
+        res = solve_mc_trajectories_sweep(
+            model, (0.0, 2.0), E1,
+            signals_fn=lambda g: (None, [Signal(g)]),
+            params=g_sweep, n_traj=2048, key=17, n_steps=400, n_save=4,
+            tile_b=8, interpret=True,
+        )
+        assert res.states.shape == (5, 3, 2048, 2)
+        p_exc = np.asarray(mc_expectation(res.states, N_OP))  # (5, 3)
+        for m, g in enumerate(g_sweep):
+            expected = np.exp(-g * np.asarray(res.t))
+            np.testing.assert_allclose(p_exc[:, m], expected, atol=0.05)
+
+    def test_drive_sweep_matches_single_member(self):
+        """A driven-damped amplitude sweep agrees statistically with the
+        dense Lindblad solve at each member."""
+        gamma = 0.3
+        model = LindbladModel(
+            static_hamiltonian=0.0 * Z,
+            hamiltonian_operators=[2 * np.pi * 0.1 * X],
+            static_dissipators=[np.sqrt(gamma) * SM],
+        )
+        amps = np.array([0.5, 1.0])
+        res = solve_mc_trajectories_sweep(
+            model, (0.0, 3.0), E1,
+            signals_fn=lambda a: [Signal(a)],
+            params=amps, n_traj=2048, key=21, n_steps=300, n_save=3,
+            tile_b=8, interpret=True,
+        )
+        solver = Solver(
+            static_hamiltonian=0.0 * Z,
+            hamiltonian_operators=[2 * np.pi * 0.1 * X],
+            static_dissipators=[np.sqrt(gamma) * SM],
+        )
+        rho0 = np.outer(E1, E1.conj())
+        for m, a in enumerate(amps):
+            sol = solver.solve(
+                t_span=[0.0, 3.0], y0=rho0, signals=[Signal(float(a))],
+                t_eval=np.asarray(res.t), method="DOP853", atol=1e-10, rtol=1e-10,
+            )
+            for i in range(len(res.t)):
+                np.testing.assert_allclose(
+                    np.asarray(res.density[i, m]), np.asarray(sol.y[i]), atol=0.05
+                )
+
+    def test_frame_sweep_no_dissipators_exact(self):
+        """Jump-free drive sweep in a rotating frame: every member matches
+        the deterministic Schrodinger flow (no statistical error)."""
+        nu = 1.0
+        model = LindbladModel(
+            static_hamiltonian=np.pi * nu * Z,
+            hamiltonian_operators=[2 * np.pi * 0.05 * X],
+            static_dissipators=[0.0 * SM],
+            rotating_frame=np.pi * nu * Z,
+        )
+        amps = np.array([0.4, 0.8])
+        res = solve_mc_trajectories_sweep(
+            model, (0.0, 1.0), E1,
+            signals_fn=lambda a: [Signal(a, carrier_freq=nu)],
+            params=amps, n_traj=3, key=1, n_steps=200, n_save=2,
+            tile_b=8, interpret=True,
+        )
+        solver = Solver(
+            static_hamiltonian=np.pi * nu * Z,
+            hamiltonian_operators=[2 * np.pi * 0.05 * X],
+            rotating_frame=np.pi * nu * Z,
+        )
+        for m, a in enumerate(amps):
+            sol = solver.solve(
+                t_span=[0.0, 1.0], y0=E1, signals=[Signal(float(a), carrier_freq=nu)],
+                method="DOP853", atol=1e-12, rtol=1e-12,
+            )
+            expected = np.asarray(sol.y[-1])
+            for b in range(3):
+                got = np.asarray(res.states[-1, m, b])
+                np.testing.assert_allclose(got, expected, atol=5e-5)
+
+    def test_validation(self):
+        model = LindbladModel(static_hamiltonian=Z, dissipator_operators=[SM])
+        with pytest.raises(DynamicsError, match="dissipator signals"):
+            solve_mc_trajectories_sweep(
+                model, (0.0, 1.0), E1,
+                signals_fn=lambda g: None,  # missing dissipator signals
+                params=np.array([0.1]), n_traj=4, n_steps=8, n_save=2,
+                tile_b=4, interpret=True,
+            )
+
+    def test_mesh_members_match_unsharded(self):
+        from qiskit_dynamics_tpu.parallel import data_mesh
+
+        model = LindbladModel(
+            static_hamiltonian=0.1 * Z, dissipator_operators=[SM]
+        )
+        kwargs = dict(
+            signals_fn=lambda g: (None, [Signal(g)]),
+            params=np.linspace(0.2, 0.9, 8), n_traj=16, key=3,
+            n_steps=40, n_save=2, tile_b=8, interpret=True,
+        )
+        plain = solve_mc_trajectories_sweep(model, (0.0, 1.0), E1, **kwargs)
+        sharded = solve_mc_trajectories_sweep(
+            model, (0.0, 1.0), E1, mesh=data_mesh(8), **kwargs
+        )
+        np.testing.assert_allclose(
+            np.asarray(plain.states), np.asarray(sharded.states), atol=1e-12
+        )
