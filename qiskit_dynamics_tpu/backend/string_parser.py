@@ -166,6 +166,20 @@ def _tokenize(expr: str, variables: Dict[str, float], var_names: List[str]):
             i = m.end()
             prev_is_value = True
             continue
+        if expr.startswith("dag(", i):
+            # reference-parity function form dag(expr): tokenize the balanced
+            # inner expression and append the postfix adjoint
+            depth, j = 1, i + 4
+            while j < len(expr) and depth:
+                depth += {"(": 1, ")": -1}.get(expr[j], 0)
+                j += 1
+            if depth:
+                raise DynamicsError(f"Unbalanced parentheses in 'dag(' of '{expr}'.")
+            inner = _tokenize(expr[i + 4 : j - 1], variables, var_names)
+            tokens += [("(", None)] + inner + [(")", None), ("dag", None)]
+            i = j
+            prev_is_value = True
+            continue
         m = _OP_TOKEN_RE.match(expr, i)
         if m:
             tokens.append(("op", (m.group(1), int(m.group(2)))))

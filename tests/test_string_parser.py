@@ -229,6 +229,24 @@ class TestParserSystemCases:
         s2, _, _, _ = self._parse(["w*Sp0"], {"0": 2})
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-12)
 
+    def test_dagger_function_form(self):
+        """Reference-parity dag(...) function syntax (reference
+        test_hamiltonian_string_parser.py:327 uses v*np.pi*dag(A0))."""
+        s1, _, _, _ = self._parse(["w*dag(A0)"], {"0": 4})
+        s2, _, _, _ = self._parse(["w*C0"], {"0": 4})  # C = a^dag
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-12)
+        # dag of a compound expression, composed with another operator
+        s3, _, _, _ = self._parse(["w*dag(A0+N0)*A0"], {"0": 4})
+        a = np.diag(np.sqrt(np.arange(1, 4)), 1)
+        N = np.diag(np.arange(4)).astype(complex)
+        np.testing.assert_allclose(
+            np.asarray(s3), 5.0 * (a + N).conj().T @ a, atol=1e-12
+        )
+
+    def test_dagger_function_unbalanced(self):
+        with pytest.raises(DynamicsError, match="Unbalanced"):
+            self._parse(["w*dag(A0"], {"0": 4})
+
     def test_subsystem_reduction_drops_terms(self):
         h = ["w*Z0", "2*w*Z1", "r*X0||D0", "r*X1||D1"]
         static, ops, chans, dims = self._parse(
