@@ -909,6 +909,42 @@ def main():
             )
             dyson_metrics["mc_traj_per_sec"] = round(mc_traj / mc_time, 1)
             dyson_metrics["mc_stat_err"] = float(f"{mc_err:.3g}")
+
+            # sweep variant: 64-member decay-rate sweep x 256 trajectories
+            from qiskit_dynamics_tpu.solvers import solve_mc_trajectories_sweep
+
+            g_sweep = jnp.linspace(0.2, 0.9, 64)
+            mc_model2 = LindbladModel(
+                static_hamiltonian=0.0 * Zq, dissipator_operators=[SMq]
+            )
+
+            def mcs_run(key):
+                res = solve_mc_trajectories_sweep(
+                    mc_model2, (0.0, 2.0), np.array([0.0, 1.0], dtype=complex),
+                    signals_fn=lambda g: (None, [Signal(g)]),
+                    params=g_sweep, n_traj=256, key=key,
+                    n_steps=400, n_save=4, tile_b=512,
+                )
+                return mc_expectation(res.states, N_OP)
+
+            mcs_f = jax.jit(mcs_run)
+            t0 = time.time()
+            np.asarray(mcs_f(jax.random.PRNGKey(3)))
+            log(f"mc-sweep compile+first: {time.time() - t0:.1f}s")
+            mcs_time = median_time(lambda: np.asarray(mcs_f(jax.random.PRNGKey(4))))
+            mcs_p = np.asarray(mcs_f(jax.random.PRNGKey(4)))
+            mcs_expected = np.exp(
+                -np.outer(np.linspace(0, 2, 5), np.asarray(g_sweep))
+            )
+            mcs_err = float(np.max(np.abs(mcs_p - mcs_expected)))
+            total_mt = 64 * 256
+            log(
+                f"mc-sweep steady (median of 3): {mcs_time:.3f}s for {total_mt} "
+                f"member-trajectories -> {total_mt / mcs_time:.0f} traj/s; "
+                f"stat err {mcs_err:.3f}"
+            )
+            dyson_metrics["mc_sweep_traj_per_sec"] = round(total_mt / mcs_time, 1)
+            dyson_metrics["mc_sweep_stat_err"] = float(f"{mcs_err:.3g}")
         except Exception as exc:
             log(f"mc row failed: {exc!r}")
 

@@ -41,7 +41,8 @@ PAGES = {
          "lindblad_steady_state", "lindblad_steady_state_iterative",
          "lindblad_steady_state_sweep", "floquet_basis",
          "correlation_function", "spectrum", "spectrum_iterative",
-         "solve_mc_trajectories", "mc_expectation"],
+         "solve_mc_trajectories", "solve_mc_trajectories_sweep",
+         "mc_expectation"],
     ),
     "perturbation": (
         "Perturbation theory (`qiskit_dynamics_tpu.perturbation`)",
