@@ -14,7 +14,14 @@ with open(_os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "VERSION.t
 
 from .exceptions import DynamicsError
 from .dtypes import ArrayLike
-from .arraylias import DYNAMICS_NUMPY, DYNAMICS_NUMPY_ALIAS, DYNAMICS_SCIPY, requires_array_library
+from .arraylias import (
+    DYNAMICS_NUMPY,
+    DYNAMICS_NUMPY_ALIAS,
+    DYNAMICS_SCIPY,
+    DYNAMICS_SCIPY_ALIAS,
+    ArrayLike,
+    requires_array_library,
+)
 from .models import RotatingFrame
 from .signals import Signal, DiscreteSignal
 from .solvers import solve_ode, solve_lmde, Solver, OdeResult, DysonSolver, MagnusSolver

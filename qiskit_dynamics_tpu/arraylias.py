@@ -33,6 +33,7 @@ __all__ = [
     "DYNAMICS_NUMPY",
     "DYNAMICS_NUMPY_ALIAS",
     "DYNAMICS_SCIPY",
+    "DYNAMICS_SCIPY_ALIAS",
     "ArrayLike",
     "requires_array_library",
 ]
@@ -117,6 +118,27 @@ class _NumpyAlias:
 
 
 DYNAMICS_NUMPY_ALIAS = _NumpyAlias()
+
+
+class _ScipyAlias:
+    """``DYNAMICS_SCIPY_ALIAS(like=...)`` -> scipy-flavored namespace for the
+    requested array library (reference ``alias.py``: the scipy alias registers
+    scipy for numpy arrays and ``jax.scipy`` for jax arrays). Since the shim's
+    only real backends are numpy and jax, anything jax-flavored returns the
+    trace-aware :data:`DYNAMICS_SCIPY` dispatcher bound to ``jax.scipy``."""
+
+    def __call__(self, like=None):
+        lib = (
+            like
+            if isinstance(like, (str, type(None)))
+            else _NumpyAlias.infer_libs(like)[0]
+        )
+        if lib in ("jax", "jax_sparse"):
+            return jax.scipy
+        return DYNAMICS_SCIPY
+
+
+DYNAMICS_SCIPY_ALIAS = _ScipyAlias()
 
 
 def requires_array_library(lib: str):

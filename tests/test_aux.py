@@ -72,6 +72,20 @@ class TestArrayliasCompat:
         A = np.array([[0.0, 1.0], [-1.0, 0.0]])
         np.testing.assert_allclose(usp.linalg.expm(A), scipy_expm(A), atol=1e-12)
 
+    def test_scipy_alias(self):
+        """DYNAMICS_SCIPY_ALIAS(like=...) returns the scipy namespace for the
+        inferred library (reference top-level export, alias.py)."""
+        import jax
+        import jax.numpy as jnp
+        from qiskit_dynamics_tpu import DYNAMICS_SCIPY_ALIAS
+
+        A = np.array([[0.0, 1.0], [-1.0, 0.0]])
+        ns = DYNAMICS_SCIPY_ALIAS(like=A)
+        np.testing.assert_allclose(ns.linalg.expm(A), scipy_expm(A), atol=1e-12)
+        assert DYNAMICS_SCIPY_ALIAS(like=jnp.zeros(2)) is jax.scipy
+        assert DYNAMICS_SCIPY_ALIAS(like="jax") is jax.scipy
+        assert DYNAMICS_SCIPY_ALIAS() is usp
+
     def test_requires_array_library_passthrough(self):
         @requires_array_library("jax")
         def f(x):
