@@ -42,6 +42,35 @@ def median_time(fn, repeats=3):
     return float(np.median(times))
 
 
+def steady_time(fn, target_s=1.0, max_repeats=256):
+    """Time a repeat-loop scaled to >= ``target_s`` of steady work.
+
+    Sub-0.2 s timed regions carry a ~1.5x session band on the shared axon
+    chip while >= 1 s regions reproduce to ~10% (BENCHMARKS.md probe
+    section), so every hot row times ``ceil(target / t1)`` back-to-back
+    calls as ONE block. Rows already >= target keep the median-of-3
+    convention. Returns ``(per_call_s, block_s, repeats)`` — ``block_s`` and
+    ``repeats`` are recorded in the bench JSON as the row's evidence grade.
+    """
+    t0 = time.time()
+    fn()
+    t1 = max(time.time() - t0, 1e-9)
+    if t1 >= target_s:
+        times = [t1]
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        med = float(np.median(times))
+        return med, med, 1
+    reps = int(min(max_repeats, max(2, np.ceil(target_s / t1))))
+    t0 = time.time()
+    for _ in range(reps):
+        fn()
+    block = time.time() - t0
+    return block / reps, float(block), reps
+
+
 def tunnel_preflight(max_wait_s=1800, probe_timeout=300):
     """The axon TPU tunnel goes down intermittently (observed hours-long);
     a down tunnel makes the first device dispatch hang SILENTLY. Probe with
@@ -197,9 +226,10 @@ def main():
     out = np.asarray(sweep(amps))
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
-    steady = median_time(lambda: np.asarray(sweep(amps)))
+    steady, cr_block_s, cr_reps = steady_time(lambda: np.asarray(sweep(amps)))
     device_throughput = sweep_size / steady
-    log(f"device: {steady:.3f}s (median of 3) for {sweep_size} sims -> {device_throughput:.1f} sims/sec")
+    log(f"device: {steady:.3f}s/call ({cr_reps} calls, {cr_block_s:.2f}s block) "
+        f"for {sweep_size} sims -> {device_throughput:.1f} sims/sec")
 
     # single-core NumPy/SciPy DOP853 baseline at matched accuracy, extrapolated
     check_idx = np.linspace(0, sweep_size - 1, n_baseline).astype(int)
@@ -223,6 +253,11 @@ def main():
     # accuracy at the probe points (reuses the compiled 10k sweep's outputs)
     max_err = float(np.max(np.abs(out[check_idx] - np.asarray(base_results))))
     log(f"max |device - DOP853(1e-8)| over {n_baseline} probe points: {max_err:.2e}")
+    headline_extra = {
+        "cr_sweep_max_err": float(f"{max_err:.3g}"),
+        "cr_sweep_steady_s": round(cr_block_s, 3),
+        "cr_sweep_repeats": cr_reps,
+    }
 
     # --- high-precision row: df32 sweep at the BASELINE 1e-8 agreement bar ---
     # (compensated double-float32, Magnus order-6; ops/df_sweep.py)
@@ -468,26 +503,83 @@ def main():
         t0 = time.time()
         backend.solve(scheds)
         log(f"schedule batch compile+first: {time.time() - t0:.1f}s")
-        sched_time = median_time(lambda: backend.solve(scheds))
+        sched_time, sched_block, sched_reps = steady_time(lambda: backend.solve(scheds))
         log(
-            f"schedule batch steady (median of 3): {sched_time:.3f}s for {n_sched} schedules "
+            f"schedule batch steady: {sched_time:.3f}s/call ({sched_reps} calls, "
+            f"{sched_block:.2f}s block) for {n_sched} schedules "
             f"-> {n_sched / sched_time:.1f} schedules/s"
         )
-        sched_metrics = {"schedules_per_sec_dim27": round(n_sched / sched_time, 1)}
+        sched_metrics = {
+            "schedules_per_sec_dim27": round(n_sched / sched_time, 1),
+            "schedules_dim27_steady_s": round(sched_block, 3),
+            "schedules_dim27_repeats": sched_reps,
+        }
         # run -> counts rate (batched measurement pipeline: one device->host
         # transfer for the whole batch)
         try:
             t0 = time.time()
             backend.run(scheds).result()
             log(f"run compile+first: {time.time() - t0:.1f}s")
-            run_time = median_time(lambda: backend.run(scheds).result())
+            run_time, run_block, run_reps = steady_time(
+                lambda: backend.run(scheds).result()
+            )
             log(
-                f"backend.run steady (median of 3): {run_time:.2f}s "
-                f"-> {n_sched / run_time:.1f} experiments/s"
+                f"backend.run steady: {run_time:.2f}s/call ({run_reps} calls, "
+                f"{run_block:.2f}s block) -> {n_sched / run_time:.1f} experiments/s"
             )
             sched_metrics["run_experiments_per_sec"] = round(n_sched / run_time, 1)
+            sched_metrics["run_steady_s"] = round(run_block, 3)
+            sched_metrics["run_repeats"] = run_reps
         except Exception as exc:
             log(f"run row failed: {exc!r}")
+
+        # df32 serving row (VERDICT r4 item 6): the 1e-8-class serving mode —
+        # fixed-step df32 Magnus engine on a sample-aligned grid. Host-facing
+        # (f64 coefficient tables sampled per call), so the steady rate
+        # includes that honest host cost.
+        try:
+            backend.set_options(
+                solver_options={
+                    "method": "fused_dopri5", "precision": "df32",
+                    "max_dt": float(os.environ.get("BENCH_DF32_SERVE_DT", "0.025")),
+                }
+            )
+            t0 = time.time()
+            df_serve_out = backend.solve(scheds)
+            log(f"df32 serving compile+first: {time.time() - t0:.1f}s")
+            dfs_time, dfs_block, dfs_reps = steady_time(
+                lambda: backend.solve(scheds), max_repeats=16
+            )
+            log(
+                f"df32 serving steady: {dfs_time:.2f}s/call ({dfs_reps} calls, "
+                f"{dfs_block:.2f}s block) -> {n_sched / dfs_time:.1f} schedules/s"
+            )
+            # accuracy vs host DOP853(1e-12) on 2 probe schedules
+            dfs_err = 0.0
+            y0_serve = backend._resolve_y0(None)
+            for i in (0, n_sched - 1):
+                dur = scheds[i].duration * backend.dt
+                df_probe = backend.solve([scheds[i]], convert_results=False)
+                r = backend.options.solver.solve(
+                    t_span=[0.0, dur], y0=y0_serve, signals=[scheds[i]],
+                    method="DOP853", atol=1e-12, rtol=1e-12,
+                    convert_results=False,
+                )
+                dfs_err = max(
+                    dfs_err,
+                    float(np.max(np.abs(
+                        np.asarray(df_probe[0].y[-1]) - np.asarray(r.y[-1])
+                    ))),
+                )
+            log(f"df32 serving max |state - DOP853(1e-12)| over 2 probes: {dfs_err:.2e}")
+            sched_metrics["schedules_per_sec_dim27_df32"] = round(n_sched / dfs_time, 1)
+            sched_metrics["schedules_dim27_df32_max_err"] = float(f"{dfs_err:.3g}")
+            sched_metrics["schedules_dim27_df32_steady_s"] = round(dfs_block, 3)
+            sched_metrics["schedules_dim27_df32_repeats"] = dfs_reps
+        except Exception as exc:
+            log(f"df32 serving row failed: {exc!r}")
+        finally:
+            backend.set_options(solver_options={"method": "fused_dopri5"})
 
     # --- large-dim row: dim-8 vectorized Lindblad sweep (solve dim 64)
     # through the member-major MXU engine (ops/member_sweep.py), Magnus
@@ -674,10 +766,17 @@ def main():
                 t0 = time.time()
                 val = np.asarray(f(Ar, Ai, yr, yi))
                 log(f"expm-chain[{eng}]: compile+first {time.time() - t0:.1f}s")
-                med = median_time(lambda: np.asarray(f(Ar, Ai, yr, yi)))
+                med, ec_block, ec_reps = steady_time(
+                    lambda: np.asarray(f(Ar, Ai, yr, yi))
+                )
                 us = med / (Tc * bc) * 1e6
-                log(f"expm-chain[{eng}]: {us:.1f} us/expm+apply (median of 3)")
+                log(
+                    f"expm-chain[{eng}]: {us:.1f} us/expm+apply "
+                    f"({ec_reps} calls, {ec_block:.2f}s block)"
+                )
                 expm_metrics[f"expm_chain_{eng}_us"] = round(us, 1)
+                expm_metrics[f"expm_chain_{eng}_steady_s"] = round(ec_block, 3)
+                expm_metrics[f"expm_chain_{eng}_repeats"] = ec_reps
                 vals[eng] = float(val)
             rel = abs(vals["xla"] - vals["pallas"]) / abs(vals["xla"])
             log(f"expm-chain checksum rel diff: {rel:.2e}")
@@ -720,12 +819,14 @@ def main():
             t0 = time.time()
             np.asarray(d_run(d_amps))
             log(f"dyson sweep compile+first: {time.time() - t0:.1f}s")
-            d_time = median_time(lambda: np.asarray(d_run(d_amps)))
+            d_time, d_block, d_reps = steady_time(lambda: np.asarray(d_run(d_amps)))
             log(
-                f"dyson sweep steady (median of 3): {d_time:.3f}s for {B_d} sims "
-                f"-> {B_d / d_time:.0f} sims/s"
+                f"dyson sweep steady: {d_time:.3f}s/call ({d_reps} calls, "
+                f"{d_block:.2f}s block) for {B_d} sims -> {B_d / d_time:.0f} sims/s"
             )
             dyson_metrics["dyson_sweep_sims_per_sec"] = round(B_d / d_time, 1)
+            dyson_metrics["dyson_sweep_steady_s"] = round(d_block, 3)
+            dyson_metrics["dyson_sweep_repeats"] = d_reps
 
             # accuracy: 3 probes vs host DOP853(1e-12) in the same rotating
             # frame (Dysolve solves the toggling-frame LMDE)
@@ -776,6 +877,82 @@ def main():
         except Exception as exc:
             log(f"dyson row failed: {exc!r}")
 
+    # --- df32 Dysolve row: the perturbative family's 1e-8 on-chip mode ---
+    # (VERDICT r4 item 1 / BASELINE config 4 at the reference's accuracy bar:
+    # host-f64 coefficients + df32 chain, ops/df_chain.py). Envelopes are
+    # numpy-written so host sampling is f64; the Gaussian amplitude sweep
+    # factorizes rank-1 and the coefficient table assembles on device.
+    if os.environ.get("BENCH_DYSON_DF", "1") == "1":
+        try:
+            from qiskit_dynamics_tpu.benchmarks import dyson_transmon_solver
+            from qiskit_dynamics_tpu.solvers import solve_ode
+            from scipy.linalg import expm as scipy_expm
+
+            ds_df, nu_df = dyson_transmon_solver()
+            dim_df = 10
+            n_steps_df, B_df = 1000, 2048
+            Tt_df = n_steps_df * 0.1
+            y0_df = np.zeros(dim_df, dtype=complex)
+            y0_df[0] = 1.0
+            df_amps_d = np.linspace(0.2, 1.0, B_df)
+            sigma_df = Tt_df / 6.0
+
+            def df_sigs(amp):
+                return [
+                    Signal(
+                        lambda t: amp
+                        * np.exp(-((t - Tt_df / 2) ** 2) / (2 * sigma_df**2)),
+                        carrier_freq=nu_df,
+                    )
+                ]
+
+            def df_run():
+                return ds_df.solve_sweep(
+                    0.0, n_steps_df, y0_df, df_sigs, df_amps_d, precision="df32"
+                )
+
+            t0 = time.time()
+            ddf_out = df_run()
+            log(f"dyson-df32 compile+first: {time.time() - t0:.1f}s")
+            ddf_time, ddf_block, ddf_reps = steady_time(df_run)
+            log(
+                f"dyson-df32 steady: {ddf_time:.3f}s/call ({ddf_reps} calls, "
+                f"{ddf_block:.2f}s block) -> {B_df / ddf_time:.0f} sims/s"
+            )
+            # accuracy: COMPLEX state agreement vs host DOP853(1e-12) in the
+            # same rotating frame (stronger than the f32 row's |amplitude|
+            # comparison — phase errors count)
+            G0d = np.asarray(
+                -1j
+                * (
+                    2 * np.pi * nu_df * np.diag(np.arange(dim_df))
+                    + np.pi * (-0.33) * np.diag(np.arange(dim_df) * (np.arange(dim_df) - 1))
+                )
+            )
+            a_df = np.diag(np.sqrt(np.arange(1, dim_df)), 1)
+            G1d = -1j * 2 * np.pi * 0.02 * (a_df + a_df.conj().T)
+            ddf_err = 0.0
+            for i in np.linspace(0, B_df - 1, 3).astype(int):
+                amp = float(df_amps_d[i])
+                env = lambda t, amp=amp: amp * np.exp(
+                    -((t - Tt_df / 2) ** 2) / (2 * sigma_df**2)
+                )
+                rhs = lambda t, y: (
+                    G0d + np.real(env(t) * np.exp(1j * 2 * np.pi * nu_df * t)) * G1d
+                ) @ y
+                r = solve_ode(
+                    rhs, [0.0, Tt_df], y0_df, method="DOP853", atol=1e-12, rtol=1e-12
+                )
+                ref = scipy_expm(-Tt_df * G0d) @ np.asarray(r.y[-1])
+                ddf_err = max(ddf_err, float(np.max(np.abs(ddf_out[i] - ref))))
+            log(f"dyson-df32 max |state - DOP853(1e-12)| over 3 probes: {ddf_err:.2e}")
+            dyson_metrics["dyson_df_sims_per_sec"] = round(B_df / ddf_time, 1)
+            dyson_metrics["dyson_df_max_err"] = float(f"{ddf_err:.3g}")
+            dyson_metrics["dyson_df_steady_s"] = round(ddf_block, 3)
+            dyson_metrics["dyson_df_repeats"] = ddf_reps
+        except Exception as exc:
+            log(f"dyson-df32 row failed: {exc!r}")
+
     # --- Magnus variant of config 4: per-step Pallas expm, now with AD ---
     if os.environ.get("BENCH_MAGNUS", "1") == "1":
         try:
@@ -807,12 +984,14 @@ def main():
             t0 = time.time()
             np.asarray(m_run(m_amps))
             log(f"magnus sweep compile+first: {time.time() - t0:.1f}s")
-            m_time = median_time(lambda: np.asarray(m_run(m_amps)))
+            m_time, m_block, m_reps = steady_time(lambda: np.asarray(m_run(m_amps)))
             log(
-                f"magnus sweep steady (median of 3): {m_time:.3f}s for {B_m} sims "
-                f"-> {B_m / m_time:.0f} sims/s"
+                f"magnus sweep steady: {m_time:.3f}s/call ({m_reps} calls, "
+                f"{m_block:.2f}s block) for {B_m} sims -> {B_m / m_time:.0f} sims/s"
             )
             dyson_metrics["magnus_sweep_sims_per_sec"] = round(B_m / m_time, 1)
+            dyson_metrics["magnus_sweep_steady_s"] = round(m_block, 3)
+            dyson_metrics["magnus_sweep_repeats"] = m_reps
 
             G0m = np.asarray(
                 -1j
@@ -897,18 +1076,33 @@ def main():
             t0 = time.time()
             np.asarray(mc_f(jax.random.PRNGKey(7)))
             log(f"mc compile+first: {time.time() - t0:.1f}s")
-            mc_time = median_time(lambda: np.asarray(mc_f(jax.random.PRNGKey(8))))
-            mc_p = np.asarray(mc_f(jax.random.PRNGKey(8)))
-            mc_err = float(
-                np.max(np.abs(mc_p - np.exp(-gamma_mc * np.linspace(0, 2, 9))))
+            mc_time, mc_block, mc_reps = steady_time(
+                lambda: np.asarray(mc_f(jax.random.PRNGKey(8)))
             )
+            mc_p = np.asarray(mc_f(jax.random.PRNGKey(8)))
+            mc_expected = np.exp(-gamma_mc * np.linspace(0, 2, 9))
+            mc_err = float(np.max(np.abs(mc_p - mc_expected)))
+            # z-score gate (VERDICT r4 item 4): per save point the estimator
+            # std is sqrt(p(1-p)/N); a real statistics bug shows as a large
+            # max-z, which the plain max-err number can hide
+            mc_sigma = np.sqrt(
+                np.maximum(mc_expected * (1 - mc_expected), 1e-12) / mc_traj
+            )
+            mc_z = float(np.max(np.abs(mc_p - mc_expected) / mc_sigma))
             log(
-                f"mc steady (median of 3): {mc_time:.3f}s for {mc_traj} trajectories "
-                f"x {mc_steps} steps -> {mc_traj / mc_time:.0f} traj/s; "
-                f"stat err {mc_err:.3f}"
+                f"mc steady: {mc_time:.3f}s/call ({mc_reps} calls, {mc_block:.2f}s "
+                f"block) for {mc_traj} trajectories x {mc_steps} steps -> "
+                f"{mc_traj / mc_time:.0f} traj/s; stat err {mc_err:.3f} "
+                f"(max z {mc_z:.2f})"
             )
             dyson_metrics["mc_traj_per_sec"] = round(mc_traj / mc_time, 1)
             dyson_metrics["mc_stat_err"] = float(f"{mc_err:.3g}")
+            dyson_metrics["mc_stat_zmax"] = round(mc_z, 2)
+            dyson_metrics["mc_steady_s"] = round(mc_block, 3)
+            dyson_metrics["mc_repeats"] = mc_reps
+            if mc_z > 4.0:
+                log("mc STATISTICS GATE FAILED: max z > 4")
+                dyson_metrics["mc_stat_gate"] = "FAIL"
 
             # sweep variant: 64-member decay-rate sweep x 256 trajectories
             from qiskit_dynamics_tpu.solvers import solve_mc_trajectories_sweep
@@ -931,20 +1125,33 @@ def main():
             t0 = time.time()
             np.asarray(mcs_f(jax.random.PRNGKey(3)))
             log(f"mc-sweep compile+first: {time.time() - t0:.1f}s")
-            mcs_time = median_time(lambda: np.asarray(mcs_f(jax.random.PRNGKey(4))))
+            mcs_time, mcs_block, mcs_reps = steady_time(
+                lambda: np.asarray(mcs_f(jax.random.PRNGKey(4)))
+            )
             mcs_p = np.asarray(mcs_f(jax.random.PRNGKey(4)))
             mcs_expected = np.exp(
                 -np.outer(np.linspace(0, 2, 5), np.asarray(g_sweep))
             )
             mcs_err = float(np.max(np.abs(mcs_p - mcs_expected)))
+            mcs_sigma = np.sqrt(
+                np.maximum(mcs_expected * (1 - mcs_expected), 1e-12) / 256
+            )
+            mcs_z = float(np.max(np.abs(mcs_p - mcs_expected) / mcs_sigma))
             total_mt = 64 * 256
             log(
-                f"mc-sweep steady (median of 3): {mcs_time:.3f}s for {total_mt} "
-                f"member-trajectories -> {total_mt / mcs_time:.0f} traj/s; "
-                f"stat err {mcs_err:.3f}"
+                f"mc-sweep steady: {mcs_time:.3f}s/call ({mcs_reps} calls, "
+                f"{mcs_block:.2f}s block) for {total_mt} member-trajectories -> "
+                f"{total_mt / mcs_time:.0f} traj/s; stat err {mcs_err:.3f} "
+                f"(max z {mcs_z:.2f})"
             )
             dyson_metrics["mc_sweep_traj_per_sec"] = round(total_mt / mcs_time, 1)
             dyson_metrics["mc_sweep_stat_err"] = float(f"{mcs_err:.3g}")
+            dyson_metrics["mc_sweep_stat_zmax"] = round(mcs_z, 2)
+            dyson_metrics["mc_sweep_steady_s"] = round(mcs_block, 3)
+            dyson_metrics["mc_sweep_repeats"] = mcs_reps
+            if mcs_z > 4.0:
+                log("mc-sweep STATISTICS GATE FAILED: max z > 4")
+                dyson_metrics["mc_sweep_stat_gate"] = "FAIL"
         except Exception as exc:
             log(f"mc row failed: {exc!r}")
 

@@ -67,9 +67,9 @@ class LindbladModel(BaseGeneratorModel):
             and dissipator_operators is None
         ):
             raise DynamicsError(
-                f"{type(self).__name__} requires at least one of static_hamiltonian, "
-                "hamiltonian_operators, static_dissipators, or dissipator_operators "
-                "to be specified at construction."
+                f"{type(self).__name__} requires at least one operator group: pass "
+                "static_hamiltonian, hamiltonian_operators, static_dissipators, "
+                "or dissipator_operators."
             )
         from ..unified import dequtip
 

@@ -416,10 +416,10 @@ def fused_sweep_solve(
             sweep_engine = "member"
         else:
             sweep_engine = "xla"
-    if sweep_engine not in ("pallas", "xla", "member"):
+    if sweep_engine not in ("pallas", "xla", "member", "poly"):
         raise DynamicsError(
             f"unknown sweep_engine {sweep_engine!r}; use 'pallas', 'xla', "
-            "'member' or 'auto'."
+            "'member', 'poly' or 'auto'."
         )
     if sweep_engine == "member" and (eval_slots is not None or not y0_is_vector):
         raise DynamicsError(
@@ -431,17 +431,17 @@ def fused_sweep_solve(
     )  # (T, 2, k, B)
     hermitian = _all_anti_hermitian(static_fb, ops_fb)
     traj = None
-    if sweep_engine == "xla":
+    if sweep_engine in ("xla", "poly"):
         from ..ops.xla_sweep import sweep_expm_magnus2_xla
 
         if magnus_mode != "auto" or interpret or tile_b is not None:
             import warnings
 
             warnings.warn(
-                "fused_sweep_solve routed to the XLA engine "
-                f"(solve_dim={solve_dim} or sweep_engine='xla'); the "
-                "pallas-only options magnus_mode/tile_b/interpret are "
-                "ignored on this path.",
+                "fused_sweep_solve routed to the "
+                f"{sweep_engine} engine (solve_dim={solve_dim} or "
+                f"sweep_engine={sweep_engine!r}); the pallas-only options "
+                "magnus_mode/tile_b/interpret are ignored on this path.",
                 stacklevel=2,
             )
         # batch-major (B, n, m): the engine builds each member's O(n^3)
@@ -451,11 +451,24 @@ def fused_sweep_solve(
         y0_mat = np.asarray(y0_fb).reshape(solve_dim, -1)
         m = y0_mat.shape[1]
         y0_bm = jnp.broadcast_to(jnp.asarray(y0_mat)[None], (B, solve_dim, m))
-        out = sweep_expm_magnus2_xla(
-            static_fb, ops_fb, omega, coeffs, y0_bm, dt=dt, t0=t0,
-            order=expm_order, hermitian=hermitian, eval_slots=eval_slots,
-            magnus_order=magnus_order,
-        )
+        if sweep_engine == "poly":
+            from ..ops.polynomial_sweep import sweep_expm_magnus_poly
+
+            # the frame diagonal (gauge d_0 = 0) recovered exactly from the
+            # omega difference matrix — the expansion is gauge-invariant
+            # (constant shifts of d cancel in every diagonal sandwich)
+            d_im = np.asarray(omega, dtype=np.float64)[:, 0]
+            out = sweep_expm_magnus_poly(
+                static_fb, ops_fb, 1j * d_im, coeffs, y0_bm, dt=dt, t0=t0,
+                order=expm_order, eval_slots=eval_slots,
+                magnus_order=magnus_order,
+            )
+        else:
+            out = sweep_expm_magnus2_xla(
+                static_fb, ops_fb, omega, coeffs, y0_bm, dt=dt, t0=t0,
+                order=expm_order, hermitian=hermitian, eval_slots=eval_slots,
+                magnus_order=magnus_order,
+            )
         out_final, traj_bm = out if eval_slots is not None else (out, None)
         # back to the member-major lane layout the collectors expect
         yf = jnp.moveaxis(out_final, 0, 1).reshape(solve_dim, B * m)

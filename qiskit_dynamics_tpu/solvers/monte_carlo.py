@@ -39,13 +39,32 @@ libraries):
   :math:`L_k`. The coarse-``dt`` advantage of the frame survives
   unraveling.
 
-Integrator: midpoint (Magnus-1) exponential stepping — first-order weak
-error in the jump placement (jumps resolve at step boundaries, the standard
-MCWF discretization), second-order in the deterministic flow. Use
-``n_steps`` large enough that :math:`\gamma\, dt \ll 1`.
+Integrator: midpoint (Magnus-1) exponential stepping, second-order in the
+deterministic flow, with SECOND-ORDER jump placement (default,
+``jump_placement="interp"``): when a lane's squared norm crosses its
+waiting-time threshold within a step, the crossing time :math:`\tau^*` is
+located by log-linear interpolation of the norm (exact when the decay rate
+is constant across the step, :math:`O(dt^2)` otherwise), the jump operator
+is applied to the linearly interpolated state :math:`\psi(\tau^*)`, and the
+post-jump state is evolved over the step remainder with the shared
+propagator's linear fraction :math:`c + \theta\,(Uc - c)`,
+:math:`\theta = (t_{i+1}-\tau^*)/dt`. Every correction is :math:`O(dt^2)`
+local on events of probability :math:`O(\gamma\,dt)`, so the weak error is
+:math:`O(dt^2)` overall — vs :math:`O(\gamma\,dt)` for the standard
+jump-at-step-boundary discretization (kept as ``jump_placement="end"``;
+measured bias ladder in BENCHMARKS.md). All control flow stays per-lane
+``where`` selects — the lockstep lane layout is unchanged, and the only
+extra device work is one shared matvec per step. Multiple crossings within
+one step resolve one step late (an :math:`O((\gamma dt)^2)`-probability
+event displaced by :math:`\le dt`: an :math:`O(dt^2)` weak contribution).
 
 Randomness is explicit (a ``jax.random`` key), so runs are reproducible
-and trajectory batches can be sharded by splitting keys. Forward-only by
+and trajectory batches can be sharded by splitting keys. The initial
+waiting-time thresholds can be supplied explicitly (``thresholds=``) for
+stratified/low-discrepancy sampling — on single-channel problems this turns
+the trajectory average into a deterministic quadrature (error
+:math:`O(1/N)` instead of :math:`O(1/\sqrt N)`), and it is how the test
+suite measures placement bias below the statistical floor. Forward-only by
 design: gradients through jump discontinuities are not meaningful; for
 differentiable open-system solves use the vectorized Lindblad path or
 :func:`.analysis.lindblad_steady_state`.
@@ -127,6 +146,8 @@ def solve_mc_trajectories(
     expm_order: int = 12,
     expm_squarings: int = 4,
     mesh=None,
+    jump_placement: str = "interp",
+    thresholds=None,
 ) -> MCResult:
     r"""Unravel a :class:`.LindbladModel` into ``n_traj`` quantum trajectories.
 
@@ -152,6 +173,16 @@ def solve_mc_trajectories(
             replicates, jump selects stay lane-local, and the
             trajectory-average density reduces across chips). ``n_traj``
             must divide evenly across the axis.
+        jump_placement: ``"interp"`` (default) places each jump at the
+            log-interpolated norm-crossing time inside the step and evolves
+            the post-jump remainder — second-order weak error; ``"end"``
+            is the standard jump-at-step-boundary discretization,
+            first-order in the jump placement (see the module docstring).
+        thresholds: optional ``(n_traj,)`` initial waiting-time thresholds
+            in (0, 1), replacing the uniform draw — use stratified values
+            (e.g. ``(arange(N) + 0.5) / N``) for low-discrepancy variance
+            reduction on the FIRST jump of each lane. Subsequent thresholds
+            are always drawn from ``key``.
 
     Returns:
         :class:`MCResult`.
@@ -240,20 +271,45 @@ def solve_mc_trajectories(
             A = A * P
         return A
 
+    interp = jump_placement == "interp"
+    if jump_placement not in ("interp", "end"):
+        raise DynamicsError("jump_placement must be 'interp' or 'end'.")
+
     def step(carry, i):
-        phi, r, k, jumps = carry
+        phi0_, r, k, jumps = carry
+        t_start = t0 + i * dt
         t_mid = t0 + (i + 0.5) * dt
         t_end = t0 + (i + 1.0) * dt
 
         U = expm_taylor(
             effective_generator(t_mid) * dt, order=expm_order, squarings=expm_squarings
         )
-        phi = U @ phi
+        phi = U @ phi0_
         if n_chan:
             nrm2 = jnp.sum(jnp.abs(phi) ** 2, axis=0)
             do_jump = nrm2 < r
-            # candidates in the rotating frame: e^{-dt} L_k e^{dt} phi
-            chi = phi if d is None else jnp.exp(d * t_end)[:, None] * phi
+            if interp:
+                # crossing time by log interpolation of the norm decay
+                # (exact for a constant within-step rate, O(dt^2) otherwise)
+                n0 = jnp.sum(jnp.abs(phi0_) ** 2, axis=0)
+                ln0 = jnp.log(jnp.where(n0 > 0, n0, 1.0))
+                ln1 = jnp.log(jnp.where(nrm2 > 0, nrm2, 1e-300))
+                lnr = jnp.log(r)
+                denom = ln0 - ln1
+                frac = jnp.clip(
+                    (ln0 - lnr) / jnp.where(denom > 0, denom, 1.0), 0.0, 1.0
+                )  # (B,) crossing fraction of the step
+                t_tau = t_start + frac * dt
+                phi_tau = phi0_ + frac[None, :] * (phi - phi0_)
+            else:
+                t_tau = jnp.full((n_traj,), t_end)
+                phi_tau = phi
+            # candidates in the rotating frame: e^{-d t} L_k e^{d t} phi(t)
+            chi = (
+                phi_tau
+                if d is None
+                else jnp.exp(d[:, None] * t_tau[None, :]) * phi_tau
+            )
             cand = jnp.einsum("kij,jb->kib", L_all, chi)  # (K, n, B)
             w = jnp.sum(jnp.abs(cand) ** 2, axis=1)  # (K, B)
             gam = rates_at(t_end)
@@ -267,7 +323,12 @@ def solve_mc_trajectories(
             c_nrm = jnp.sqrt(jnp.sum(jnp.abs(c_sel) ** 2, axis=0))
             c_sel = c_sel / jnp.where(c_nrm > 0, c_nrm, 1.0)
             if d is not None:
-                c_sel = jnp.exp(-d * t_end)[:, None] * c_sel
+                c_sel = jnp.exp(-d[:, None] * t_tau[None, :]) * c_sel
+            if interp:
+                # post-jump remainder evolution: c + theta (Uc - c), the
+                # linear fraction of the shared step propagator
+                Uc = U @ c_sel
+                c_sel = c_sel + (1.0 - frac)[None, :] * (Uc - c_sel)
             # never jump on a zero-weight lane (fully decayed channel set)
             do_jump = do_jump & (wsum > 0)
             phi = jnp.where(do_jump[None, :], c_sel, phi)
@@ -285,7 +346,12 @@ def solve_mc_trajectories(
         return carry, phi / jnp.where(nrm > 0, nrm, 1.0)
 
     key, k_r = jax.random.split(key)
-    r0 = jax.random.uniform(k_r, (n_traj,))
+    if thresholds is not None:
+        r0 = jnp.asarray(thresholds, dtype=float)
+        if r0.shape != (n_traj,):
+            raise DynamicsError("thresholds must have shape (n_traj,).")
+    else:
+        r0 = jax.random.uniform(k_r, (n_traj,))
     jumps0 = jnp.zeros(n_traj, dtype=jnp.int32)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as _P
@@ -347,6 +413,8 @@ def solve_mc_trajectories_sweep(
     tile_b: int = 512,
     interpret: bool = False,
     mesh=None,
+    jump_placement: str = "interp",
+    thresholds=None,
 ) -> MCResult:
     r"""Trajectory unraveling over a parameter sweep — the MC member of the
     repo's sweep-solver family (``fused_sweep_solve``, perturbative
@@ -378,6 +446,10 @@ def solve_mc_trajectories_sweep(
         interpret: run the Pallas kernel in interpreter mode (CPU tests).
         mesh: optional mesh with a ``"data"`` axis — members are sharded
             across it (embarrassingly parallel).
+        jump_placement: ``"interp"`` (second-order, default) or ``"end"``
+            — as in :func:`solve_mc_trajectories`.
+        thresholds: optional ``(M, n_traj)`` initial waiting-time
+            thresholds replacing the uniform draw (stratified sampling).
 
     Returns:
         :class:`MCResult` with a member axis:
@@ -522,17 +594,39 @@ def solve_mc_trajectories_sweep(
         phi0[None, :, None], (n_members, dim, n_traj)
     ).astype(complex)
 
+    interp = jump_placement == "interp"
+    if jump_placement not in ("interp", "end"):
+        raise DynamicsError("jump_placement must be 'interp' or 'end'.")
+
     def step(carry, inputs):
-        phi, r, k, jumps = carry
+        phi0_, r, k, jumps = carry
         if n_chan:
-            U_t, pe, gam_t = inputs  # (M,n,n), (n,), (M,K)
+            U_t, pe, gam_t, t_s = inputs  # (M,n,n), (n,), (M,K), ()
         else:
             U_t = inputs[0] if isinstance(inputs, tuple) else inputs
-        phi = jnp.einsum("mij,mjb->mib", U_t, phi)
+        phi = jnp.einsum("mij,mjb->mib", U_t, phi0_)
         if n_chan:
             nrm2 = jnp.sum(jnp.abs(phi) ** 2, axis=1)  # (M, B)
             do_jump = nrm2 < r
-            chi = phi if d is None else pe[None, :, None] * phi
+            if interp:
+                # second-order jump placement (see solve_mc_trajectories)
+                n0 = jnp.sum(jnp.abs(phi0_) ** 2, axis=1)
+                ln0 = jnp.log(jnp.where(n0 > 0, n0, 1.0))
+                ln1 = jnp.log(jnp.where(nrm2 > 0, nrm2, 1e-300))
+                denom = ln0 - ln1
+                frac = jnp.clip(
+                    (ln0 - jnp.log(r)) / jnp.where(denom > 0, denom, 1.0), 0.0, 1.0
+                )  # (M, B)
+                t_tau = t_s + frac * dt
+                phi_tau = phi0_ + frac[:, None, :] * (phi - phi0_)
+                chi = (
+                    phi_tau
+                    if d is None
+                    else jnp.exp(d[None, :, None] * t_tau[:, None, :]) * phi_tau
+                )
+            else:
+                phi_tau = phi
+                chi = phi if d is None else pe[None, :, None] * phi
             cand = jnp.einsum("kij,mjb->kmib", L_all, chi)  # (K, M, n, B)
             w = jnp.sum(jnp.abs(cand) ** 2, axis=2)  # (K, M, B)
             w = w * jnp.swapaxes(gam_t, 0, 1)[:, :, None]  # (K, M, B)
@@ -545,7 +639,14 @@ def solve_mc_trajectories_sweep(
             c_nrm = jnp.sqrt(jnp.sum(jnp.abs(c_sel) ** 2, axis=1))  # (M, B)
             c_sel = c_sel / jnp.where(c_nrm > 0, c_nrm, 1.0)[:, None, :]
             if d is not None:
-                c_sel = jnp.conj(pe)[None, :, None] * c_sel
+                if interp:
+                    c_sel = jnp.exp(-d[None, :, None] * t_tau[:, None, :]) * c_sel
+                else:
+                    c_sel = jnp.conj(pe)[None, :, None] * c_sel
+            if interp:
+                # post-jump remainder: c + theta (Uc - c)
+                Uc = jnp.einsum("mij,mjb->mib", U_t, c_sel)
+                c_sel = c_sel + (1.0 - frac)[:, None, :] * (Uc - c_sel)
             do_jump = do_jump & (wsum > 0)
             phi = jnp.where(do_jump[:, None, :], c_sel, phi)
             r = jnp.where(do_jump, jax.random.uniform(k_new, (n_members, n_traj)), r)
@@ -560,7 +661,8 @@ def solve_mc_trajectories_sweep(
         gam_seg = jnp.swapaxes(gammas, 0, 1).reshape(
             n_save, steps_per_save, n_members, n_chan
         )
-        seg_inputs = (Useg, pe_seg, gam_seg)
+        ts_seg = (t0 + jnp.arange(n_steps) * dt).reshape(n_save, steps_per_save)
+        seg_inputs = (Useg, pe_seg, gam_seg, ts_seg)
     else:
         seg_inputs = (Useg,)
 
@@ -571,7 +673,12 @@ def solve_mc_trajectories_sweep(
         return carry, phi / jnp.where(nrm > 0, nrm, 1.0)
 
     key, k_r = jax.random.split(key)
-    r0 = jax.random.uniform(k_r, (n_members, n_traj))
+    if thresholds is not None:
+        r0 = jnp.asarray(thresholds, dtype=float)
+        if r0.shape != (n_members, n_traj):
+            raise DynamicsError("thresholds must have shape (n_members, n_traj).")
+    else:
+        r0 = jax.random.uniform(k_r, (n_members, n_traj))
     jumps0 = jnp.zeros((n_members, n_traj), dtype=jnp.int32)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as _P

@@ -168,6 +168,9 @@ class _PerturbativeSolver(ABC):
         interpret: bool = False,
         mesh=None,
         expm_squarings: int = 1,
+        precision: str = "f32",
+        df_order: int = 2,
+        df_chunk_b: int = 2048,
     ):
         """Batched parameter-sweep solve through the streamed chain kernel.
 
@@ -199,11 +202,37 @@ class _PerturbativeSolver(ABC):
                 measured on chip (dim-10 transmon, 1000 steps): 3.4e-6 at 0,
                 5.7e-6 at 1 (default: 2x convergence-radius margin), 1.3e-5
                 at 2, 1.2e-4 at 4. Raise it only for ``||Omega * dt|| > 1``.
+            precision: ``"f32"`` (default, fastest — accuracy floors at the
+                ~3e-6 f32 chain-arithmetic level) or ``"df32"``: the SAME
+                truncated expansion in compensated double-float32 with
+                host-f64 coefficient tables, reaching the expansion's own
+                truncation error (~1e-8 class on the bench config) on chip.
+                df32 is host-synchronous (concrete params, numpy-written
+                envelopes; not jit/grad-traceable) and returns a host numpy
+                array. See :func:`~qiskit_dynamics_tpu.ops.df_chain.dysolve_sweep_df`.
+            df_order: (df32 only) highest expansion order kept in df32
+                arithmetic; higher orders ride the f32 MXU tail.
+            df_chunk_b: (df32 only) member-chunk width per device dispatch.
 
         Returns:
             (B, dim) final states (in the rotating frame of the model, like
             ``solve``).
         """
+        if precision == "df32":
+            from ...ops.df_chain import dysolve_sweep_df
+
+            if mesh is not None:
+                raise DynamicsError(
+                    "precision='df32' does not support mesh sharding yet; "
+                    "shard the parameter batch externally."
+                )
+            return dysolve_sweep_df(
+                self.model, signals_fn, params, y0, t0, n_steps,
+                df_order=df_order, chunk_b=df_chunk_b,
+            )
+        if precision != "f32":
+            raise DynamicsError(f"Unknown precision {precision!r} (use 'f32' or 'df32').")
+
         from ...ops.chain_apply import chain_apply_bol_ad
 
         if mesh is not None:

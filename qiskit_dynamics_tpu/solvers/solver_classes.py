@@ -534,18 +534,36 @@ class Solver:
         the mesh's data axis — one fused kernel call per chip shard
         (multi-chip serving; see ``parallel.pshard_batch``).
         """
-        from .fused_sweep import fused_adaptive_sweep_solve
+        from .fused_sweep import fused_adaptive_sweep_solve, fused_sweep_solve
 
         opts = {k: v for k, v in kwargs.items() if k != "method"}
         allowed = {
             "atol", "rtol", "max_steps", "h0", "tile_b", "interpret",
             "bucket_lanes", "envelope_resolution", "mesh",
+            "precision", "max_dt", "magnus_order", "df_chunk_b",
         }
         bad = set(opts) - allowed
         if bad:
             raise DynamicsError(
                 f"method='fused_dopri5' got unsupported kwargs: {sorted(bad)}; "
                 f"supported: {sorted(allowed)}."
+            )
+        precision = opts.pop("precision", "f32")
+        if precision not in ("f32", "df32"):
+            raise DynamicsError(
+                f"unknown precision {precision!r}; use 'f32' or 'df32'."
+            )
+        if precision == "df32":
+            df_only = {"max_dt", "magnus_order", "df_chunk_b"}
+            bad_df = set(opts) - df_only
+            if bad_df:
+                raise DynamicsError(
+                    'precision="df32" serving supports only '
+                    f"{sorted(df_only)} options; got {sorted(bad_df)}."
+                )
+        elif not {"max_dt", "magnus_order", "df_chunk_b"}.isdisjoint(opts):
+            raise DynamicsError(
+                "max_dt/magnus_order/df_chunk_b require precision='df32'."
             )
         if self._schedule_converter is None:
             raise DynamicsError(
@@ -626,54 +644,79 @@ class Solver:
                     self._dissipator_channels,
                 )
 
-            group_opts = dict(opts)
-            # serving accuracy default (see docstring): the kernel's 1e-6
-            # default tolerance measures 2.5e-4 state error on the dim-27
-            # serving config — tighten to the measured <=1e-5-error setting
-            group_opts.setdefault("atol", 5e-8)
-            group_opts.setdefault("rtol", 5e-8)
-            env_res = group_opts.pop("envelope_resolution", n_samp)
-            m = 1 if kernel_y0.ndim == 1 or vectorized_lindblad else kernel_y0.shape[1]
-            group_opts.setdefault(
-                "tile_b", min(512, -(-(len(idxs) * m) // 128) * 128)
-            )
-            # complex-safe jit boundary: complex sample tables / outputs are
-            # split into real/imag pairs on the host (the axon TPU platform
-            # cannot transfer complex arrays; complex constants captured by
-            # the trace are fine). The compiled function is cached per
-            # (t_span, shapes, y0, options) so repeated batches (a calibration
-            # loop) hit the jit cache instead of retracing — measured 19.9s
-            # -> sub-second steady-state on the 3-transmon 256-schedule batch.
-            cache_key = (
-                t0, tf, samples.shape, env_res, vectorized_lindblad,
-                tuple(sorted(group_opts.items())),
-                kernel_y0.shape, kernel_y0.tobytes(),
-            )
-            mesh = group_opts.pop("mesh", None)
-            if mesh is not None:
-                cache_key = cache_key + (mesh,)
-            solve_fn = self._fused_solve_cache.get(cache_key)
-            if solve_fn is None:
-                kernel_fn = lambda p: fused_adaptive_sweep_solve(
-                    self.model,
-                    signals_fn,
-                    p,
-                    t_span=(t0, tf),
-                    y0=kernel_y0,
-                    rwa_signal_map=self._rwa_signal_map,
-                    envelope_resolution=env_res,
-                    **group_opts,
+            if precision == "df32":
+                # high-precision serving (1e-8 class): fixed-step df32 Magnus
+                # engine on a SAMPLE-ALIGNED step grid — max_dt is snapped to
+                # an integer divisor of the sample period dt so no Magnus
+                # quadrature node ever straddles a piecewise-constant
+                # envelope cell (which would break the 6th-order rule).
+                # Host-facing: no jit cache (coefficient tables are sampled
+                # host-side in f64 on every call — that cost is the honest
+                # serving cost of this mode).
+                sub = max(1, int(np.ceil(dt / float(opts.get("max_dt", dt)) - 1e-9)))
+                out = np.asarray(
+                    fused_sweep_solve(
+                        self.model,
+                        signals_fn,
+                        samples,
+                        t_span=(t0, tf),
+                        max_dt=dt / sub,
+                        y0=kernel_y0,
+                        precision="df32",
+                        magnus_order=opts.get("magnus_order", 3),
+                        df_chunk_b=opts.get("df_chunk_b", 2048),
+                        rwa_signal_map=self._rwa_signal_map,
+                    )
+                )  # same layouts as the adaptive kernel: (B, dim[, m]) / (B, n, n)
+            else:
+                group_opts = dict(opts)
+                # serving accuracy default (see docstring): the kernel's 1e-6
+                # default tolerance measures 2.5e-4 state error on the dim-27
+                # serving config — tighten to the measured <=1e-5-error setting
+                group_opts.setdefault("atol", 5e-8)
+                group_opts.setdefault("rtol", 5e-8)
+                env_res = group_opts.pop("envelope_resolution", n_samp)
+                m = 1 if kernel_y0.ndim == 1 or vectorized_lindblad else kernel_y0.shape[1]
+                group_opts.setdefault(
+                    "tile_b", min(512, -(-(len(idxs) * m) // 128) * 128)
                 )
+                # complex-safe jit boundary: complex sample tables / outputs are
+                # split into real/imag pairs on the host (the axon TPU platform
+                # cannot transfer complex arrays; complex constants captured by
+                # the trace are fine). The compiled function is cached per
+                # (t_span, shapes, y0, options) so repeated batches (a calibration
+                # loop) hit the jit cache instead of retracing — measured 19.9s
+                # -> sub-second steady-state on the 3-transmon 256-schedule batch.
+                cache_key = (
+                    t0, tf, samples.shape, env_res, vectorized_lindblad,
+                    tuple(sorted(group_opts.items())),
+                    kernel_y0.shape, kernel_y0.tobytes(),
+                )
+                mesh = group_opts.pop("mesh", None)
                 if mesh is not None:
-                    # multi-chip serving: shard the schedule batch across the
-                    # mesh's data axis — each chip runs the fused kernel on
-                    # its shard (parallel.pshard_batch pads/trims)
-                    from ..parallel.sweep import pshard_batch
+                    cache_key = cache_key + (mesh,)
+                solve_fn = self._fused_solve_cache.get(cache_key)
+                if solve_fn is None:
+                    kernel_fn = lambda p: fused_adaptive_sweep_solve(
+                        self.model,
+                        signals_fn,
+                        p,
+                        t_span=(t0, tf),
+                        y0=kernel_y0,
+                        rwa_signal_map=self._rwa_signal_map,
+                        envelope_resolution=env_res,
+                        **group_opts,
+                    )
+                    if mesh is not None:
+                        # multi-chip serving: shard the schedule batch across
+                        # the mesh's data axis — each chip runs the fused
+                        # kernel on its shard (parallel.pshard_batch pads/trims)
+                        from ..parallel.sweep import pshard_batch
 
-                    kernel_fn = pshard_batch(kernel_fn, mesh=mesh)
-                solve_fn = cjit(kernel_fn)
-                self._fused_solve_cache[cache_key] = solve_fn
-            out = np.asarray(solve_fn(samples))  # (B, dim), (B, dim, m), or (B, n, n)
+                        kernel_fn = pshard_batch(kernel_fn, mesh=mesh)
+                    solve_fn = cjit(kernel_fn)
+                    self._fused_solve_cache[cache_key] = solve_fn
+                out = np.asarray(solve_fn(samples))  # (B, dim), (B, dim, m), or (B, n, n)
 
             y_first = np.asarray(
                 y0_input.data if hasattr(y0_input, "data") else y0_input

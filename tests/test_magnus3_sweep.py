@@ -138,3 +138,81 @@ class TestMagnus3Validation:
             sweep_expm_magnus2_member(
                 stat, ops, om, coef, y0, dt=0.1, interpret=True, magnus=3
             )
+
+
+class TestPolyEngine:
+    """sweep_engine='poly': the polynomial-expanded Magnus engine
+    (ops/polynomial_sweep.py) — the per-member batched commutator matmuls
+    collapse into one (B, Q) @ (Q, n^2) contraction against host-expanded
+    monomial matrices. Same rule, same Horner polynomial."""
+
+    @pytest.mark.parametrize("mo", [2, 3])
+    def test_poly_matches_xla(self, lindblad_setup, mo):
+        model, _, rho0, sig = lindblad_setup
+        amps = jnp.linspace(0.2, 1.0, 4)
+        kw = dict(t_span=(0.0, 2.0), max_dt=0.05, y0=rho0, magnus_order=mo)
+        out_p = fused_sweep_solve(model, sig, amps, sweep_engine="poly", **kw)
+        out_x = fused_sweep_solve(model, sig, amps, sweep_engine="xla", **kw)
+        np.testing.assert_allclose(
+            np.asarray(out_p), np.asarray(out_x), atol=1e-12, rtol=0
+        )
+
+    def test_poly_matches_xla_hamiltonian_vector(self, lindblad_setup):
+        """Pure Hamiltonian model with a vector y0 (non-vectorized path)."""
+        dim = 4
+        a_op = np.diag(np.sqrt(np.arange(1, dim)), 1)
+        N_op = np.diag(np.arange(dim, dtype=float))
+        H0 = 2 * np.pi * (5.0 * N_op - 0.33 / 2 * (N_op @ N_op - N_op))
+        Hd = 2 * np.pi * 0.02 * (a_op + a_op.conj().T)
+        solver = Solver(
+            static_hamiltonian=H0, hamiltonian_operators=[Hd],
+            rotating_frame=np.diag(H0),
+        )
+        y0 = np.zeros(dim, dtype=complex)
+        y0[0] = 1.0
+        amps = jnp.linspace(0.2, 1.0, 3)
+        sigh = lambda amp: [Signal(lambda t: amp, carrier_freq=5.0)]
+        kw = dict(
+            t_span=(0.0, 2.0), max_dt=0.05, y0=y0, magnus_order=3,
+            rwa_signal_map=solver._rwa_signal_map,
+        )
+        out_p = fused_sweep_solve(
+            solver.model, sigh, amps, sweep_engine="poly", **kw
+        )
+        out_x = fused_sweep_solve(
+            solver.model, sigh, amps, sweep_engine="xla", **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_p), np.asarray(out_x), atol=1e-12, rtol=0
+        )
+
+    def test_poly_trajectories_match_xla(self, lindblad_setup):
+        model, _, rho0, sig = lindblad_setup
+        amps = jnp.linspace(0.2, 1.0, 2)
+        t_eval = [0.5, 1.0, 2.0]
+        kw = dict(
+            t_span=(0.0, 2.0), max_dt=0.05, y0=rho0, magnus_order=3,
+            t_eval=t_eval,
+        )
+        out_p = fused_sweep_solve(model, sig, amps, sweep_engine="poly", **kw)
+        out_x = fused_sweep_solve(model, sig, amps, sweep_engine="xla", **kw)
+        np.testing.assert_allclose(
+            np.asarray(out_p), np.asarray(out_x), atol=1e-12, rtol=0
+        )
+
+    def test_poly_grad_matches_xla(self, lindblad_setup):
+        """The poly engine is plain jnp + scan: gradients flow through the
+        expansion contraction and must match the xla engine's."""
+        model, _, rho0, sig = lindblad_setup
+        amps = jnp.linspace(0.3, 0.9, 3)
+
+        def loss(a, engine):
+            out = fused_sweep_solve(
+                model, sig, a, t_span=(0.0, 1.0), max_dt=0.05, y0=rho0,
+                magnus_order=3, sweep_engine=engine,
+            )
+            return jnp.mean(jnp.abs(out[:, 1, 1]))
+
+        g_p = jax.grad(lambda a: loss(a, "poly"))(amps)
+        g_x = jax.grad(lambda a: loss(a, "xla"))(amps)
+        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=1e-10)

@@ -359,3 +359,75 @@ class TestIncludeImag:
         np.testing.assert_allclose(
             np.asarray(r_real.y[-1]), np.asarray(r_full.y[-1]), atol=1e-8
         )
+
+
+# ---------------------------------------------------------------------------
+# precision="df32": the perturbative solvers' 1e-8 mode (ops/df_chain.py).
+# Against full-f64 host stepping of the SAME polynomial the only difference
+# is arithmetic (df32 ~2^-48 + the f32 tail of order>df_order terms), so
+# agreement at ~1e-12 proves the whole pipeline (host-f64 coefficients,
+# rank-1 DCT factorization, df chain) end to end.
+
+
+def _df_sigs_np(a):
+    return [
+        Signal(lambda t: a * np.exp(-((t - 0.125) ** 2) / 0.02), carrier_freq=NU)
+    ]
+
+
+def test_solve_sweep_df32_dyson(dyson_solver):
+    y0 = np.array([1.0, 0.0], dtype=complex)
+    amps = np.linspace(0.2, 0.5, 4)
+    n_steps = 10
+    out = dyson_solver.solve_sweep(
+        0.0, n_steps, y0, _df_sigs_np, amps, precision="df32"
+    )
+    assert out.dtype == np.complex128
+    for i, a in enumerate(amps):
+        ref = dyson_solver.solve(
+            0.0, n_steps, y0, _df_sigs_np(float(a)), jax_control_flow=False
+        )
+        np.testing.assert_allclose(out[i], np.asarray(ref.y[-1]), atol=1e-11)
+
+
+def test_solve_sweep_df32_fallback_matches_rank1(dyson_solver):
+    """A signals_fn that rejects batched construction forces the per-member
+    host-table fallback; results must match the rank-1 fast path to df
+    roundoff."""
+    y0 = np.array([1.0, 0.0], dtype=complex)
+    amps = np.linspace(0.2, 0.5, 4)
+
+    def scalar_only(a):
+        if np.ndim(a) != 0:
+            raise TypeError("scalar only")
+        return _df_sigs_np(float(a))
+
+    out_rank1 = dyson_solver.solve_sweep(
+        0.0, 10, y0, _df_sigs_np, amps, precision="df32"
+    )
+    out_fb = dyson_solver.solve_sweep(
+        0.0, 10, y0, scalar_only, amps, precision="df32"
+    )
+    np.testing.assert_allclose(out_fb, out_rank1, atol=1e-12)
+
+
+def test_solve_sweep_df32_magnus(magnus_solver):
+    y0 = np.array([1.0, 0.0], dtype=complex)
+    amps = np.linspace(0.2, 0.5, 3)
+    n_steps = 10
+    out = magnus_solver.solve_sweep(
+        0.0, n_steps, y0, _df_sigs_np, amps, precision="df32"
+    )
+    for i, a in enumerate(amps):
+        ref = magnus_solver.solve(
+            0.0, n_steps, y0, _df_sigs_np(float(a)), jax_control_flow=False
+        )
+        np.testing.assert_allclose(out[i], np.asarray(ref.y[-1]), atol=1e-11)
+
+
+def test_solve_sweep_df32_validation(dyson_solver):
+    y0 = np.array([1.0, 0.0], dtype=complex)
+    with pytest.raises(DynamicsError, match="precision"):
+        dyson_solver.solve_sweep(
+            0.0, 4, y0, _df_sigs_np, np.array([0.2]), precision="f16"
+        )

