@@ -197,9 +197,15 @@ def fused_sweep_solve(
         sweep_engine: ``"pallas"`` (batch-on-lanes fused kernel — fastest for
             small dims, but Mosaic compile time grows with the unrolled
             ``n^2`` loops), ``"xla"`` (batch-major MXU matmuls under one
-            ``lax.scan`` — compiles in seconds at any dim), or ``"auto"``
-            (default): pallas for ``solve_dim <= 32``, xla above. Identical
-            Magnus-2/Taylor polynomial either way.
+            ``lax.scan`` — compiles in seconds at any dim), ``"poly"``
+            (polynomial-expanded Magnus: the frame mask is a diagonal
+            conjugation, so the whole bracket rule expands host-side into
+            ~tens of member-independent matrices and each step costs ONE
+            ``(B, Q) @ (Q, n^2)`` MXU contraction instead of per-member
+            batched commutator matmuls — the large-dim fast path; see
+            :mod:`~qiskit_dynamics_tpu.ops.polynomial_sweep`), or ``"auto"``
+            (default): pallas for ``solve_dim <= 32``, member/xla above.
+            Identical Magnus rule and Taylor polynomial on every engine.
         member_horner: (member engine only) Horner mat-vec variant —
             ``"mxu"`` (default), ``"vpu"``, ``"hybrid"``, or ``"bvpu"``
             (see :mod:`~qiskit_dynamics_tpu.ops.member_sweep`).
