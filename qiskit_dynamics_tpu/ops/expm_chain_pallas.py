@@ -41,13 +41,13 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["expm_chain_fused"]
 
 
-def _kernel(n, m, T, scale, order, squarings, coeff, s, *refs):
+def _kernel(n, m, T, bb, scale, order, squarings, coeff, s, *refs):
     (
-        gr_ref, gi_ref,            # (1, 1, n, n) this step's generator
-        y0r_ref, y0i_ref,          # (1, n, m)
-        outr_ref, outi_ref,        # (1, n, m)
-        yr, yi,                    # (n, m) running state
-        powr, powi,                # (s, n, n) X^1..X^s
+        gr_ref, gi_ref,            # (1, bb, n, n) this step's generators
+        y0r_ref, y0i_ref,          # (bb, n, m)
+        outr_ref, outi_ref,        # (bb, n, m)
+        yr, yi,                    # (bb, n, m) running states
+        powr, powi,                # (bb, s, n, n) X^1..X^s per element
         tall,                      # (2n, n) wide-product operands
         wide_n,                    # (n, 2n)
         wide_y,                    # (n, 2m)
@@ -70,23 +70,30 @@ def _kernel(n, m, T, scale, order, squarings, coeff, s, *refs):
 
     @pl.when(t == 0)
     def _init():
-        yr[...] = y0r_ref[0]
-        yi[...] = y0i_ref[0]
-
-    # scaled step generator X = G dt / 2^squarings and its powers X^2..X^s
-    powr[0] = gr_ref[0, 0] * scale
-    powi[0] = gi_ref[0, 0] * scale
-    for i in range(1, s):
-        r_, i_ = cprod(powr[i - 1], powi[i - 1], powr[0], powi[0], n, wide_n)
-        powr[i] = r_
-        powi[i] = i_
+        yr[...] = y0r_ref[...]
+        yi[...] = y0i_ref[...]
 
     eye = (
         jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     ).astype(f)
 
-    def block(j):
+    # The bb batch elements of this program are interleaved stage-by-stage:
+    # consecutive MXU dots then belong to INDEPENDENT elements, so the
+    # systolic pipeline never stalls on a data dependency (the PS/Horner/
+    # squaring chain is inherently serial within one element).
+    for e in range(bb):
+        powr[e, 0] = gr_ref[0, e] * scale
+        powi[e, 0] = gi_ref[0, e] * scale
+    for i in range(1, s):
+        for e in range(bb):
+            r_, i_ = cprod(
+                powr[e, i - 1], powi[e, i - 1], powr[e, 0], powi[e, 0], n, wide_n
+            )
+            powr[e, i] = r_
+            powi[e, i] = i_
+
+    def block(e, j):
         """B_j = sum_i c_{js+i} X^i (i < s): VPU combos, no matmul.
 
         Same block structure as ``expm_taylor`` — X^0 contributes to the
@@ -98,46 +105,56 @@ def _kernel(n, m, T, scale, order, squarings, coeff, s, *refs):
             k = s * j + i
             if k > order:
                 break
-            br = br + coeff[k] * powr[i - 1]
-            term_i = coeff[k] * powi[i - 1]
+            br = br + coeff[k] * powr[e, i - 1]
+            term_i = coeff[k] * powi[e, i - 1]
             bi = term_i if bi is None else bi + term_i
         if bi is None:
             bi = jnp.zeros((n, n), f)
         return br, bi
 
     # Horner in X^s (identical to expm_taylor's PS evaluation order)
-    mtop = -(-(order + 1) // s) - 1
-    if s * mtop == order:
-        br, bi = block(mtop - 1)
-        pr = br + coeff[order] * powr[s - 1]
-        pi = bi + coeff[order] * powi[s - 1]
-        mtop -= 1
-    else:
-        pr, pi = block(mtop)
-    for j in range(mtop - 1, -1, -1):
-        qr, qi = cprod(powr[s - 1], powi[s - 1], pr, pi, n, wide_n)
-        br, bi = block(j)
-        pr = br + qr
-        pi = bi + qi
+    mtop0 = -(-(order + 1) // s) - 1
+    ps = [None] * bb
+    for e in range(bb):
+        mtop = mtop0
+        if s * mtop == order:
+            br, bi = block(e, mtop - 1)
+            ps[e] = (br + coeff[order] * powr[e, s - 1],
+                     bi + coeff[order] * powi[e, s - 1])
+            mtop -= 1
+        else:
+            ps[e] = block(e, mtop)
+    mtop0 = mtop0 - 1 if s * mtop0 == order else mtop0
+    for j in range(mtop0 - 1, -1, -1):
+        for e in range(bb):
+            pr, pi = ps[e]
+            qr, qi = cprod(powr[e, s - 1], powi[e, s - 1], pr, pi, n, wide_n)
+            br, bi = block(e, j)
+            ps[e] = (br + qr, bi + qi)
 
     for _ in range(squarings):
-        pr, pi = cprod(pr, pi, pr, pi, n, wide_n)
+        for e in range(bb):
+            pr, pi = ps[e]
+            ps[e] = cprod(pr, pi, pr, pi, n, wide_n)
 
-    new_r, new_i = cprod(pr, pi, yr[...], yi[...], m, wide_y)
-    yr[...] = new_r
-    yi[...] = new_i
+    for e in range(bb):
+        pr, pi = ps[e]
+        new_r, new_i = cprod(pr, pi, yr[e], yi[e], m, wide_y)
+        yr[e] = new_r
+        yi[e] = new_i
 
     @pl.when(t == T - 1)
     def _out():
-        outr_ref[0] = yr[...]
-        outi_ref[0] = yi[...]
+        outr_ref[...] = yr[...]
+        outi_ref[...] = yi[...]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dt", "order", "squarings", "interpret")
+    jax.jit, static_argnames=("dt", "order", "squarings", "interpret", "block_b")
 )
 def _expm_chain_fused_jit(
-    generators, y0, dt: float, order: int, squarings: int, interpret: bool
+    generators, y0, dt: float, order: int, squarings: int, interpret: bool,
+    block_b: int,
 ):
     T, b, n, _ = generators.shape
     m = y0.shape[-1]
@@ -147,29 +164,33 @@ def _expm_chain_fused_jit(
     y0r = jnp.real(y0).astype(f)
     y0i = jnp.imag(y0).astype(f)
 
+    bb = max(1, min(int(block_b), b))
+    while b % bb:
+        bb -= 1
+
     s = max(2, math.isqrt(order))
     coeff = tuple(1.0 / math.factorial(k) for k in range(order + 1))
     kernel = functools.partial(
-        _kernel, n, m, T, float(dt) / (2.0**squarings), int(order),
+        _kernel, n, m, T, bb, float(dt) / (2.0**squarings), int(order),
         int(squarings), coeff, s,
     )
     g_spec = pl.BlockSpec(
-        (1, 1, n, n), lambda bb, tt: (tt, bb, 0, 0), memory_space=pltpu.VMEM
+        (1, bb, n, n), lambda bi_, tt: (tt, bi_, 0, 0), memory_space=pltpu.VMEM
     )
     y_spec = pl.BlockSpec(
-        (1, n, m), lambda bb, tt: (bb, 0, 0), memory_space=pltpu.VMEM
+        (bb, n, m), lambda bi_, tt: (bi_, 0, 0), memory_space=pltpu.VMEM
     )
     outr, outi = pl.pallas_call(
         kernel,
-        grid=(b, T),
+        grid=(b // bb, T),
         in_specs=[g_spec, g_spec, y_spec, y_spec],
         out_specs=[y_spec, y_spec],
         out_shape=[jax.ShapeDtypeStruct((b, n, m), f)] * 2,
         scratch_shapes=[
-            pltpu.VMEM((n, m), f),
-            pltpu.VMEM((n, m), f),
-            pltpu.VMEM((s, n, n), f),
-            pltpu.VMEM((s, n, n), f),
+            pltpu.VMEM((bb, n, m), f),
+            pltpu.VMEM((bb, n, m), f),
+            pltpu.VMEM((bb, s, n, n), f),
+            pltpu.VMEM((bb, s, n, n), f),
             pltpu.VMEM((2 * n, n), f),
             pltpu.VMEM((n, 2 * n), f),
             pltpu.VMEM((n, 2 * m), f),
@@ -181,7 +202,7 @@ def _expm_chain_fused_jit(
 
 def expm_chain_fused(
     generators, dt: float, y0, order: int = 12, squarings: int = 2,
-    interpret: bool = False,
+    interpret: bool = False, block_b: int = 8,
 ):
     """Fused-VMEM expm-propagator chain ``y <- expm(G_t dt) @ y`` over steps.
 
@@ -200,6 +221,12 @@ def expm_chain_fused(
             ``expm_taylor`` is not replicated here).
         squarings: static scaling-and-squaring steps.
         interpret: Pallas interpreter mode (CPU tests).
+        block_b: batch elements per Pallas program (clipped to a divisor of
+            ``b``). Within a program the elements' stages are INTERLEAVED so
+            consecutive MXU dots are data-independent — the per-element
+            PS/Horner/squaring chain is serial, and with ``block_b=1`` every
+            matmul waits for the previous one's systolic drain. Also
+            amortizes per-invocation grid overhead ``b/block_b``-fold.
 
     Returns:
         ``(b, n, m)`` / ``(n, m)`` final states, complex.
@@ -220,5 +247,6 @@ def expm_chain_fused(
     out = _expm_chain_fused_jit(
         generators, y0, dt=float(dt), order=int(order),
         squarings=int(squarings), interpret=bool(interpret),
+        block_b=int(block_b),
     )
     return out[0] if unbatched else out

@@ -75,3 +75,19 @@ class TestExpmChainFused:
             expm_chain_fused(G, 1.0, y0, order=4, interpret=True)
         with pytest.raises(ValueError, match="generators"):
             expm_chain_fused(G[0], 1.0, y0, interpret=True)
+
+
+@pytest.mark.parametrize("block_b", [1, 2, 4])
+def test_block_b_variants_match(block_b):
+    """The batch-interleaved kernel (block_b > 1) is a pure scheduling
+    change: results must be bit-identical to the per-element kernel."""
+    from qiskit_dynamics_tpu.ops.expm_chain_pallas import expm_chain_fused
+
+    rng = np.random.default_rng(5)
+    T, b, n = 3, 4, 8
+    A = rng.normal(size=(T, b, n, n)) + 1j * rng.normal(size=(T, b, n, n))
+    A = -0.5j * (A + np.conj(np.swapaxes(A, -1, -2)))
+    y0 = np.broadcast_to(np.eye(n, dtype=complex), (b, n, n))
+    ref = expm_chain_fused(A, 0.1, y0, interpret=True, block_b=1)
+    out = expm_chain_fused(A, 0.1, y0, interpret=True, block_b=block_b)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
