@@ -408,6 +408,13 @@ class TestFusedScheduleSolve:
         with pytest.raises(DynamicsError, match="unsupported kwargs"):
             solver.solve(
                 t_span=[0.0, 4.0], y0=np.array([1.0, 0.0], dtype=complex),
+                signals=self._schedules([0.5]), method="fused_dopri5",
+                not_an_option=0.1,
+            )
+        # max_dt is a df32-only option (round 5): supported but gated
+        with pytest.raises(DynamicsError, match="df32"):
+            solver.solve(
+                t_span=[0.0, 4.0], y0=np.array([1.0, 0.0], dtype=complex),
                 signals=self._schedules([0.5]), method="fused_dopri5", max_dt=0.1,
             )
 
