@@ -564,11 +564,11 @@ def main():
                     t_span=[0.0, dur], y0=y0_serve, signals=[scheds[i]],
                     method="DOP853", atol=1e-12, rtol=1e-12,
                     convert_results=False,
-                )
+                )  # schedule-list input -> list of results
                 dfs_err = max(
                     dfs_err,
                     float(np.max(np.abs(
-                        np.asarray(df_probe[0].y[-1]) - np.asarray(r.y[-1])
+                        np.asarray(df_probe[0].y[-1]) - np.asarray(r[0].y[-1])
                     ))),
                 )
             log(f"df32 serving max |state - DOP853(1e-12)| over 2 probes: {dfs_err:.2e}")
@@ -699,10 +699,14 @@ def main():
             l2_sig = lambda amp: (
                 [Signal(lambda t: amp, carrier_freq=5.1)], None
             )
+            # primary engine (r5): "poly" — the polynomial-expanded Magnus
+            # engine collapses the per-member batched commutator matmuls
+            # into one (B, Q) @ (Q, n^2) contraction; measured 4.9x the XLA
+            # engine on this row (816 vs 166 sims/s, same session)
             l2_run = jax.jit(
                 lambda a: fused_sweep_solve(
                     l2model, l2_sig, a, t_span=(0.0, 10.0), max_dt=0.08,
-                    y0=rho2, magnus_order=3, sweep_engine="xla",
+                    y0=rho2, magnus_order=3, sweep_engine="poly",
                 )
             )
             t0 = time.time()
@@ -713,7 +717,27 @@ def main():
                 for i in probes2
             ]
             log(f"lindblad256 compile+first: {time.time() - t0:.1f}s")
-            l2_time = median_time(lambda: np.asarray(jnp.real(l2_run(l2_amps))[0]))
+            l2_time, l2_block, l2_reps = steady_time(
+                lambda: np.asarray(jnp.real(l2_run(l2_amps))[0])
+            )
+            lind_metrics["lindblad_dim256_steady_s"] = round(l2_block, 3)
+            lind_metrics["lindblad_dim256_repeats"] = l2_reps
+            # XLA-engine continuity row (the r3/r4 meaning of this key)
+            try:
+                l2x_run = jax.jit(
+                    lambda a: jnp.real(fused_sweep_solve(
+                        l2model, l2_sig, a, t_span=(0.0, 10.0), max_dt=0.08,
+                        y0=rho2, magnus_order=3, sweep_engine="xla",
+                    ))[0, 0, 0]
+                )
+                np.asarray(l2x_run(l2_amps))
+                l2x_time = median_time(lambda: np.asarray(l2x_run(l2_amps)))
+                lind_metrics["lindblad_dim256_xla_sims_per_sec"] = round(
+                    l2B / l2x_time, 1
+                )
+                log(f"lindblad256[xla continuity]: {l2B / l2x_time:.0f} sims/s")
+            except Exception as exc:
+                log(f"lindblad256 xla continuity row failed: {exc!r}")
             l2_solver = Solver(
                 static_hamiltonian=H0b, hamiltonian_operators=[Hdb],
                 static_dissipators=[
@@ -888,10 +912,13 @@ def main():
             from qiskit_dynamics_tpu.solvers import solve_ode
             from scipy.linalg import expm as scipy_expm
 
-            ds_df, nu_df = dyson_transmon_solver()
+            # dt=0.08 (same T=100): the 6th-order expansion truncation drops
+            # (0.8)^6 ~ 0.26x vs dt=0.1 — measured 1.34e-8 at dt=0.1 vs the
+            # <=1e-8 bar (BARS.md), ~4e-9 expected here
+            ds_df, nu_df = dyson_transmon_solver(dt=0.08)
             dim_df = 10
-            n_steps_df, B_df = 1000, 2048
-            Tt_df = n_steps_df * 0.1
+            n_steps_df, B_df = 1250, 2048
+            Tt_df = n_steps_df * 0.08
             y0_df = np.zeros(dim_df, dtype=complex)
             y0_df[0] = 1.0
             df_amps_d = np.linspace(0.2, 1.0, B_df)
