@@ -540,8 +540,12 @@ def main():
         try:
             backend.set_options(
                 solver_options={
+                    # measured 6th-order ladder on this config: 1.36e-6 at
+                    # max_dt=0.05, 2.29e-8 at 0.025 (x59/halving), steady
+                    # time flat at ~0.64 s (host table sampling dominates)
+                    # -> 0.0125 lands ~4e-10 at ~the same rate
                     "method": "fused_dopri5", "precision": "df32",
-                    "max_dt": float(os.environ.get("BENCH_DF32_SERVE_DT", "0.025")),
+                    "max_dt": float(os.environ.get("BENCH_DF32_SERVE_DT", "0.0125")),
                 }
             )
             t0 = time.time()
@@ -781,10 +785,14 @@ def main():
             Ar, Ai = jax.device_put(A.real.astype(f32)), jax.device_put(A.imag.astype(f32))
             yr, yi = jax.device_put(eye.real.astype(f32)), jax.device_put(eye.imag.astype(f32))
             vals = {}
+            # squarings=1: ||G dt|| = 1.8 here, so the scaled argument norm
+            # is 0.9 and Taylor-12 truncates at 0.9^13/13! ~ 4e-14 — the
+            # second squaring bought nothing but its matmul (1 of 8/step)
             for eng in ("xla", "pallas"):
                 f = jax.jit(
                     lambda ar, ai, br, bi, e=eng: jnp.sum(
-                        jnp.abs(expm_chain(ar + 1j * ai, 0.9, br + 1j * bi, engine=e))
+                        jnp.abs(expm_chain(ar + 1j * ai, 0.9, br + 1j * bi,
+                                           engine=e, squarings=1))
                     )
                 )
                 t0 = time.time()
@@ -912,13 +920,16 @@ def main():
             from qiskit_dynamics_tpu.solvers import solve_ode
             from scipy.linalg import expm as scipy_expm
 
-            # dt=0.08 (same T=100): the 6th-order expansion truncation drops
-            # (0.8)^6 ~ 0.26x vs dt=0.1 — measured 1.34e-8 at dt=0.1 vs the
-            # <=1e-8 bar (BARS.md), ~4e-9 expected here
-            ds_df, nu_df = dyson_transmon_solver(dt=0.08)
+            # chebyshev_order=2: at cheb order 1 the LINEAR envelope fit per
+            # step floors the expansion at ~1.3e-8 regardless of Dyson order
+            # (measured ladder: cheb1/o6 1.32e-8, cheb1/o7 1.32e-8, cheb2/o5
+            # 1.10e-9); dt=0.1 is also the carrier-coherence sweet spot
+            # (nu*dt = 0.5 -> per-step systematic errors cancel pairwise;
+            # dt=0.08 measured 2.9x WORSE despite smaller steps)
+            ds_df, nu_df = dyson_transmon_solver(chebyshev_order=2, expansion_order=5)
             dim_df = 10
-            n_steps_df, B_df = 1250, 2048
-            Tt_df = n_steps_df * 0.08
+            n_steps_df, B_df = 1000, 2048
+            Tt_df = n_steps_df * 0.1
             y0_df = np.zeros(dim_df, dtype=complex)
             y0_df[0] = 1.0
             df_amps_d = np.linspace(0.2, 1.0, B_df)
@@ -934,8 +945,12 @@ def main():
                 ]
 
             def df_run():
+                # chunk 1024: the cheb-2 config's M=461 monomial tensor is
+                # (461, 1000, B) f32 — 1.9 GB per 1024-chunk keeps transients
+                # comfortably inside HBM
                 return ds_df.solve_sweep(
-                    0.0, n_steps_df, y0_df, df_sigs, df_amps_d, precision="df32"
+                    0.0, n_steps_df, y0_df, df_sigs, df_amps_d,
+                    precision="df32", df_chunk_b=1024,
                 )
 
             t0 = time.time()

@@ -383,10 +383,17 @@ def fused_sweep_solve(
         and (jax.default_backend() == "tpu" or interpret)
     )
     if magnus_order == 3:
-        # 6th-order rule: member kernel (resident mode, n <= 64) or the XLA
-        # engine — the lane kernel implements the 2-point rule only
+        # 6th-order rule: member kernel (resident mode, n <= 64), the XLA
+        # engine, or — above solve_dim 128 — the polynomial-expanded engine
+        # (4.9x the XLA engine at n=256, identical accuracy class there;
+        # at SMALL dims with many steps its f32 monomial-contraction
+        # rounding accumulates ~2x worse than the generator-build path, so
+        # member/xla keep the accuracy-gated small-dim rows)
         if sweep_engine == "auto":
-            sweep_engine = "member" if (solve_dim <= 64 and member_ok) else "xla"
+            if solve_dim > 128:
+                sweep_engine = "poly"
+            else:
+                sweep_engine = "member" if (solve_dim <= 64 and member_ok) else "xla"
         if sweep_engine == "pallas":
             raise DynamicsError(
                 "magnus_order=3 is not implemented in the batch-on-lanes "
