@@ -408,10 +408,13 @@ def fused_sweep_solve(
         # measured (BENCHMARKS.md): the batch-on-lanes kernel wins at small
         # n; above n = 32 the member-major MXU kernel keeps each member's
         # matrices in VMEM for the whole solve (the XLA engine re-reads
-        # (B, n, n) from HBM every Horner iteration). The member kernel
+        # (B, n, n) from HBM every Horner iteration); above n = 128 the
+        # polynomial-expanded engine wins (4.9x at n=256). The member kernel
         # covers vector states without trajectory output; other shapes use
         # the XLA engine.
-        if solve_dim <= 32:
+        if solve_dim > 128:
+            sweep_engine = "poly"
+        elif solve_dim <= 32:
             sweep_engine = "pallas"
         elif (
             solve_dim <= 128
