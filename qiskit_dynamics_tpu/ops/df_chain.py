@@ -393,6 +393,7 @@ def dysolve_sweep_df(
     df_order: int = 2,
     expm_order: int = 12,
     chunk_b: int = 2048,
+    devices=None,
 ) -> np.ndarray:
     """Batched Dysolve sweep in compensated df32 arithmetic (~1e-8 class).
 
@@ -419,6 +420,10 @@ def dysolve_sweep_df(
             f32 tail error is ~(r*dt)^(df_order+1) * 6e-8 per step).
         expm_order: Taylor order of the Magnus per-step ``expm`` action.
         chunk_b: member-chunk width per device dispatch.
+        devices: optional list of ``jax.Device`` — chunk dispatches
+            round-robin across them with per-device invariant tables
+            (host-fed data parallelism, the ``ops/df_sweep.py`` multi-chip
+            pattern); transfers are deferred so devices run concurrently.
 
     Returns:
         (B, dim) complex128 final states in the model's rotating frame
@@ -515,10 +520,6 @@ def dysolve_sweep_df(
     def split4(z64):
         return (*_split_f64(z64.real), *_split_f64(z64.imag))
 
-    A_low_p = split4(A_low)
-    const_p = split4(const64)
-    udt_p = split4(udt64)
-
     # frame sandwich host-side in f64
     U0 = np.asarray(
         model.rotating_frame.state_out_of_frame(t0, np.eye(n, dtype=complex))
@@ -530,15 +531,30 @@ def dysolve_sweep_df(
     )
     y0_vec = U0 @ np.asarray(y0, dtype=np.complex128)
 
-    # --- chunked dispatch -------------------------------------------------
-    out = np.zeros((B, n), dtype=np.complex128)
-    for c0 in range(0, B, chunk_b):
-        c1 = min(c0 + chunk_b, B)
-        w = c1 - c0
-        wp = chunk_b if B > chunk_b else w  # pad only multi-chunk runs
-        y0_cols = np.broadcast_to(y0_vec[:, None], (n, wp)).copy()
-        y0_p = split4(y0_cols)
+    # per-device invariant tables shipped ONCE (the axon tunnel moves
+    # ~25 MB/s; with multiple devices the chunk dispatches round-robin)
+    dev_list = list(devices) if devices else [None]
 
+    def _dput(x, d):
+        return (
+            jax.tree_util.tree_map(lambda a: jax.device_put(a, d), x)
+            if d is not None
+            else x
+        )
+
+    zero_tail = np.zeros((0, n, n), dtype=np.float32)
+    invariants = []
+    for d in dev_list:
+        wp0 = chunk_b if B > chunk_b else B
+        y0_cols = np.broadcast_to(y0_vec[:, None], (n, wp0)).copy()
+        inv = dict(
+            A_low_p=_dput(split4(A_low), d),
+            const_p=_dput(split4(const64), d),
+            udt_p=_dput(split4(udt64), d),
+            tail_re=_dput(A_tail_re if tail_index is not None else zero_tail, d),
+            tail_im=_dput(A_tail_im if tail_index is not None else zero_tail, d),
+            y0_p=_dput(split4(y0_cols), d),
+        )
         if rank1 is not None:
             c_refs, scales = rank1
             deg_max = max(c.shape[0] for c in c_refs)
@@ -546,20 +562,36 @@ def dysolve_sweep_df(
             cref = np.zeros((k, deg_max, n_steps), dtype=np.complex128)
             for j, c in enumerate(c_refs):
                 cref[j, : c.shape[0]] = c
-            s_chunk = np.zeros((k, wp), dtype=np.complex128)
+            inv["cref_p"] = _dput(split4(cref), d)
+        invariants.append(inv)
+
+    # --- chunked dispatch (deferred pulls: all chunks enqueue before the
+    # first result transfers back, so devices run concurrently) -----------
+    out = np.zeros((B, n), dtype=np.complex128)
+    pending = []
+    for ci, c0 in enumerate(range(0, B, chunk_b)):
+        c1 = min(c0 + chunk_b, B)
+        w = c1 - c0
+        wp = chunk_b if B > chunk_b else w  # pad only multi-chunk runs
+        d = dev_list[ci % len(dev_list)]
+        inv = invariants[ci % len(dev_list)]
+
+        if rank1 is not None:
+            _, scales = rank1
+            s_chunk = np.zeros((len(rank1[0]), wp), dtype=np.complex128)
             s_chunk[:, :w] = scales[:, c0:c1]
-            coef_data = (*split4(cref), *split4(s_chunk))
+            coef_data = (*inv["cref_p"], *_dput(split4(s_chunk), d))
         else:
             t_chunk = np.zeros((n_vars, n_steps, wp), dtype=np.float64)
             t_chunk[:, :, :w] = table[:, :, c0:c1]
-            coef_data = _split_f64(t_chunk)
+            coef_data = _dput(_split_f64(t_chunk), d)
 
-        rh, rl, ih, il = kernel(
-            A_low_p, const_p,
-            A_tail_re if tail_index is not None else jnp.zeros((0, n, n), jnp.float32),
-            A_tail_im if tail_index is not None else jnp.zeros((0, n, n), jnp.float32),
-            udt_p, coef_data, y0_p,
+        res = kernel(
+            inv["A_low_p"], inv["const_p"], inv["tail_re"], inv["tail_im"],
+            inv["udt_p"], coef_data, inv["y0_p"],
         )
+        pending.append((c0, c1, w, res))
+    for c0, c1, w, (rh, rl, ih, il) in pending:
         yf = (
             np.asarray(rh, dtype=np.float64)
             + np.asarray(rl, dtype=np.float64)

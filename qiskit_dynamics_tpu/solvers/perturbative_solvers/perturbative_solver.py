@@ -171,6 +171,7 @@ class _PerturbativeSolver(ABC):
         precision: str = "f32",
         df_order: int = 2,
         df_chunk_b: int = 2048,
+        df_devices=None,
     ):
         """Batched parameter-sweep solve through the streamed chain kernel.
 
@@ -213,6 +214,9 @@ class _PerturbativeSolver(ABC):
             df_order: (df32 only) highest expansion order kept in df32
                 arithmetic; higher orders ride the f32 MXU tail.
             df_chunk_b: (df32 only) member-chunk width per device dispatch.
+            df_devices: (df32 only) optional list of ``jax.Device`` — chunk
+                dispatches round-robin across them (host-fed multi-chip
+                data parallelism, as in the df32 sweep engine).
 
         Returns:
             (B, dim) final states (in the rotating frame of the model, like
@@ -223,12 +227,13 @@ class _PerturbativeSolver(ABC):
 
             if mesh is not None:
                 raise DynamicsError(
-                    "precision='df32' does not support mesh sharding yet; "
-                    "shard the parameter batch externally."
+                    "precision='df32' is host-orchestrated: pass "
+                    "df_devices=jax.devices() for multi-chip round-robin "
+                    "instead of mesh=."
                 )
             return dysolve_sweep_df(
                 self.model, signals_fn, params, y0, t0, n_steps,
-                df_order=df_order, chunk_b=df_chunk_b,
+                df_order=df_order, chunk_b=df_chunk_b, devices=df_devices,
             )
         if precision != "f32":
             raise DynamicsError(f"Unknown precision {precision!r} (use 'f32' or 'df32').")

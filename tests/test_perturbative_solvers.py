@@ -431,3 +431,16 @@ def test_solve_sweep_df32_validation(dyson_solver):
         dyson_solver.solve_sweep(
             0.0, 4, y0, _df_sigs_np, np.array([0.2]), precision="f16"
         )
+
+
+def test_solve_sweep_df32_device_round_robin(dyson_solver):
+    """df_devices= round-robin chunk dispatch is bit-identical to the
+    single-device path (pure scheduling, per-device invariant tables)."""
+    y0 = np.array([1.0, 0.0], dtype=complex)
+    amps = np.linspace(0.2, 0.5, 6)
+    kw = dict(precision="df32", df_chunk_b=2)
+    single = dyson_solver.solve_sweep(0.0, 6, y0, _df_sigs_np, amps, **kw)
+    multi = dyson_solver.solve_sweep(
+        0.0, 6, y0, _df_sigs_np, amps, df_devices=jax.devices(), **kw
+    )
+    np.testing.assert_array_equal(multi, single)
