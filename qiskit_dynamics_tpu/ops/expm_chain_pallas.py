@@ -164,11 +164,18 @@ def _expm_chain_fused_jit(
     y0r = jnp.real(y0).astype(f)
     y0i = jnp.imag(y0).astype(f)
 
-    bb = max(1, min(int(block_b), b))
+    s = max(2, math.isqrt(order))
+    # clamp block_b to the Mosaic scoped-VMEM stack budget (~16 MB on v5e;
+    # measured: bb=8 at n=m=256 requested 42.6 MB and failed to compile).
+    # Conservative per-element estimate: powers (2 s n^2) + state scratch
+    # (2 n m) + generator block (2 n^2) + y0/out blocks (4 n m) + the live
+    # propagator values (2 n^2), f32 each.
+    per_bb = 4 * (2 * s * n * n + 2 * n * m + 2 * n * n + 4 * n * m + 2 * n * n)
+    fixed = 4 * (2 * n * n + 2 * n * n + 2 * n * m) + (2 << 20)
+    bb_budget = max(1, int(((14 << 20) - fixed) // per_bb))
+    bb = max(1, min(int(block_b), b, bb_budget))
     while b % bb:
         bb -= 1
-
-    s = max(2, math.isqrt(order))
     coeff = tuple(1.0 / math.factorial(k) for k in range(order + 1))
     kernel = functools.partial(
         _kernel, n, m, T, bb, float(dt) / (2.0**squarings), int(order),
