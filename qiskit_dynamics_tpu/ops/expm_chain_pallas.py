@@ -209,7 +209,7 @@ def _expm_chain_fused_jit(
 
 def expm_chain_fused(
     generators, dt: float, y0, order: int = 12, squarings: int = 2,
-    interpret: bool = False, block_b: int = 8,
+    interpret: bool = False, block_b: int = 1,
 ):
     """Fused-VMEM expm-propagator chain ``y <- expm(G_t dt) @ y`` over steps.
 
@@ -229,11 +229,12 @@ def expm_chain_fused(
         squarings: static scaling-and-squaring steps.
         interpret: Pallas interpreter mode (CPU tests).
         block_b: batch elements per Pallas program (clipped to a divisor of
-            ``b``). Within a program the elements' stages are INTERLEAVED so
-            consecutive MXU dots are data-independent — the per-element
-            PS/Horner/squaring chain is serial, and with ``block_b=1`` every
-            matmul waits for the previous one's systolic drain. Also
-            amortizes per-invocation grid overhead ``b/block_b``-fold.
+            ``b`` and to the scoped-VMEM budget). Within a program the
+            elements' stages are INTERLEAVED so consecutive MXU dots are
+            data-independent. Measured on chip at n=256 (squarings=1 chain):
+            block_b=1 76.8 us/step vs block_b=2 85.5 — the extra VMEM
+            pressure costs more than the pipeline bubbles it hides, so 1 is
+            the default and >1 is an experiment knob (results bit-identical).
 
     Returns:
         ``(b, n, m)`` / ``(n, m)`` final states, complex.
