@@ -46,7 +46,7 @@ chains beats Mosaic codegen (BENCHMARKS.md "Engine note").
 from __future__ import annotations
 
 import warnings
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import numpy as np
 import jax
