@@ -55,6 +55,7 @@ from .sweep_solver import (
     _M3_C1,
     _P2,
 )
+from .horner_pallas import horner_apply_bm_ad
 from .trig_reduce import reduced_phase, split_const, step_time_df
 
 __all__ = ["sweep_expm_magnus_poly", "expand_magnus_polynomial"]
@@ -184,10 +185,12 @@ def _cached_expansion(static_op, operators, frame_diag, dt, magnus_order):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dt", "t0", "order", "magnus_order", "eval_slots"),
+    static_argnames=(
+        "dt", "t0", "order", "magnus_order", "eval_slots", "horner", "interpret"
+    ),
 )
 def _sweep_poly_jit(
-    X_re,            # (Q, n*n) f
+    X_re,            # (Q, n*n) f; TRANSPOSED planes when horner="pallas"
     X_im,
     mon_index,       # (Q, deg_max) int32
     d_im_hi, d_im_lo,  # (n,) imag part of frame diag, split
@@ -198,6 +201,8 @@ def _sweep_poly_jit(
     order: int,
     magnus_order: int,
     eval_slots=None,
+    horner: str = "einsum",
+    interpret: bool = False,
 ):
     cplx = jnp.complex64 if not jax.config.jax_enable_x64 else jnp.complex128
     real = jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64
@@ -246,16 +251,27 @@ def _sweep_poly_jit(
         monT = jnp.swapaxes(mono, 0, 1)
         Mr = (monT @ Xr).reshape(B, n, n)
         Mi = (monT @ Xi).reshape(B, n, n)
-        M = (Mr + 1j * Mi).astype(cplx)
         # state into the step's reference frame: v = D^{-1} y
         ph = ref_phase(idx)
         Dinv = jnp.exp(-1j * ph.astype(cplx))[None, :, None]
         v = Dinv * y
-        # v <- expm(M) v, Horner mat-vec Taylor (identical polynomial to the
-        # xla/member engines)
-        w = v
-        for kk in range(order, 0, -1):
-            w = v + jnp.einsum("bij,bjm->bim", M, w) / kk
+        # v <- expm(M) v (identical polynomial to the xla/member engines)
+        if horner == "pallas":
+            # X planes arrive TRANSPOSED in this mode, so Mr/Mi are the
+            # M^T planes the VMEM-resident kernel consumes; all Taylor
+            # iterations run on-chip without re-reading M from HBM
+            # (ops/horner_pallas.py — measured 8x HBM re-read floor
+            # otherwise, scripts/horner_ab.py)
+            ur, ui = horner_apply_bm_ad(
+                Mr, Mi, jnp.real(v[..., 0]), jnp.imag(v[..., 0]),
+                order, 8, interpret,
+            )
+            w = (ur + 1j * ui).astype(cplx)[..., None]
+        else:
+            M = (Mr + 1j * Mi).astype(cplx)
+            w = v
+            for kk in range(order, 0, -1):
+                w = v + jnp.einsum("bij,bjm->bim", M, w) / kk
         y_new = jnp.conj(Dinv) * w
         if n_eval > 0:
             slot = slots[idx]
@@ -282,6 +298,7 @@ def _sweep_poly_jit(
 def sweep_expm_magnus_poly(
     static_op, operators, frame_diag, coefficients, y0,
     dt, t0=0.0, order=8, eval_slots=None, magnus_order=2,
+    horner="auto", interpret=False,
 ):
     """Fixed-step Magnus sweep solve via the polynomial-expanded engine.
 
@@ -303,6 +320,12 @@ def sweep_expm_magnus_poly(
         order: Horner Taylor order of the ``expm`` action.
         eval_slots: optional per-step trajectory store slots (as xla engine).
         magnus_order: 2 or 3.
+        horner: ``"auto"`` (default), ``"einsum"``, or ``"pallas"`` — the
+            ``expm``-action engine. ``"pallas"`` keeps each step matrix
+            VMEM-resident across all Taylor iterations
+            (:mod:`.horner_pallas`; single-column states, f32 mode);
+            ``"auto"`` selects it on TPU when applicable.
+        interpret: run the Pallas path in the interpreter (CPU tests).
 
     Returns:
         as :func:`.xla_sweep.sweep_expm_magnus2_xla`.
@@ -320,13 +343,36 @@ def sweep_expm_magnus_poly(
     d_lo = (d_im - d_hi.astype(np.float64)).astype(np.float32)
     if jax.config.jax_enable_x64:
         d_hi, d_lo = d_im, np.zeros_like(d_im)
+    # shape-only probes (np.ndim/np.shape read attributes): y0 may be a
+    # tracer when fused_sweep_solve is called under an outer jit
+    m_cols = 1 if np.ndim(y0) == 2 else int(np.shape(y0)[-1])
+    if horner == "pallas" and m_cols != 1:
+        raise ValueError(
+            "horner='pallas' supports single-column states only "
+            f"(got m={m_cols}); use horner='einsum' for matrix states."
+        )
+    if horner == "auto":
+        horner = (
+            "pallas"
+            if (
+                m_cols == 1
+                and not jax.config.jax_enable_x64
+                and jax.default_backend() == "tpu"
+                and n >= 64
+            )
+            else "einsum"
+        )
+    Xf = X.reshape(X.shape[0], -1) if horner != "pallas" else np.swapaxes(
+        X, 1, 2
+    ).reshape(X.shape[0], -1)
     return _sweep_poly_jit(
-        X.reshape(X.shape[0], -1).real.copy(),
-        X.reshape(X.shape[0], -1).imag.copy(),
+        Xf.real.copy(),
+        Xf.imag.copy(),
         mon_index,
         d_hi, d_lo,
         coefficients, y0,
         dt=float(dt), t0=float(t0), order=int(order),
         magnus_order=int(magnus_order),
         eval_slots=None if eval_slots is None else tuple(int(s) for s in np.asarray(eval_slots)),
+        horner=horner, interpret=bool(interpret),
     )

@@ -129,6 +129,7 @@ def fused_sweep_solve(
     sweep_engine: str = "auto",
     member_horner: str = "mxu",
     member_build: str = "member",
+    poly_horner: str = "auto",
     magnus_order: int = 2,
     t_eval=None,
     mesh=None,
@@ -216,6 +217,12 @@ def fused_sweep_solve(
             for long fixed-step sweeps (measured: the dim-8 vectorized
             Lindblad bench row runs 2.3x faster at BETTER accuracy with
             ``magnus_order=3, max_dt=0.05`` vs ``2, 0.02``).
+        poly_horner: (poly engine only) ``expm``-action engine — ``"auto"``
+            (default: the VMEM-resident Pallas kernel on TPU for
+            single-column states at ``solve_dim >= 64``, einsum otherwise),
+            ``"einsum"``, or ``"pallas"``
+            (see :mod:`~qiskit_dynamics_tpu.ops.horner_pallas`; measured
+            2.2x on the Horner phase at the dim-256 bench row shape).
         member_build: (member engine only) per-step generator build/assembly
             layout — ``"member"`` (per-member op chains, default) or
             ``"batched"`` (whole-block broadcast FMAs + batched Magnus
@@ -263,6 +270,7 @@ def fused_sweep_solve(
                 rwa_signal_map=rwa_signal_map, precision=precision,
                 magnus_mode=magnus_mode, sweep_engine=sweep_engine,
                 member_horner=member_horner, member_build=member_build,
+                poly_horner=poly_horner,
                 magnus_order=magnus_order, t_eval=t_eval, mesh=None,
             )
 
@@ -450,14 +458,17 @@ def fused_sweep_solve(
     if sweep_engine in ("xla", "poly"):
         from ..ops.xla_sweep import sweep_expm_magnus2_xla
 
-        if magnus_mode != "auto" or interpret or tile_b is not None:
+        if magnus_mode != "auto" or tile_b is not None or (
+            interpret and sweep_engine == "xla"
+        ):
             import warnings
 
             warnings.warn(
                 "fused_sweep_solve routed to the "
                 f"{sweep_engine} engine (solve_dim={solve_dim} or "
                 f"sweep_engine={sweep_engine!r}); the pallas-only options "
-                "magnus_mode/tile_b/interpret are ignored on this path.",
+                "magnus_mode/tile_b (and interpret, on the xla engine) are "
+                "ignored on this path.",
                 stacklevel=2,
             )
         # batch-major (B, n, m): the engine builds each member's O(n^3)
@@ -478,6 +489,7 @@ def fused_sweep_solve(
                 static_fb, ops_fb, 1j * d_im, coeffs, y0_bm, dt=dt, t0=t0,
                 order=expm_order, eval_slots=eval_slots,
                 magnus_order=magnus_order,
+                horner=poly_horner, interpret=interpret,
             )
         else:
             out = sweep_expm_magnus2_xla(
