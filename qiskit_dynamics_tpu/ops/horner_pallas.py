@@ -75,6 +75,44 @@ def _horner_kernel(order, bb, mtr_ref, mti_ref, vr_ref, vi_ref, or_ref, oi_ref):
         oi_ref[m : m + 1, :] = u2[1:2, :]
 
 
+def _horner_kernel_loop(
+    order, bb, mtr_ref, mti_ref, vr_ref, vi_ref, or_ref, oi_ref
+):
+    """Loop-form twin of :func:`_horner_kernel` (identical arithmetic).
+
+    The unrolled body costs Mosaic ``bb * order * 2`` distinct dots to
+    compile (~26.5 min at dim 256); here both loops are ``fori_loop`` so
+    the compiled body holds TWO dots regardless of ``bb``/``order``.
+    The reciprocal ``1/k`` is an f32 division of the same real value the
+    unrolled form folds to a constant — bit-identical rounding.
+    """
+
+    def member_body(m, _):
+        mtr = mtr_ref[m]
+        mti = mti_ref[m]
+        v2 = jnp.concatenate(
+            [vr_ref[pl.dslice(m, 1), :], vi_ref[pl.dslice(m, 1), :]], axis=0
+        )
+
+        def k_body(i, u2):
+            k = (order - i).astype(u2.dtype)
+            a = jax.lax.dot(u2, mtr, precision=jax.lax.Precision.HIGHEST)
+            b = jax.lax.dot(u2, mti, precision=jax.lax.Precision.HIGHEST)
+            t2 = jnp.concatenate(
+                [a[0:1, :] - b[1:2, :], b[0:1, :] + a[1:2, :]], axis=0
+            )
+            return v2 + t2 * (1.0 / k)
+
+        u2 = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(order), k_body, v2, unroll=False
+        )
+        or_ref[pl.dslice(m, 1), :] = u2[0:1, :]
+        oi_ref[pl.dslice(m, 1), :] = u2[1:2, :]
+        return 0
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(bb), member_body, 0, unroll=False)
+
+
 def _pick_block_b(B: int, n: int, block_b: int) -> int:
     """Largest divisor of ``B`` that is <= ``block_b`` and keeps the
     double-buffered matrix slab under ~12 MB of VMEM."""
@@ -86,9 +124,12 @@ def _pick_block_b(B: int, n: int, block_b: int) -> int:
     return bb
 
 
-@functools.partial(jax.jit, static_argnames=("order", "block_b", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("order", "block_b", "interpret", "body")
+)
 def horner_apply_bm(
-    MTr, MTi, vr, vi, order: int = 8, block_b: int = 8, interpret: bool = False
+    MTr, MTi, vr, vi, order: int = 8, block_b: int = 8, interpret: bool = False,
+    body: str = "unrolled",
 ):
     """Batched ``u = sum_{j<=order} M^j v / j!`` action on real/imag planes.
 
@@ -100,6 +141,9 @@ def horner_apply_bm(
         block_b: members per grid step (auto-clamped to a divisor of ``B``
             that fits VMEM).
         interpret: run in the Pallas interpreter (CPU tests).
+        body: ``"loop"`` (``fori_loop`` member/order body — two compiled
+            dots; Mosaic compile minutes not tens of minutes at dim 256) or
+            ``"unrolled"`` (fully unrolled dots). Identical arithmetic.
 
     Returns:
         ``(ur, ui)``: ``(B, n)`` real/imag planes of the result.
@@ -109,7 +153,9 @@ def horner_apply_bm(
     grid = (B // bb,)
     mspec = pl.BlockSpec((bb, n, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     vspec = pl.BlockSpec((bb, n), lambda b: (b, 0), memory_space=pltpu.VMEM)
-    kernel = functools.partial(_horner_kernel, order, bb)
+    kernel = functools.partial(
+        _horner_kernel_loop if body == "loop" else _horner_kernel, order, bb
+    )
     return tuple(
         pl.pallas_call(
             kernel,

@@ -52,6 +52,21 @@ class TestHornerKernel:
             got = np.asarray(ur[b]) + 1j * np.asarray(ui[b])
             np.testing.assert_allclose(got, want, atol=1e-13)
 
+    @pytest.mark.parametrize("order", [1, 5, 8])
+    def test_loop_body_bit_identical_to_unrolled(self, order):
+        """The fori_loop body (compile-time fix: 2 compiled dots instead of
+        bb*order*2) must be BIT-identical to the unrolled body — the 1/k
+        reciprocal rounds identically whether folded or divided."""
+        args = _random_planes(6, 16, seed=order)
+        u_lp = horner_apply_bm(
+            *args, order=order, block_b=3, interpret=True, body="loop"
+        )
+        u_un = horner_apply_bm(
+            *args, order=order, block_b=3, interpret=True, body="unrolled"
+        )
+        for a, b in zip(u_lp, u_un):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_block_b_clamps_to_divisor_and_vmem(self):
         assert _pick_block_b(12, 8, 8) == 6  # largest divisor of 12 <= 8
         assert _pick_block_b(2048, 256, 8) == 8
