@@ -71,6 +71,28 @@ def steady_time(fn, target_s=1.0, max_repeats=256):
     return block / reps, float(block), reps
 
 
+def tunnel_retry(fn, attempts=3, wait_s=20):
+    """Run a row's compiling first call with retries on TRANSIENT tunnel
+    errors. The axon remote compiler intermittently drops the HTTP body
+    mid-read ('response body closed before all bytes were read'); without a
+    retry one flake silently deletes a whole bench row from the JSON
+    (observed: the adaptive-grad row in an r5 session). Non-transient
+    errors re-raise immediately."""
+    for k in range(attempts):
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 - transient filter below
+            msg = str(exc)
+            transient = "remote_compile" in msg or "read body" in msg
+            if k == attempts - 1 or not transient:
+                raise
+            log(
+                f"transient tunnel error (attempt {k + 1}/{attempts}), "
+                f"retrying in {wait_s}s: {exc!r}"
+            )
+            time.sleep(wait_s)
+
+
 def tunnel_preflight(max_wait_s=1800, probe_timeout=300):
     """The axon TPU tunnel goes down intermittently (observed hours-long);
     a down tunnel makes the first device dispatch hang SILENTLY. Probe with
@@ -223,7 +245,7 @@ def main():
     # NOTE: timing uses forced host transfers — on the axon TPU platform
     # block_until_ready is a no-op on the first dispatch of an executable.
     t0 = time.time()
-    out = np.asarray(sweep(amps))
+    out = tunnel_retry(lambda: np.asarray(sweep(amps)))
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
     steady, cr_block_s, cr_reps = steady_time(lambda: np.asarray(sweep(amps)))
@@ -272,7 +294,9 @@ def main():
             rwa_signal_map=solver._rwa_signal_map, precision="df32",
         )
         t0 = time.time()
-        df_out = fused_sweep_solve(solver.model, signals_fn, df_amps, **df_kwargs)
+        df_out = tunnel_retry(
+            lambda: fused_sweep_solve(solver.model, signals_fn, df_amps, **df_kwargs)
+        )
         log(f"df32 compile+first run: {time.time() - t0:.1f}s")
         df_time = median_time(
             lambda: fused_sweep_solve(solver.model, signals_fn, df_amps, **df_kwargs)
@@ -312,9 +336,9 @@ def main():
                 ]
 
             t0 = time.time()
-            dg_out = fused_sweep_solve(
+            dg_out = tunnel_retry(lambda: fused_sweep_solve(
                 solver.model, gauss_signals_fn, df_amps, **df_kwargs
-            )
+            ))
             log(f"df32-gauss compile+first: {time.time() - t0:.1f}s")
             dg_time = median_time(
                 lambda: fused_sweep_solve(
@@ -355,9 +379,9 @@ def main():
                 full_output=True,
             )
             t0 = time.time()
-            cheb_out, cheb_info = interpolated_sweep_solve(
+            cheb_out, cheb_info = tunnel_retry(lambda: interpolated_sweep_solve(
                 solver.model, signals_fn, cheb_amps, **cheb_kwargs
-            )
+            ))
             log(f"cheb compile+first: {time.time() - t0:.1f}s "
                 f"(nodes={cheb_info.n_nodes}, certified {cheb_info.est_error:.1e})")
             cheb_time = median_time(
@@ -403,9 +427,9 @@ def main():
                 full_output=True,
             )
             t0 = time.time()
-            map_out, map_info = interpolated_sweep_solve_2d(
+            map_out, map_info = tunnel_retry(lambda: interpolated_sweep_solve_2d(
                 solver.model, map_fn, (map_amps, map_dets), **map_kwargs
-            )
+            ))
             log(f"cheb2d compile+first: {time.time() - t0:.1f}s (nodes="
                 f"{map_info.n_nodes}, levels={map_info.levels}, "
                 f"certified {map_info.est_error:.1e})")
@@ -451,7 +475,7 @@ def main():
             gradfn = jax.jit(jax.grad(grad_loss))
             g_amps = jnp.linspace(0.25, 1.0, sweep_size)
             t0 = time.time()
-            np.asarray(gradfn(g_amps))
+            tunnel_retry(lambda: np.asarray(gradfn(g_amps)))
             log(f"grad compile+first: {time.time() - t0:.1f}s")
             grad_time = median_time(lambda: np.asarray(gradfn(g_amps)))
             log(
@@ -475,7 +499,7 @@ def main():
 
             adgradfn = jax.jit(jax.grad(adgrad_loss))
             t0 = time.time()
-            np.asarray(adgradfn(g_amps))
+            tunnel_retry(lambda: np.asarray(adgradfn(g_amps)))
             log(f"adaptive-grad compile+first: {time.time() - t0:.1f}s")
             adgrad_time = median_time(lambda: np.asarray(adgradfn(g_amps)))
             log(
@@ -501,7 +525,7 @@ def main():
         backend.set_options(solver_options={"method": "fused_dopri5"})
         scheds = gaussian_amp_schedules(np.linspace(0.05, 0.95, n_sched), duration=64)
         t0 = time.time()
-        backend.solve(scheds)
+        tunnel_retry(lambda: backend.solve(scheds))
         log(f"schedule batch compile+first: {time.time() - t0:.1f}s")
         sched_time, sched_block, sched_reps = steady_time(lambda: backend.solve(scheds))
         log(
@@ -518,7 +542,7 @@ def main():
         # transfer for the whole batch)
         try:
             t0 = time.time()
-            backend.run(scheds).result()
+            tunnel_retry(lambda: backend.run(scheds).result())
             log(f"run compile+first: {time.time() - t0:.1f}s")
             run_time, run_block, run_reps = steady_time(
                 lambda: backend.run(scheds).result()
@@ -549,7 +573,7 @@ def main():
                 }
             )
             t0 = time.time()
-            df_serve_out = backend.solve(scheds)
+            df_serve_out = tunnel_retry(lambda: backend.solve(scheds))
             log(f"df32 serving compile+first: {time.time() - t0:.1f}s")
             dfs_time, dfs_block, dfs_reps = steady_time(
                 lambda: backend.solve(scheds), max_repeats=16
@@ -714,7 +738,7 @@ def main():
                 )
             )
             t0 = time.time()
-            out2 = l2_run(l2_amps)
+            out2 = tunnel_retry(lambda: l2_run(l2_amps))
             probes2 = [0, l2B - 1]
             outs2 = [
                 np.asarray(jnp.real(out2[i])) + 1j * np.asarray(jnp.imag(out2[i]))
@@ -734,7 +758,7 @@ def main():
                         y0=rho2, magnus_order=3, sweep_engine="xla",
                     ))[0, 0, 0]
                 )
-                np.asarray(l2x_run(l2_amps))
+                tunnel_retry(lambda: np.asarray(l2x_run(l2_amps)))
                 l2x_time = median_time(lambda: np.asarray(l2x_run(l2_amps)))
                 lind_metrics["lindblad_dim256_xla_sims_per_sec"] = round(
                     l2B / l2x_time, 1
@@ -796,7 +820,7 @@ def main():
                     )
                 )
                 t0 = time.time()
-                val = np.asarray(f(Ar, Ai, yr, yi))
+                val = tunnel_retry(lambda: np.asarray(f(Ar, Ai, yr, yi)))
                 log(f"expm-chain[{eng}]: compile+first {time.time() - t0:.1f}s")
                 med, ec_block, ec_reps = steady_time(
                     lambda: np.asarray(f(Ar, Ai, yr, yi))
@@ -849,7 +873,7 @@ def main():
                 lambda a: jnp.abs(ds.solve_sweep(0.0, n_steps_d, y0_d, d_sigs, a)) ** 2
             )
             t0 = time.time()
-            np.asarray(d_run(d_amps))
+            tunnel_retry(lambda: np.asarray(d_run(d_amps)))
             log(f"dyson sweep compile+first: {time.time() - t0:.1f}s")
             d_time, d_block, d_reps = steady_time(lambda: np.asarray(d_run(d_amps)))
             log(
@@ -898,7 +922,7 @@ def main():
 
             d_gradfn = jax.jit(jax.grad(d_loss))
             t0 = time.time()
-            np.asarray(d_gradfn(d_amps))
+            tunnel_retry(lambda: np.asarray(d_gradfn(d_amps)))
             log(f"dyson grad compile+first: {time.time() - t0:.1f}s")
             dg_time = median_time(lambda: np.asarray(d_gradfn(d_amps)))
             log(
@@ -954,7 +978,7 @@ def main():
                 )
 
             t0 = time.time()
-            ddf_out = df_run()
+            ddf_out = tunnel_retry(df_run)
             log(f"dyson-df32 compile+first: {time.time() - t0:.1f}s")
             ddf_time, ddf_block, ddf_reps = steady_time(df_run)
             log(
@@ -1024,7 +1048,7 @@ def main():
                 lambda a: jnp.abs(ms.solve_sweep(0.0, n_steps_m, y0_m, m_sigs, a)) ** 2
             )
             t0 = time.time()
-            np.asarray(m_run(m_amps))
+            tunnel_retry(lambda: np.asarray(m_run(m_amps)))
             log(f"magnus sweep compile+first: {time.time() - t0:.1f}s")
             m_time, m_block, m_reps = steady_time(lambda: np.asarray(m_run(m_amps)))
             log(
@@ -1077,7 +1101,7 @@ def main():
 
             m_gradfn = jax.jit(jax.grad(m_loss))
             t0 = time.time()
-            np.asarray(m_gradfn(m_amps))
+            tunnel_retry(lambda: np.asarray(m_gradfn(m_amps)))
             log(f"magnus grad compile+first: {time.time() - t0:.1f}s")
             mg_time = median_time(lambda: np.asarray(m_gradfn(m_amps)))
             log(
@@ -1116,7 +1140,7 @@ def main():
 
             mc_f = jax.jit(mc_run)
             t0 = time.time()
-            np.asarray(mc_f(jax.random.PRNGKey(7)))
+            tunnel_retry(lambda: np.asarray(mc_f(jax.random.PRNGKey(7))))
             log(f"mc compile+first: {time.time() - t0:.1f}s")
             mc_time, mc_block, mc_reps = steady_time(
                 lambda: np.asarray(mc_f(jax.random.PRNGKey(8)))
@@ -1165,7 +1189,7 @@ def main():
 
             mcs_f = jax.jit(mcs_run)
             t0 = time.time()
-            np.asarray(mcs_f(jax.random.PRNGKey(3)))
+            tunnel_retry(lambda: np.asarray(mcs_f(jax.random.PRNGKey(3))))
             log(f"mc-sweep compile+first: {time.time() - t0:.1f}s")
             mcs_time, mcs_block, mcs_reps = steady_time(
                 lambda: np.asarray(mcs_f(jax.random.PRNGKey(4)))
@@ -1204,6 +1228,7 @@ def main():
                 "value": round(device_throughput, 2),
                 "unit": "sims/sec",
                 "vs_baseline": round(device_throughput / numpy_throughput, 2),
+                **headline_extra,
                 **probe_metrics,
                 **df_metrics,
                 **cheb_metrics,
