@@ -82,7 +82,10 @@ def _horner_kernel_loop(
 
     The unrolled body costs Mosaic ``bb * order * 2`` distinct dots to
     compile (~26.5 min at dim 256); here both loops are ``fori_loop`` so
-    the compiled body holds TWO dots regardless of ``bb``/``order``.
+    the compiled body holds TWO dots regardless of ``bb``/``order`` —
+    measured cold compile 377 s at the dim-256 bench shape (4.2x faster)
+    at runtime parity (30.3 vs 28.7-32.9 ms/call across sessions) and
+    BIT-identical output on chip (``scripts/horner_body_ab.py``).
     The reciprocal ``1/k`` is an f32 division of the same real value the
     unrolled form folds to a constant — bit-identical rounding.
     """
@@ -129,7 +132,7 @@ def _pick_block_b(B: int, n: int, block_b: int) -> int:
 )
 def horner_apply_bm(
     MTr, MTi, vr, vi, order: int = 8, block_b: int = 8, interpret: bool = False,
-    body: str = "unrolled",
+    body: str = "loop",
 ):
     """Batched ``u = sum_{j<=order} M^j v / j!`` action on real/imag planes.
 
@@ -141,9 +144,11 @@ def horner_apply_bm(
         block_b: members per grid step (auto-clamped to a divisor of ``B``
             that fits VMEM).
         interpret: run in the Pallas interpreter (CPU tests).
-        body: ``"loop"`` (``fori_loop`` member/order body — two compiled
-            dots; Mosaic compile minutes not tens of minutes at dim 256) or
-            ``"unrolled"`` (fully unrolled dots). Identical arithmetic.
+        body: ``"loop"`` (default; ``fori_loop`` member/order body — two
+            compiled dots, 377 s cold Mosaic compile at dim 256 vs ~26.5
+            min unrolled, runtime parity) or ``"unrolled"`` (fully
+            unrolled dots). Bit-identical arithmetic, A/B in
+            ``scripts/horner_body_ab.py``.
 
     Returns:
         ``(ur, ui)``: ``(B, n)`` real/imag planes of the result.
@@ -182,24 +187,27 @@ def horner_twin_bm(MTr, MTi, vr, vi, order: int = 8):
     return jnp.real(u).astype(MTr.dtype), jnp.imag(u).astype(MTr.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def horner_apply_bm_ad(
-    MTr, MTi, vr, vi, order: int = 8, block_b: int = 8, interpret: bool = False
+    MTr, MTi, vr, vi, order: int = 8, block_b: int = 8, interpret: bool = False,
+    body: str = "loop",
 ):
     """:func:`horner_apply_bm` with an XLA-twin backward pass."""
     return horner_apply_bm(
-        MTr, MTi, vr, vi, order=order, block_b=block_b, interpret=interpret
+        MTr, MTi, vr, vi, order=order, block_b=block_b, interpret=interpret,
+        body=body,
     )
 
 
-def _horner_ad_fwd(MTr, MTi, vr, vi, order, block_b, interpret):
+def _horner_ad_fwd(MTr, MTi, vr, vi, order, block_b, interpret, body):
     out = horner_apply_bm(
-        MTr, MTi, vr, vi, order=order, block_b=block_b, interpret=interpret
+        MTr, MTi, vr, vi, order=order, block_b=block_b, interpret=interpret,
+        body=body,
     )
     return out, (MTr, MTi, vr, vi)
 
 
-def _horner_ad_bwd(order, block_b, interpret, res, cts):
+def _horner_ad_bwd(order, block_b, interpret, body, res, cts):
     MTr, MTi, vr, vi = res
     _, pullback = jax.vjp(
         lambda a, b, c, d: horner_twin_bm(a, b, c, d, order=order), MTr, MTi, vr, vi

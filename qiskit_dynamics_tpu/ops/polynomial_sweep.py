@@ -365,15 +365,16 @@ def sweep_expm_magnus_poly(
         if horner == "pallas" and n >= 128:
             import warnings
 
-            # measured: ~26.5 min cold Mosaic compile at solve_dim 256
-            # (BENCHMARKS.md dim-256 section); seconds warm from the
+            # measured: ~6.3 min cold Mosaic compile at solve_dim 256 with
+            # the default loop-form kernel body (~26.5 min for the unrolled
+            # body; BENCHMARKS.md dim-256 section); seconds warm from the
             # persistent compile cache
             warnings.warn(
                 f"poly_horner auto-selected the Pallas Horner kernel at "
                 f"solve_dim {n}: 1.86x steady throughput, but the cold "
-                "Mosaic compile takes tens of minutes at large dims "
-                "(cached runs are seconds). For one-shot cold runs pass "
-                "poly_horner='einsum' (identical numerics).",
+                "Mosaic compile takes minutes at large dims (~6 min at "
+                "dim 256; cached runs are seconds). For one-shot cold "
+                "runs pass poly_horner='einsum' (identical numerics).",
                 stacklevel=2,
             )
     Xf = X.reshape(X.shape[0], -1) if horner != "pallas" else np.swapaxes(

@@ -54,7 +54,10 @@ d = max(
     float(np.max(np.abs(outs["loop"][0] - outs["unrolled"][0]))),
     float(np.max(np.abs(outs["loop"][1] - outs["unrolled"][1]))),
 )
-tw = horner_twin_bm(MTr, MTi, vr, vi, order=order)
-dt_ = float(np.max(np.abs(outs["loop"][0] - np.asarray(tw[0]))))
 print(f"loop-vs-unrolled max abs diff: {d:.3e} (expect 0)", flush=True)
+# jit the twin: eager complex arithmetic is UNIMPLEMENTED on axon TPU
+tw = jax.jit(lambda a, b, c, e: horner_twin_bm(a, b, c, e, order=order))(
+    MTr, MTi, vr, vi
+)
+dt_ = float(np.max(np.abs(outs["loop"][0] - np.asarray(tw[0]))))
 print(f"loop-vs-XLA-twin max abs diff: {dt_:.3e}", flush=True)
